@@ -1,0 +1,389 @@
+"""Synthetic SWIFT snapshots and HBTplus catalogues for tests/benchmarks.
+
+The reference test-suite downloads a small DMO volume
+(``tests/run_small_volume.sh`` in the reference) — not possible here, so
+this module *generates* physically sensible mock data in the genuine file
+layouts:
+
+ - a SWIFT snapshot: ``Header / Cosmology / Units / InternalCodeUnits /
+   PhysicalConstants / Parameters / Cells / PartTypeX`` with particles
+   sorted into top-level cells and full unit attributes per dataset
+   (layout consumed by ``SOAP/core/swift_cells.py:145-344`` in the
+   reference);
+ - an HBTplus ``SubSnap`` catalogue (unsorted multi-file layout, one
+   file): ``NumberOfFiles``, ``Subhalos`` compound array,
+   ``SubhaloParticles`` vlen arrays and the ``Units`` group (layout
+   consumed by ``SOAP/catalogue_readers/read_hbtplus.py:17-180,184-403``).
+
+Halos are NFW spheres with isotropic Gaussian velocities; the remaining
+particles form a uniform background.  All sampling is seeded and
+reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import h5py
+import numpy as np
+
+# Internal/snapshot unit system: Mpc, 1e10 Msun, km/s (so U_t = Mpc s/km).
+MPC_CM = 3.08567758149e24
+MSUN_G = 1.98841e33
+UNIT_MASS_G = 1.0e10 * MSUN_G
+UNIT_TIME_S = MPC_CM / 1.0e5  # Mpc / (km/s)
+G_INTERNAL = 6.67430e-8 * UNIT_MASS_G * UNIT_TIME_S**2 / MPC_CM**3  # ~43.0
+
+
+@dataclass
+class MockUniverse:
+    """In-memory mock simulation prior to writing files."""
+
+    boxsize: float
+    a: float
+    h: float
+    omega_m: float
+    omega_lambda: float
+    omega_b: float
+    pos: np.ndarray  # comoving Mpc, float64
+    vel: np.ndarray  # peculiar km/s
+    mass: np.ndarray  # 1e10 Msun
+    ids: np.ndarray  # uint64
+    # halo catalogue (HBT-style), one entry per subhalo
+    halo_pos: np.ndarray  # most-bound particle position
+    halo_renclose: np.ndarray  # max radius of bound particles (comoving Mpc)
+    halo_nbound: np.ndarray
+    halo_rank: np.ndarray  # 0 for centrals
+    halo_host: np.ndarray  # HostHaloId (FOF-group style id)
+    halo_track: np.ndarray
+    halo_depth: np.ndarray
+    bound_ids: list  # list of arrays: bound particle IDs, most-bound first
+    fof_ids: np.ndarray  # per-particle FOF group id (-1 for field)
+
+    @property
+    def n_halos(self) -> int:
+        return len(self.halo_nbound)
+
+
+def _sample_nfw_radii(rng, n, c, r200):
+    """Inverse-CDF sampling of the NFW enclosed-mass profile."""
+    mu = lambda x: np.log(1.0 + x) - x / (1.0 + x)
+    grid = np.linspace(1e-3, c, 2048)
+    cdf = mu(grid) / mu(c)
+    u = rng.uniform(0.0, 1.0, n)
+    x = np.interp(u, cdf, grid)
+    return x * (r200 / c)
+
+
+def build_mock_universe(
+    n_halos: int = 16,
+    n_field: int = 20000,
+    boxsize: float = 40.0,
+    a: float = 1.0,
+    h: float = 0.681,
+    omega_m: float = 0.306,
+    omega_b: float = 0.0486,
+    particle_mass: float = 0.1,  # 1e9 Msun
+    seed: int = 42,
+    mass_range=(50.0, 2000.0),  # halo masses in 1e10 Msun
+) -> MockUniverse:
+    rng = np.random.default_rng(seed)
+    omega_lambda = 1.0 - omega_m
+    rho_crit0 = 3.0 * (100.0 * h) ** 2 / (8.0 * np.pi * G_INTERNAL)
+    # physical critical density at a (flat LCDM)
+    E2 = omega_m / a**3 + omega_lambda
+    rho_crit = rho_crit0 * E2
+
+    positions = []
+    velocities = []
+    halo_pos, halo_renclose, halo_nbound = [], [], []
+    halo_rank, halo_host, halo_track, halo_depth = [], [], [], []
+    bound_counts = []
+
+    # log-uniform halo masses
+    logm = rng.uniform(np.log(mass_range[0]), np.log(mass_range[1]), n_halos)
+    m200 = np.exp(logm)
+    order = np.argsort(-m200)  # biggest first, like a halo finder would rank
+    m200 = m200[order]
+
+    for i in range(n_halos):
+        centre = rng.uniform(0.0, boxsize, 3)
+        c = rng.uniform(4.0, 10.0)
+        # R200c from M200c = 4/3 pi 200 rho_crit R^3 (physical), stored comoving
+        r200_phys = (3.0 * m200[i] / (4.0 * np.pi * 200.0 * rho_crit)) ** (1.0 / 3.0)
+        r200 = r200_phys / a  # comoving
+        npart = max(int(round(m200[i] / particle_mass)), 32)
+        r = _sample_nfw_radii(rng, npart, c, r200)
+        # random isotropic directions
+        u = rng.normal(size=(npart, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        ppos = centre[None, :] + r[:, None] * u
+        # most-bound particle exactly at the centre (r=0), mirroring HBT's
+        # centre-of-potential convention
+        ppos[0] = centre
+        sigma = np.sqrt(G_INTERNAL * m200[i] / (2.0 * r200_phys))
+        pvel = rng.normal(0.0, sigma, (npart, 3))
+        positions.append(np.mod(ppos, boxsize))
+        velocities.append(pvel)
+        halo_pos.append(centre)
+        dr = np.linalg.norm(ppos - centre[None, :], axis=1)
+        halo_renclose.append(dr.max())
+        halo_nbound.append(npart)
+        halo_rank.append(0)
+        halo_host.append(i)
+        halo_track.append(i)
+        halo_depth.append(0)
+        bound_counts.append(npart)
+
+    field = rng.uniform(0.0, boxsize, (n_field, 3))
+    field_vel = rng.normal(0.0, 100.0, (n_field, 3))
+    positions.append(field)
+    velocities.append(field_vel)
+
+    pos = np.concatenate(positions)
+    vel = np.concatenate(velocities)
+    n_tot = len(pos)
+    mass = np.full(n_tot, particle_mass)
+    ids = np.arange(1, n_tot + 1, dtype=np.uint64)
+    rng.shuffle(ids)  # IDs are not position-ordered in real snapshots
+
+    # bound particle lists: IDs of each halo's particles, most-bound first
+    bound_ids = []
+    fof = np.full(n_tot, -1, dtype=np.int64)
+    start = 0
+    for i, cnt in enumerate(bound_counts):
+        bound_ids.append(ids[start : start + cnt].copy())
+        fof[start : start + cnt] = i + 1  # FOF ids are 1-based here
+        start += cnt
+
+    return MockUniverse(
+        boxsize=boxsize,
+        a=a,
+        h=h,
+        omega_m=omega_m,
+        omega_lambda=omega_lambda,
+        omega_b=omega_b,
+        pos=pos,
+        vel=vel,
+        mass=mass,
+        ids=ids,
+        halo_pos=np.array(halo_pos),
+        halo_renclose=np.array(halo_renclose),
+        halo_nbound=np.array(halo_nbound, dtype=np.int64),
+        halo_rank=np.array(halo_rank, dtype=np.int32),
+        halo_host=np.array(halo_host, dtype=np.int64),
+        halo_track=np.array(halo_track, dtype=np.int64),
+        halo_depth=np.array(halo_depth, dtype=np.int32),
+        bound_ids=bound_ids,
+        fof_ids=fof,
+    )
+
+
+def _unit_attrs(l=0.0, m=0.0, t=0.0, temp=0.0, i=0.0, a_exp=0.0, physical=False):
+    cgs = MPC_CM**l * UNIT_MASS_G**m * UNIT_TIME_S**t
+    return {
+        "U_I exponent": [i],
+        "U_L exponent": [l],
+        "U_M exponent": [m],
+        "U_T exponent": [temp],
+        "U_t exponent": [t],
+        "a-scale exponent": [a_exp],
+        "h-scale exponent": [0.0],
+        "Value stored as physical": [1 if physical else 0],
+        "Property can be converted to comoving": [1],
+        "Conversion factor to CGS (not including cosmological corrections)": [cgs],
+        "Conversion factor to physical CGS (including cosmological corrections)": [
+            cgs
+        ],
+    }
+
+
+def write_swift_snapshot(
+    path: str,
+    uni: MockUniverse,
+    cells_per_dim: int = 4,
+    extra_datasets: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+) -> np.ndarray:
+    """Write a single-file SWIFT-layout DMO snapshot.
+
+    Particles are sorted by top-level cell (row-major flat index), and the
+    ``Cells`` metadata group records per-cell counts/offsets/files as SWIFT
+    does.  Returns the permutation applied to the particle arrays so the
+    caller can align any extra per-particle data.
+    """
+    n_cells = cells_per_dim**3
+    cell_size = uni.boxsize / cells_per_dim
+    ijk = np.floor(uni.pos / cell_size).astype(np.int64) % cells_per_dim
+    flat = (ijk[:, 0] * cells_per_dim + ijk[:, 1]) * cells_per_dim + ijk[:, 2]
+    order = np.argsort(flat, kind="stable")
+    flat_sorted = flat[order]
+    counts = np.bincount(flat_sorted, minlength=n_cells).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    centres = np.zeros((n_cells, 3))
+    k = np.arange(n_cells)
+    centres[:, 0] = (k // (cells_per_dim**2) + 0.5) * cell_size
+    centres[:, 1] = ((k // cells_per_dim) % cells_per_dim + 0.5) * cell_size
+    centres[:, 2] = (k % cells_per_dim + 0.5) * cell_size
+
+    n_tot = len(uni.pos)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        hdr = f.create_group("Header")
+        hdr.attrs["BoxSize"] = np.array([uni.boxsize] * 3)
+        hdr.attrs["NumFilesPerSnapshot"] = np.array([1], dtype=np.int32)
+        hdr.attrs["NumPart_ThisFile"] = np.array(
+            [0, n_tot, 0, 0, 0, 0, 0], dtype=np.int64
+        )
+        hdr.attrs["NumPart_Total"] = np.array(
+            [0, n_tot, 0, 0, 0, 0, 0], dtype=np.int64
+        )
+        hdr.attrs["Redshift"] = np.array([1.0 / uni.a - 1.0])
+        hdr.attrs["Scale-factor"] = np.array([uni.a])
+        hdr.attrs["RunName"] = np.bytes_("soap_tpu_mock")
+
+        cos = f.create_group("Cosmology")
+        rho_crit0 = 3.0 * (100.0 * uni.h) ** 2 / (8.0 * np.pi * G_INTERNAL)
+        E2 = uni.omega_m / uni.a**3 + uni.omega_lambda
+        cos.attrs["Scale-factor"] = np.array([uni.a])
+        cos.attrs["Redshift"] = np.array([1.0 / uni.a - 1.0])
+        cos.attrs["h"] = np.array([uni.h])
+        cos.attrs["H0 [internal units]"] = np.array([100.0 * uni.h])
+        cos.attrs["H [internal units]"] = np.array([100.0 * uni.h * np.sqrt(E2)])
+        cos.attrs["Critical density [internal units]"] = np.array([rho_crit0 * E2])
+        cos.attrs["Omega_m"] = np.array([uni.omega_m])
+        cos.attrs["Omega_lambda"] = np.array([uni.omega_lambda])
+        cos.attrs["Omega_k"] = np.array([0.0])
+        cos.attrs["Omega_b"] = np.array([uni.omega_b])
+        cos.attrs["Omega_cdm"] = np.array([uni.omega_m - uni.omega_b])
+        cos.attrs["Omega_r"] = np.array([0.0])
+        cos.attrs["Omega_nu_0"] = np.array([0.0])
+        cos.attrs["w_0"] = np.array([-1.0])
+        cos.attrs["w_a"] = np.array([0.0])
+
+        for gname in ("Units", "InternalCodeUnits"):
+            g = f.create_group(gname)
+            g.attrs["Unit length in cgs (U_L)"] = np.array([MPC_CM])
+            g.attrs["Unit mass in cgs (U_M)"] = np.array([UNIT_MASS_G])
+            g.attrs["Unit time in cgs (U_t)"] = np.array([UNIT_TIME_S])
+            g.attrs["Unit temperature in cgs (U_T)"] = np.array([1.0])
+            g.attrs["Unit current in cgs (U_I)"] = np.array([1.0])
+
+        pc = f.create_group("PhysicalConstants")
+        cgs = pc.create_group("CGS")
+        cgs.attrs["newton_G"] = np.array([6.67430e-8])
+        cgs.attrs["parsec"] = np.array([3.08567758149e18])
+        cgs.attrs["solar_mass"] = np.array([MSUN_G])
+        internal = pc.create_group("InternalUnits")
+        internal.attrs["newton_G"] = np.array([G_INTERNAL])
+
+        par = f.create_group("Parameters")
+        par.attrs["Gravity:comoving_DM_softening"] = np.bytes_("0.02")
+        par.attrs["Gravity:max_physical_DM_softening"] = np.bytes_("0.01")
+        par.attrs["Gravity:comoving_baryon_softening"] = np.bytes_("0.01")
+        par.attrs["Gravity:max_physical_baryon_softening"] = np.bytes_("0.005")
+
+        cells = f.create_group("Cells")
+        md = cells.create_group("Meta-data")
+        md.attrs["nr_cells"] = np.int64(n_cells)
+        md.attrs["dimension"] = np.array([cells_per_dim] * 3, dtype=np.int64)
+        md.attrs["size"] = np.array([cell_size] * 3)
+        cells.create_dataset("Centres", data=centres)
+        for sub, data in (
+            ("Counts", counts),
+            ("OffsetsInFile", offsets),
+            ("Files", np.zeros(n_cells, dtype=np.int32)),
+        ):
+            g = cells.create_group(sub)
+            g.create_dataset("PartType1", data=data)
+
+        pt1 = f.create_group("PartType1")
+
+        def dset(name, data, **unit_kw):
+            ds = pt1.create_dataset(name, data=data)
+            for k, v in _unit_attrs(**unit_kw).items():
+                ds.attrs[k] = v
+
+        dset("Coordinates", uni.pos[order], l=1.0, a_exp=1.0)
+        dset("Velocities", uni.vel[order].astype(np.float32), l=1.0, t=-1.0)
+        dset("Masses", uni.mass[order].astype(np.float32), m=1.0)
+        dset("ParticleIDs", uni.ids[order])
+        dset("FOFGroupIDs", uni.fof_ids[order])
+        if extra_datasets and "PartType1" in extra_datasets:
+            for name, data in extra_datasets["PartType1"].items():
+                dset(name, data[order])
+    return order
+
+
+def write_hbt_catalogue(basename: str, uni: MockUniverse) -> None:
+    """Write an HBTplus 'SubSnap' (unsorted layout, single file).
+
+    Field layout follows what the reference reader consumes
+    (``read_hbtplus.py:32-148,275-403``).  HBT lengths are Mpc/h comoving
+    and masses Msun/h.
+    """
+    n = uni.n_halos
+    sub_dtype = np.dtype(
+        [
+            ("TrackId", np.int64),
+            ("Nbound", np.int64),
+            ("Rank", np.int64),
+            ("HostHaloId", np.int64),
+            ("Depth", np.int32),
+            ("ComovingMostBoundPosition", np.float32, (3,)),
+            ("PhysicalAverageVelocity", np.float32, (3,)),
+            ("REncloseComoving", np.float32),
+            ("NestedParentTrackId", np.int64),
+            ("DescendantTrackId", np.int64),
+            ("LastMaxMass", np.float32),
+            ("LastMaxVmaxPhysical", np.float32),
+            ("SnapshotOfBirth", np.int32),
+            ("SnapshotOfLastMaxMass", np.int32),
+            ("SnapshotOfLastMaxVmax", np.int32),
+            ("SnapshotOfLastIsolation", np.int32),
+        ]
+    )
+    subs = np.zeros(n, dtype=sub_dtype)
+    subs["TrackId"] = uni.halo_track
+    subs["Nbound"] = uni.halo_nbound
+    subs["Rank"] = uni.halo_rank
+    subs["HostHaloId"] = uni.halo_host
+    subs["Depth"] = uni.halo_depth
+    # HBT stores Mpc/h
+    subs["ComovingMostBoundPosition"] = uni.halo_pos * uni.h
+    subs["REncloseComoving"] = uni.halo_renclose * uni.h
+    subs["NestedParentTrackId"] = -1
+    subs["DescendantTrackId"] = -1
+    subs["LastMaxMass"] = uni.halo_nbound * uni.mass[0] * 1.0e10 * uni.h
+    subs["LastMaxVmaxPhysical"] = 100.0
+    subs["SnapshotOfBirth"] = 0
+
+    os.makedirs(os.path.dirname(os.path.abspath(basename + ".0.hdf5")), exist_ok=True)
+    with h5py.File(basename + ".0.hdf5", "w") as f:
+        f.create_dataset("NumberOfFiles", data=np.array([1], dtype=np.int32))
+        f.create_dataset("Subhalos", data=subs)
+        vlen = h5py.vlen_dtype(np.uint64)
+        sp = f.create_dataset("SubhaloParticles", (n,), dtype=vlen)
+        for i, ids in enumerate(uni.bound_ids):
+            sp[i] = ids
+        units = f.create_group("Units")
+        units.create_dataset("LengthInMpch", data=np.array([1.0]))
+        units.create_dataset("MassInMsunh", data=np.array([1.0]))
+        units.create_dataset("VelInKmS", data=np.array([1.0]))
+
+
+def make_mock_simulation(
+    tmpdir: str, **kwargs
+) -> Dict[str, object]:
+    """Create a full mock sim (snapshot + HBT catalogue) in ``tmpdir``.
+
+    Returns a dict with file paths and the in-memory universe.
+    """
+    uni = build_mock_universe(**kwargs)
+    snap = os.path.join(tmpdir, "snap_0077.hdf5")
+    hbt = os.path.join(tmpdir, "SubSnap_077")
+    write_swift_snapshot(snap, uni)
+    write_hbt_catalogue(hbt, uni)
+    return {"snapshot": snap, "hbt_basename": hbt, "universe": uni}
