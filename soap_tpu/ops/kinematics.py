@@ -1,0 +1,118 @@
+"""Angular momentum, kappa_corot, Vmax — masked batched kernels.
+
+Formula-exact reimplementations of the reference kernels
+(``SOAP/property_calculation/kinematic_properties.py:266-425`` for the
+angular momentum / kappa_corot family, ``:555-593`` for Vmax), expressed
+as branch-free masked reductions over padded per-halo particle slices.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class AngularMomentumResult(NamedTuple):
+    L: jnp.ndarray  # (3,) angular momentum about (pos_ref, vel_ref)
+    kappa_corot: jnp.ndarray  # scalar
+    m_counterrot: jnp.ndarray  # scalar counter-rotating mass
+
+
+def angular_momentum_and_kappa(
+    mass: jnp.ndarray,  # (K,)
+    pos: jnp.ndarray,  # (K, 3) relative to reference position
+    vel: jnp.ndarray,  # (K, 3) relative to reference velocity
+    mask: jnp.ndarray,  # (K,)
+) -> AngularMomentumResult:
+    """Mass-weighted L, kappa_corot (Correa+2017) and counter-rotating mass.
+
+    Matches ``get_angular_momentum_and_kappa_corot_mass_weighted``:
+    kappa_corot = sum over co-rotating particles of L_i^2/(2 m_i R_i^2),
+    divided by the total kinetic energy; particles exactly on the rotation
+    axis are excluded.
+    """
+    m = jnp.where(mask, mass, 0.0)
+    Lpart = m[:, None] * jnp.cross(pos, vel)
+    Ltot = jnp.sum(jnp.where(mask[:, None], Lpart, 0.0), axis=0)
+    Lnrm = jnp.sqrt(jnp.sum(Ltot * Ltot))
+
+    K = 0.5 * jnp.sum(m * jnp.sum(vel * vel, axis=1))
+    Ldir = Ltot / jnp.maximum(Lnrm, 1e-37)
+    Li = jnp.sum(Lpart * Ldir[None, :], axis=1)
+
+    r2 = jnp.sum(pos * pos, axis=1)
+    rdotL = jnp.sum(pos * Ldir[None, :], axis=1)
+    Ri2 = r2 - rdotL * rdotL
+    on_axis = Ri2 == 0.0
+    Ri2_safe = jnp.where(on_axis, 1.0, Ri2)
+
+    Krot = 0.5 * Li * Li / (jnp.maximum(mass, 1e-37) * Ri2_safe)
+    corot = mask & (~on_axis) & (Li > 0.0)
+    Kcorot = jnp.sum(jnp.where(corot, Krot, 0.0))
+    kappa = jnp.where((Lnrm > 0.0) & (K > 0.0), Kcorot / jnp.maximum(K, 1e-37), 0.0)
+
+    counter = mask & (Li < 0.0)
+    m_counter = jnp.where(Lnrm > 0.0, jnp.sum(jnp.where(counter, mass, 0.0)), 0.0)
+    return AngularMomentumResult(Ltot, kappa, m_counter)
+
+
+def angular_momentum(
+    mass: jnp.ndarray, pos: jnp.ndarray, vel: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Plain mass-weighted angular momentum (reference ``:228-263``)."""
+    m = jnp.where(mask, mass, 0.0)
+    Lpart = m[:, None] * jnp.cross(pos, vel)
+    return jnp.sum(jnp.where(mask[:, None], Lpart, 0.0), axis=0)
+
+
+class VmaxResult(NamedTuple):
+    radius: jnp.ndarray  # radius of the circular-velocity maximum
+    vmax_sq_over_G: jnp.ndarray  # Vmax^2 / G = max(M(<r)/r); caller scales
+
+
+def vmax(
+    mass: jnp.ndarray,  # (K,) padded masses
+    radius: jnp.ndarray,  # (K,) padded radii (invalid = +inf)
+    mask: jnp.ndarray,
+) -> VmaxResult:
+    """Maximum circular velocity from the cumulative mass profile.
+
+    Reference semantics (``kinematic_properties.py:555-593``): sort by
+    radius, skip leading ~zero radii (the centre particle), then
+    vmax = sqrt(G * max(M(<r)/r)).  G is applied by the caller (a static
+    unit factor), keeping this kernel unit-free.
+    """
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    r_s = jnp.where(mask, radius, big)
+    order = jnp.argsort(r_s)
+    r = r_s[order]
+    m = jnp.where(mask, mass, 0.0)[order]
+    v = mask[order]
+    cum = jnp.cumsum(m)
+    # skip leading zero radii (isclose(r, 0) with default atol=1e-8)
+    near_zero = v & (jnp.abs(r) <= 1e-8)
+    usable = v & (~near_zero)
+    ratio = jnp.where(usable, cum / jnp.maximum(r, 1e-37), -jnp.inf)
+    imax = jnp.argmax(ratio)
+    any_usable = jnp.any(usable)
+    best = jnp.take(ratio, imax)
+    return VmaxResult(
+        radius=jnp.where(any_usable, jnp.take(r, imax), 0.0),
+        vmax_sq_over_G=jnp.where(any_usable, jnp.maximum(best, 0.0), 0.0),
+    )
+
+
+def spin_parameter(
+    L_norm: jnp.ndarray,  # |L| within radius R
+    mass: jnp.ndarray,  # total mass within R
+    radius: jnp.ndarray,  # R
+    newton_G: float,
+) -> jnp.ndarray:
+    """Bullock et al. (2001) spin parameter: |L| / (sqrt(2) M V R).
+
+    Used by the SO calculator (reference ``SO_properties.py`` SpinParameter
+    lazy property): V = sqrt(G M / R).
+    """
+    denom = jnp.sqrt(2.0 * newton_G * mass**3 * radius)
+    return jnp.where(denom > 0, L_norm / jnp.maximum(denom, 1e-37), 0.0)
