@@ -1,0 +1,70 @@
+"""Static evaluation context shared by all halo-property calculators.
+
+The reference carries this state on ``HaloProperty`` instances
+(``SOAP/particle_selection/halo_properties.py:4-35``: unit registry,
+critical/mean densities, scale factor, boxsize, per-type softening).  In
+the TPU build the context is a frozen, hashable dataclass so it can be a
+``jax.jit`` static argument: every numeric field is a plain Python float
+baked into the compiled program as a constant.
+
+All values are in *snapshot internal units*; lengths and densities are
+PHYSICAL (the kernels work in physical coordinates, matching the
+reference's ``.to_physical()`` conversion in ``compute_basics``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+#: Concatenation order of particle types in a halo's padded particle
+#: buffer.  Matches the reference's type indices (PartType``i``).
+PTYPE_ORDER = (
+    "PartType0",  # gas
+    "PartType1",  # dark matter
+    "PartType4",  # stars
+    "PartType5",  # black holes
+    "PartType6",  # neutrinos
+)
+
+PTYPE_INDEX = {name: int(name[-1]) for name in PTYPE_ORDER}
+
+
+@dataclass(frozen=True)
+class HaloContext:
+    """Hashable static context for one snapshot / one chunk."""
+
+    a: float  # scale factor
+    z: float  # redshift
+    G: float  # Newton's constant, internal units
+    boxsize: float  # COMOVING boxsize, internal units
+    # physical critical and mean densities, internal units
+    critical_density: float
+    mean_density: float
+    # mean neutrino background density (0 for runs without neutrinos)
+    nu_density: float = 0.0
+    # per-included-ptype physical softening lengths, aligned with `ptypes`
+    softening: Tuple[float, ...] = ()
+    # which particle types are present, in concatenation order
+    ptypes: Tuple[str, ...] = ("PartType1",)
+    # padded per-ptype candidate capacities, aligned with `ptypes`
+    capacities: Tuple[int, ...] = (0,)
+    # True when the snapshot is dark-matter-only
+    dmo: bool = True
+
+    @property
+    def total_capacity(self) -> int:
+        return sum(self.capacities)
+
+    def segment(self, ptype: str) -> Tuple[int, int]:
+        """(start, stop) of a particle type's rows in the concatenated
+        padded buffer; (0, 0) when the type is absent."""
+        start = 0
+        for name, cap in zip(self.ptypes, self.capacities):
+            if name == ptype:
+                return start, start + cap
+            start += cap
+        return 0, 0
+
+    def has_type(self, ptype: str) -> bool:
+        return ptype in self.ptypes and self.capacities[self.ptypes.index(ptype)] > 0

@@ -1,0 +1,707 @@
+"""Per-halo property evaluation as a trace-time lazy DAG.
+
+The reference evaluates halo properties through ``@lazy_property``-memoized
+attribute chains on a per-halo particle-data object
+(``SOAP/core/lazy_properties.py``, design rationale in
+``SOAP/particle_selection/aperture_properties.py:3-133``): each property
+pulls exactly the intermediates it needs, and shared intermediates (sorted
+radii, centre-of-mass velocity, ...) are computed once.
+
+The TPU-native version keeps that exact structure but moves it to *trace
+time*: a ``HaloSlice`` instance holds traced (abstract) arrays for ONE
+halo's padded particle slice, and ``functools.cached_property``-style
+memoization deduplicates intermediates while JAX traces the computation.
+The whole object is evaluated under ``jax.vmap`` over a halo batch, so
+every property method is written for a single halo with (K,)-shaped
+padded arrays and a validity mask — no data-dependent shapes anywhere.
+
+Property methods are named by their property-table *key* (``Mtot``,
+``com``, ``veldisp_matrix_dm``, ...), matching the reference's calculator
+attribute names, so the engine can request any subset of table keys and
+dead code is eliminated by construction (unrequested attributes are never
+traced).
+
+All positions are halo-relative PHYSICAL internal-unit coordinates,
+velocities are peculiar velocities; this matches the reference's
+``compute_basics`` conversion to physical (e.g.
+``SOAP/particle_selection/SO_properties.py:313-355``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from soap_tpu.models.context import HaloContext
+from soap_tpu.ops import inertia as inertia_ops
+from soap_tpu.ops import kinematics as kin
+from soap_tpu.ops import radii as radii_ops
+from soap_tpu.ops import reductions as red
+from soap_tpu.ops import so_radius as so_ops
+
+
+class lazy_property:
+    """Memoizing property; the trace-time analogue of the reference's
+    ``SOAP/core/lazy_properties.py:16-59``."""
+
+    def __init__(self, fn):
+        self.fn = fn
+        self.name = fn.__name__
+        self.__doc__ = fn.__doc__
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        value = self.fn(obj)
+        obj.__dict__[self.name] = value
+        return value
+
+
+class HaloParticles(NamedTuple):
+    """One halo's padded candidate particles (concatenated over ptypes).
+
+    Layout is static: rows [seg(t)] belong to particle type t as recorded
+    in the ``HaloContext``.  Invalid (padding) rows have ``valid=False``
+    and zeroed payloads.
+    """
+
+    valid: jnp.ndarray  # (K,) bool
+    mass: jnp.ndarray  # (K,) f32
+    pos: jnp.ndarray  # (K, 3) f32 halo-relative physical
+    vel: jnp.ndarray  # (K, 3) f32 peculiar
+    groupnr: jnp.ndarray  # (K,) i64 bound-subhalo index (-1 unbound)
+    fofid: jnp.ndarray  # (K,) i64 FOF group id (-1 field)
+    softening: jnp.ndarray  # (K,) f32 physical softening
+    fields: Dict[str, jnp.ndarray]  # extra per-ptype datasets, (K_t, ...)
+
+
+class HaloScalars(NamedTuple):
+    """Per-halo scalar inputs."""
+
+    index: jnp.ndarray  # i64 halo catalogue index
+    centre: jnp.ndarray  # (3,) f64/f32 comoving absolute centre
+    search_radius: jnp.ndarray  # f32 physical: data complete within this
+    is_central: jnp.ndarray  # bool
+    fof_id: jnp.ndarray  # i64 FOF id of the halo's host FOF group
+
+
+def _zero():
+    return jnp.float32(0.0)
+
+
+class HaloSlice:
+    """Base class: one halo's selected particles + lazy property methods.
+
+    Subclasses define ``selection`` — the boolean mask of particles that
+    belong to this halo type (bound / inside SO radius / inside aperture).
+    """
+
+    def __init__(self, ctx: HaloContext, parts: HaloParticles, scalars: HaloScalars):
+        self.ctx = ctx
+        self.parts = parts
+        self.scalars = scalars
+
+    # ---------------- selection & basic masks ----------------
+
+    @lazy_property
+    def selection(self) -> jnp.ndarray:
+        raise NotImplementedError
+
+    @lazy_property
+    def bound_mask(self) -> jnp.ndarray:
+        """Particles bound to *this* subhalo (GroupNr_bound == index);
+        reference ``subhalo_properties.py:142-144``."""
+        return self.parts.valid & (self.parts.groupnr == self.scalars.index)
+
+    def type_mask(self, ptype: str) -> jnp.ndarray:
+        """Selected particles of one type (a static row segment)."""
+        lo, hi = self.ctx.segment(ptype)
+        k = self.parts.valid.shape[0]
+        row = jnp.arange(k, dtype=jnp.int32)
+        return self.selection & (row >= lo) & (row < hi)
+
+    @lazy_property
+    def mask_gas(self):
+        return self.type_mask("PartType0")
+
+    @lazy_property
+    def mask_dm(self):
+        return self.type_mask("PartType1")
+
+    @lazy_property
+    def mask_star(self):
+        return self.type_mask("PartType4")
+
+    @lazy_property
+    def mask_bh(self):
+        return self.type_mask("PartType5")
+
+    @lazy_property
+    def mask_nu(self):
+        return self.type_mask("PartType6")
+
+    @lazy_property
+    def radius(self) -> jnp.ndarray:
+        """Physical radius of every candidate particle."""
+        return jnp.sqrt(jnp.sum(self.parts.pos * self.parts.pos, axis=1))
+
+    @lazy_property
+    def soft_radius(self) -> jnp.ndarray:
+        """Radius floored at the particle's softening (reference
+        ``subhalo_properties.py:1027``)."""
+        return jnp.maximum(self.radius, self.parts.softening)
+
+    # ---------------- needs-bigger-region ladder ----------------
+
+    @property
+    def flags(self):
+        """Accumulated needs-bigger-region bits (the batched analogue of
+        ``SearchRadiusTooSmallError``)."""
+        if "_flags" not in self.__dict__:
+            self._flags = [jnp.zeros((), bool)]
+        return self._flags
+
+    def add_flag(self, flag):
+        self.flags.append(flag)
+
+    @property
+    def needs_bigger(self) -> jnp.ndarray:
+        out = self.flags[0]
+        for f in self.flags[1:]:
+            out = out | f
+        return out
+
+    # ---------------- masses and counts ----------------
+
+    @lazy_property
+    def Mtot(self):
+        return red.masked_sum(self.parts.mass, self.selection)
+
+    @lazy_property
+    def Mgas(self):
+        return red.masked_sum(self.parts.mass, self.mask_gas)
+
+    @lazy_property
+    def Mdm(self):
+        return red.masked_sum(self.parts.mass, self.mask_dm)
+
+    @lazy_property
+    def Mstar(self):
+        return red.masked_sum(self.parts.mass, self.mask_star)
+
+    @lazy_property
+    def Mbh_dynamical(self):
+        return red.masked_sum(self.parts.mass, self.mask_bh)
+
+    @lazy_property
+    def Ngas(self):
+        return red.masked_count(self.mask_gas, jnp.uint32)
+
+    @lazy_property
+    def Ndm(self):
+        return red.masked_count(self.mask_dm, jnp.uint32)
+
+    @lazy_property
+    def Nstar(self):
+        return red.masked_count(self.mask_star, jnp.uint32)
+
+    @lazy_property
+    def Nbh(self):
+        return red.masked_count(self.mask_bh, jnp.uint32)
+
+    @lazy_property
+    def Nnu(self):
+        return red.masked_count(self.mask_nu, jnp.uint32)
+
+    @lazy_property
+    def Mnu(self):
+        """Raw neutrino particle mass inside the selection."""
+        return red.masked_sum(self.parts.mass, self.mask_nu)
+
+    # ---------------- centre of mass ----------------
+
+    @lazy_property
+    def _com_pair(self):
+        return red.centre_of_mass(self.parts.mass, self.parts.pos, self.selection)
+
+    @lazy_property
+    def com(self):
+        """Absolute physical centre of mass (writer converts to the
+        catalogue's comoving convention)."""
+        _, rel = self._com_pair
+        return self.scalars.centre * self.ctx.a + rel
+
+    @lazy_property
+    def vcom(self):
+        return red.centre_of_mass_velocity(
+            self.parts.mass, self.parts.vel, self.selection
+        )
+
+    @lazy_property
+    def vcom_dm(self):
+        return red.centre_of_mass_velocity(
+            self.parts.mass, self.parts.vel, self.mask_dm
+        )
+
+    @lazy_property
+    def vcom_gas(self):
+        return red.centre_of_mass_velocity(
+            self.parts.mass, self.parts.vel, self.mask_gas
+        )
+
+    @lazy_property
+    def vcom_star(self):
+        return red.centre_of_mass_velocity(
+            self.parts.mass, self.parts.vel, self.mask_star
+        )
+
+    # ---------------- radii ----------------
+
+    @lazy_property
+    def EncloseRadius(self):
+        """Radius of the furthest selected particle
+        (``subhalo_properties.py:2337``)."""
+        return radii_ops.enclose_radius(self.radius, self.selection)
+
+    @lazy_property
+    def HalfMassRadiusTot(self):
+        return radii_ops.half_weight_radius(
+            self.radius, self.parts.mass, self.Mtot, self.selection
+        )
+
+    @lazy_property
+    def HalfMassRadiusGas(self):
+        return radii_ops.half_weight_radius(
+            self.radius, self.parts.mass, self.Mgas, self.mask_gas
+        )
+
+    @lazy_property
+    def HalfMassRadiusDM(self):
+        return radii_ops.half_weight_radius(
+            self.radius, self.parts.mass, self.Mdm, self.mask_dm
+        )
+
+    @lazy_property
+    def HalfMassRadiusStar(self):
+        return radii_ops.half_weight_radius(
+            self.radius, self.parts.mass, self.Mstar, self.mask_star
+        )
+
+    # ---------------- kinematics ----------------
+
+    @lazy_property
+    def Ldm(self):
+        """Angular momentum of DM about (centre, vcom_dm);
+        reference frame per ``subhalo_properties.py:1292-1300``."""
+        vel_rel = self.parts.vel - self.vcom_dm[None, :]
+        return kin.angular_momentum(
+            self.parts.mass, self.parts.pos, vel_rel, self.mask_dm
+        )
+
+    @lazy_property
+    def Lgas(self):
+        vel_rel = self.parts.vel - self.vcom_gas[None, :]
+        return kin.angular_momentum(
+            self.parts.mass, self.parts.pos, vel_rel, self.mask_gas
+        )
+
+    @lazy_property
+    def Lstar(self):
+        vel_rel = self.parts.vel - self.vcom_star[None, :]
+        return kin.angular_momentum(
+            self.parts.mass, self.parts.pos, vel_rel, self.mask_star
+        )
+
+    @lazy_property
+    def veldisp_matrix_dm(self):
+        return red.velocity_dispersion_matrix(
+            self.parts.mass, self.parts.vel, self.vcom_dm, self.mask_dm
+        )
+
+    @lazy_property
+    def veldisp_matrix_gas(self):
+        return red.velocity_dispersion_matrix(
+            self.parts.mass, self.parts.vel, self.vcom_gas, self.mask_gas
+        )
+
+    @lazy_property
+    def veldisp_matrix_star(self):
+        return red.velocity_dispersion_matrix(
+            self.parts.mass, self.parts.vel, self.vcom_star, self.mask_star
+        )
+
+    @lazy_property
+    def _vmax_soft(self):
+        return kin.vmax(self.parts.mass, self.soft_radius, self.selection)
+
+    @lazy_property
+    def _vmax_unsoft(self):
+        return kin.vmax(self.parts.mass, self.radius, self.selection)
+
+    @lazy_property
+    def Vmax_soft(self):
+        return jnp.sqrt(self.ctx.G * self._vmax_soft.vmax_sq_over_G)
+
+    @lazy_property
+    def Vmax_unsoft(self):
+        return jnp.sqrt(self.ctx.G * self._vmax_unsoft.vmax_sq_over_G)
+
+    @lazy_property
+    def R_vmax_soft(self):
+        return self._vmax_soft.radius
+
+    @lazy_property
+    def R_vmax_unsoft(self):
+        return self._vmax_unsoft.radius
+
+    @lazy_property
+    def spin_parameter(self):
+        """Bullock et al. (2001) spin inside R_vmax_soft
+        (``subhalo_properties.py:1047-1073``)."""
+        R = self.R_vmax_soft
+        V = self.Vmax_soft
+        inside = self.selection & (self.radius <= R)
+        vel_rel = self.parts.vel - self.vcom[None, :]
+        L = kin.angular_momentum(self.parts.mass, self.parts.pos, vel_rel, inside)
+        Lnorm = jnp.sqrt(jnp.sum(L * L))
+        M = red.masked_sum(self.parts.mass, inside)
+        denom = jnp.sqrt(2.0) * M * V * R
+        ok = (self.Mtot > 0) & (R > 0) & (V > 0) & (M > 0)
+        return jnp.where(ok, Lnorm / jnp.maximum(denom, 1e-37), 0.0)
+
+    # ---------------- inertia tensors ----------------
+
+    def _inertia(self, mask, half_mass_radius, reduced, iterative, total_mass):
+        result = inertia_ops.inertia_tensor(
+            self.parts.mass,
+            self.parts.pos,
+            mask,
+            10.0 * half_mass_radius,
+            search_radius=self.scalars.search_radius,
+            reduced=reduced,
+            max_iterations=20 if iterative else 1,
+        )
+        self.add_flag(result.needs_bigger)
+        return jnp.where(total_mass > 0, result.tensor, 0.0)
+
+    @lazy_property
+    def TotalInertiaTensor(self):
+        return self._inertia(self.selection, self.HalfMassRadiusTot, False, True, self.Mtot)
+
+    @lazy_property
+    def TotalInertiaTensorReduced(self):
+        return self._inertia(self.selection, self.HalfMassRadiusTot, True, True, self.Mtot)
+
+    @lazy_property
+    def TotalInertiaTensorNoniterative(self):
+        return self._inertia(self.selection, self.HalfMassRadiusTot, False, False, self.Mtot)
+
+    @lazy_property
+    def TotalInertiaTensorReducedNoniterative(self):
+        return self._inertia(self.selection, self.HalfMassRadiusTot, True, False, self.Mtot)
+
+    @lazy_property
+    def DarkMatterInertiaTensor(self):
+        return self._inertia(self.mask_dm, self.HalfMassRadiusDM, False, True, self.Mdm)
+
+    @lazy_property
+    def DarkMatterInertiaTensorReduced(self):
+        return self._inertia(self.mask_dm, self.HalfMassRadiusDM, True, True, self.Mdm)
+
+    @lazy_property
+    def DarkMatterInertiaTensorNoniterative(self):
+        return self._inertia(self.mask_dm, self.HalfMassRadiusDM, False, False, self.Mdm)
+
+    @lazy_property
+    def DarkMatterInertiaTensorReducedNoniterative(self):
+        return self._inertia(self.mask_dm, self.HalfMassRadiusDM, True, False, self.Mdm)
+
+    # ---------------- misc ----------------
+
+    @lazy_property
+    def ExSituFraction(self):
+        """Fraction of stellar mass formed ex situ; needs star-formation
+        tracking data — 0 when stars are absent (DMO)."""
+        return _zero()
+
+
+class BoundSubhaloSlice(HaloSlice):
+    """``BoundSubhalo/*`` selection: particles bound to this subhalo."""
+
+    @lazy_property
+    def selection(self):
+        return self.bound_mask
+
+
+class SOSlice(HaloSlice):
+    """``SO/<X>/*`` selection: ALL particles inside the spherical
+    overdensity radius (centrals only; reference ``SO_properties.py:3627``).
+
+    ``target_density`` is the PHYSICAL threshold density (e.g. 200 x
+    critical); for fixed physical radii pass ``physical_radius`` instead.
+    """
+
+    def __init__(
+        self,
+        ctx: HaloContext,
+        parts: HaloParticles,
+        scalars: HaloScalars,
+        target_density: Optional[jnp.ndarray] = None,
+        physical_radius: Optional[jnp.ndarray] = None,
+    ):
+        super().__init__(ctx, parts, scalars)
+        self.target_density = target_density
+        self.physical_radius = physical_radius
+
+    @lazy_property
+    def _so_mass_valid(self):
+        """Particles contributing to the SO mass profile: types 0,1,4,5
+        (``SOAP/core/dataset_names.py`` ``ptypes_for_so_masses``) plus
+        weighted neutrinos."""
+        m = self.parts.valid
+        lo, hi = self.ctx.segment("PartType6")
+        if hi > lo:
+            k = self.parts.valid.shape[0]
+            row = jnp.arange(k, dtype=jnp.int32)
+            is_nu = (row >= lo) & (row < hi)
+            # neutrino masses are pre-multiplied by their weights at gather
+            m = m  # all types included; weights already applied
+            del is_nu
+        return m
+
+    @lazy_property
+    def _so_solution(self) -> so_ops.SOResult:
+        res = so_ops.so_radius_single(
+            self.radius,
+            self.parts.mass,
+            self._so_mass_valid,
+            self.target_density,
+            jnp.float32(self.ctx.nu_density),
+        )
+        self.add_flag(res.needs_bigger)
+        return res
+
+    @lazy_property
+    def r(self):
+        """The SO radius (``SORadius``)."""
+        if self.physical_radius is not None:
+            return self.physical_radius
+        return self._so_solution.radius
+
+    @lazy_property
+    def SO_mass(self):
+        if self.physical_radius is not None:
+            return so_ops.enclosed_mass_at_radius(
+                self.radius,
+                self.parts.mass,
+                self._so_mass_valid,
+                self.physical_radius,
+                jnp.float32(self.ctx.nu_density),
+            )
+        return self._so_solution.mass
+
+    @lazy_property
+    def exists(self):
+        return (self.r > 0) & (self.SO_mass > 0)
+
+    @lazy_property
+    def selection(self):
+        """All particles within the SO radius (``SO_properties.py:485``)."""
+        return self.parts.valid & (self.radius < self.r) & self.exists
+
+    @lazy_property
+    def Mtot(self):
+        """SO mass is defined by the density threshold crossing, not a
+        particle sum (``SO_properties.py:356-452``)."""
+        return self.SO_mass
+
+    # -- satellite / external fractions (``SO_properties.py:459-466,675-697``)
+
+    @lazy_property
+    def _bound_to_satellite(self):
+        p = self.parts
+        return (
+            self.selection
+            & (p.groupnr >= 0)
+            & (p.groupnr != self.scalars.index)
+            & (p.fofid == self.scalars.fof_id)
+        )
+
+    @lazy_property
+    def _bound_to_external(self):
+        p = self.parts
+        return (
+            self.selection
+            & (p.groupnr >= 0)
+            & (p.groupnr != self.scalars.index)
+            & (p.fofid != self.scalars.fof_id)
+        )
+
+    @lazy_property
+    def Mfrac_satellites(self):
+        m = red.masked_sum(self.parts.mass, self._bound_to_satellite)
+        return jnp.where(self.exists, m / jnp.maximum(self.SO_mass, 1e-37), 0.0)
+
+    @lazy_property
+    def Mfrac_external(self):
+        m = red.masked_sum(self.parts.mass, self._bound_to_external)
+        return jnp.where(self.exists, m / jnp.maximum(self.SO_mass, 1e-37), 0.0)
+
+    # -- concentration (``SO_properties.py:2725-2790``)
+
+    def _concentration(self, radius_arr):
+        """R1-statistic concentration with missed-mass correction."""
+        r_clipped = jnp.where(self.selection, radius_arr, 0.0)
+        R1 = jnp.sum(jnp.where(self.selection, self.parts.mass * r_clipped, 0.0))
+        missed = self.SO_mass - red.masked_sum(self.parts.mass, self.selection)
+        # uniform neutrino background contribution
+        R1 = R1 + jnp.pi * self.ctx.nu_density * self.r**4
+        missed = missed - self.ctx.nu_density * (4.0 / 3.0) * jnp.pi * self.r**3
+        R1 = R1 + missed * self.r
+        R1 = R1 / jnp.maximum(self.r * self.SO_mass, 1e-37)
+        # polynomial fit of log10(c) in log10(R1), Wang+23 style
+        poly = jnp.array([-79.71, -222.46, -250.14, -140.17, -43.59, -5.07])
+        x = jnp.log10(jnp.maximum(R1, 1e-10))
+        logc = jnp.polyval(poly, x)
+        logc = jnp.clip(logc, 0.0, 3.0)
+        n_sel = red.masked_count(self.selection)
+        ok = self.exists & (n_sel >= 10)
+        return jnp.where(ok, 10.0**logc, 0.0)
+
+    @lazy_property
+    def concentration_unsoft(self):
+        return self._concentration(self.radius)
+
+    @lazy_property
+    def concentration_soft(self):
+        return self._concentration(self.soft_radius)
+
+    @lazy_property
+    def spin_parameter(self):
+        """SO spin: lambda = |L| / (sqrt(2) M V R) with V = sqrt(G M / R)
+        at the SO radius."""
+        vel_rel = self.parts.vel - self.vcom[None, :]
+        L = kin.angular_momentum(self.parts.mass, self.parts.pos, vel_rel, self.selection)
+        Lnorm = jnp.sqrt(jnp.sum(L * L))
+        lam = kin.spin_parameter(Lnorm, self.SO_mass, self.r, self.ctx.G)
+        return jnp.where(self.exists, lam, 0.0)
+
+
+class ApertureSlice(HaloSlice):
+    """``ExclusiveSphere/<R>kpc`` (bound only) or ``InclusiveSphere/<R>kpc``
+    (all particles) within a fixed physical radius
+    (``aperture_properties.py:270-317``)."""
+
+    def __init__(
+        self,
+        ctx: HaloContext,
+        parts: HaloParticles,
+        scalars: HaloScalars,
+        aperture_radius: jnp.ndarray,  # physical internal units
+        inclusive: bool,
+    ):
+        super().__init__(ctx, parts, scalars)
+        self.aperture_radius = aperture_radius
+        self.inclusive = inclusive
+
+    @lazy_property
+    def selection(self):
+        inside = self.parts.valid & (self.radius < self.aperture_radius)
+        # aperture larger than the region read -> need a bigger region
+        # (``aperture_properties.py:4140-4143``)
+        self.add_flag(self.aperture_radius > self.scalars.search_radius)
+        if self.inclusive:
+            return inside
+        return inside & self.bound_mask
+
+
+class ProjectedApertureSlice(HaloSlice):
+    """``ProjectedAperture/<R>kpc/proj{x,y,z}``: bound particles within the
+    projected radius along one axis, no line-of-sight cut
+    (``projected_aperture_properties.py:98-143``)."""
+
+    def __init__(
+        self,
+        ctx: HaloContext,
+        parts: HaloParticles,
+        scalars: HaloScalars,
+        aperture_radius: jnp.ndarray,
+        axis: int,  # 0, 1, 2 = projection along x, y, z
+    ):
+        super().__init__(ctx, parts, scalars)
+        self.aperture_radius = aperture_radius
+        self.axis = axis
+        self._proj_dims = tuple(d for d in range(3) if d != axis)
+
+    @lazy_property
+    def proj_pos(self):
+        return self.parts.pos[:, self._proj_dims]
+
+    @lazy_property
+    def proj_radius(self):
+        return jnp.sqrt(jnp.sum(self.proj_pos * self.proj_pos, axis=1))
+
+    @lazy_property
+    def selection(self):
+        self.add_flag(self.aperture_radius > self.scalars.search_radius)
+        return self.bound_mask & (self.proj_radius < self.aperture_radius)
+
+    # projected half-mass radii use the projected radius
+    @lazy_property
+    def HalfMassRadiusTot(self):
+        return radii_ops.half_weight_radius(
+            self.proj_radius, self.parts.mass, self.Mtot, self.selection
+        )
+
+    @lazy_property
+    def HalfMassRadiusGas(self):
+        return radii_ops.half_weight_radius(
+            self.proj_radius, self.parts.mass, self.Mgas, self.mask_gas
+        )
+
+    @lazy_property
+    def HalfMassRadiusDM(self):
+        return radii_ops.half_weight_radius(
+            self.proj_radius, self.parts.mass, self.Mdm, self.mask_dm
+        )
+
+    @lazy_property
+    def HalfMassRadiusStar(self):
+        return radii_ops.half_weight_radius(
+            self.proj_radius, self.parts.mass, self.Mstar, self.mask_star
+        )
+
+    def _proj_veldisp(self, mask, vcom_species):
+        """1D velocity dispersion along the projection axis
+        (``projected_aperture_properties.py`` proj_veldisp_*)."""
+        dv = self.parts.vel[:, self.axis] - vcom_species[self.axis]
+        m = jnp.where(mask, self.parts.mass, 0.0)
+        mtot = jnp.sum(m)
+        var = jnp.sum(m * dv * dv) / jnp.maximum(mtot, 1e-37)
+        return jnp.where(mtot > 0, jnp.sqrt(var), 0.0)
+
+    @lazy_property
+    def proj_veldisp_gas(self):
+        return self._proj_veldisp(self.mask_gas, self.vcom_gas)
+
+    @lazy_property
+    def proj_veldisp_dm(self):
+        return self._proj_veldisp(self.mask_dm, self.vcom_dm)
+
+    @lazy_property
+    def proj_veldisp_star(self):
+        return self._proj_veldisp(self.mask_star, self.vcom_star)
+
+
+def compute_properties(slice_obj: HaloSlice, keys) -> Dict[str, jnp.ndarray]:
+    """Evaluate the requested property-table keys on one halo slice.
+
+    Returns raw (unit-free) values; adds the ``needs_bigger`` flag under
+    the reserved key ``__needs_bigger__``.
+    """
+    out = {}
+    for key in keys:
+        out[key] = getattr(slice_obj, key)
+    out["__needs_bigger__"] = slice_obj.needs_bigger
+    return out

@@ -1,0 +1,195 @@
+"""Device-resident chunk data: staging, spatial index, candidate counting.
+
+TPU-native replacement for the reference's per-node shared-memory particle
+store + ``SharedMesh`` (``SOAP/core/chunk_tasks.py:164-304``,
+``SOAP/core/shared_mesh.py``): one copy of the chunk's particles lives in
+device HBM, cell-sorted per particle type, and each halo's candidate set
+is a union of contiguous row ranges.
+
+Candidate counting uses a 3D summed-area table over per-cell counts, so
+the exact number of candidate rows for every halo's search AABB is 64
+gathers per halo (8 periodic sub-boxes x 8 corners) — this replaces the
+reference's dynamic mesh queries for the purpose of sizing the padded
+gather buckets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soap_tpu.ops import geometry
+from soap_tpu.ops.grid import GridSpec, build_grid, choose_resolution
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PTypeChunk:
+    """One particle type's cell-sorted device arrays."""
+
+    spec: GridSpec  # static
+    n: int  # static: real particle count
+    pos_hi: jnp.ndarray  # (N, 3) f32 comoving
+    pos_lo: jnp.ndarray  # (N, 3) f32
+    offsets: jnp.ndarray  # (C,) i32 first row of each cell
+    counts: jnp.ndarray  # (C,) i32
+    sat: jnp.ndarray  # (d0+1, d1+1, d2+1) i32 summed-area table
+    fields: Dict[str, jnp.ndarray]  # cell-sorted per-particle data
+
+    def tree_flatten(self):
+        children = (
+            self.pos_hi,
+            self.pos_lo,
+            self.offsets,
+            self.counts,
+            self.sat,
+            self.fields,
+        )
+        return children, (self.spec, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        spec, n = aux
+        pos_hi, pos_lo, offsets, counts, sat, fields = children
+        return cls(spec, n, pos_hi, pos_lo, offsets, counts, sat, fields)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ChunkData:
+    """All particle types of one chunk, device-resident."""
+
+    boxsize: float  # static, comoving internal units
+    ptypes: Dict[str, PTypeChunk]
+
+    def tree_flatten(self):
+        names = tuple(sorted(self.ptypes))
+        return tuple(self.ptypes[k] for k in names), (self.boxsize, names)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        boxsize, names = aux
+        return cls(boxsize, dict(zip(names, children)))
+
+
+def _summed_area_table(counts: jnp.ndarray, dims) -> jnp.ndarray:
+    """3D inclusive prefix sum with a leading zero plane per axis.
+
+    ``sat[i, j, k]`` = number of particles in cells [0:i, 0:j, 0:k].
+    """
+    c = counts.reshape(dims).astype(jnp.int32)
+    c = jnp.cumsum(c, axis=0)
+    c = jnp.cumsum(c, axis=1)
+    c = jnp.cumsum(c, axis=2)
+    return jnp.pad(c, ((1, 0), (1, 0), (1, 0)))
+
+
+def stage_ptype(
+    pos: np.ndarray,  # (N, 3) float64 comoving, already inside [0, box)
+    fields: Dict[str, np.ndarray],
+    boxsize: float,
+    resolution: Optional[int] = None,
+) -> PTypeChunk:
+    """Host->device staging of one particle type.
+
+    The grid always covers the full periodic box (chunks read a masked
+    subset of cells but halo queries still wrap around the box edges).
+    """
+    n = len(pos)
+    if resolution is None:
+        resolution = choose_resolution(n)
+    spec = GridSpec(
+        origin=(0.0, 0.0, 0.0),
+        cell_size=(
+            boxsize / resolution,
+            boxsize / resolution,
+            boxsize / resolution,
+        ),
+        dims=(resolution, resolution, resolution),
+        periodic=True,
+    )
+    hi, lo = geometry.split_hi_lo(pos)
+    pos_hi = jnp.asarray(hi)
+    pos_lo = jnp.asarray(lo)
+    order, offsets, counts = build_grid(spec, pos_hi)
+    sat = _summed_area_table(counts, spec.dims)
+    dev_fields = {}
+    for name, arr in fields.items():
+        dev_fields[name] = jnp.asarray(np.asarray(arr))[order]
+    return PTypeChunk(
+        spec=spec,
+        n=n,
+        pos_hi=pos_hi[order],
+        pos_lo=pos_lo[order],
+        offsets=offsets,
+        counts=counts,
+        sat=sat,
+        fields=dev_fields,
+    )
+
+
+def _axis_intervals(lo, hi, d):
+    """Wrapped [lo, hi] cell-index span -> two half-open index intervals.
+
+    Each interval is (start, stop) with 0 <= start <= stop <= d; the
+    second is (0, 0) when no wrap occurs.  ``lo``/``hi`` are unwrapped
+    (may be negative or >= d); the span never exceeds the axis length.
+    """
+    full = (hi - lo + 1) >= d
+    lo_w = jnp.mod(lo, d)
+    hi_w = jnp.mod(hi, d)
+    wraps = (~full) & (hi_w < lo_w)
+    a0 = jnp.where(full, 0, lo_w)
+    b0 = jnp.where(full, d, jnp.where(wraps, d, hi_w + 1))
+    a1 = jnp.zeros_like(lo_w)
+    b1 = jnp.where(wraps, hi_w + 1, 0)
+    return (a0, b0), (a1, b1)
+
+
+def count_candidates(
+    chunk_pt: PTypeChunk,
+    centre_hi: jnp.ndarray,  # (H, 3) comoving f32
+    radius: jnp.ndarray,  # (H,) comoving f32 search radii
+) -> jnp.ndarray:
+    """Exact candidate-row count per halo via the summed-area table."""
+    spec = chunk_pt.spec
+    cell = jnp.asarray(spec.cell_size, dtype=jnp.float32)
+    d = jnp.asarray(spec.dims, dtype=jnp.int32)
+    lo = jnp.floor((centre_hi - radius[:, None]) / cell).astype(jnp.int32)
+    hi = jnp.floor((centre_hi + radius[:, None]) / cell).astype(jnp.int32)
+
+    sat = chunk_pt.sat
+
+    def box_count(ix, iy, iz):
+        (a, b) = ix
+        (c, e) = iy
+        (f, g) = iz
+        s = (
+            sat[b, e, g]
+            - sat[a, e, g]
+            - sat[b, c, g]
+            - sat[b, e, f]
+            + sat[a, c, g]
+            + sat[a, e, f]
+            + sat[b, c, f]
+            - sat[a, c, f]
+        )
+        return s
+
+    total = jnp.zeros(centre_hi.shape[0], dtype=jnp.int32)
+    ivx = _axis_intervals(lo[:, 0], hi[:, 0], d[0])
+    ivy = _axis_intervals(lo[:, 1], hi[:, 1], d[1])
+    ivz = _axis_intervals(lo[:, 2], hi[:, 2], d[2])
+    for ix in ivx:
+        for iy in ivy:
+            for iz in ivz:
+                total = total + box_count(ix, iy, iz)
+    return total
+
+
+count_candidates_jit = jax.jit(count_candidates)

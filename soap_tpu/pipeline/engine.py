@@ -1,0 +1,442 @@
+"""Halo-batch processing engine: the TPU replacement for SOAP's per-halo
+dynamic work claiming.
+
+The reference's inner loop claims one halo at a time per MPI rank with an
+RMA atomic counter and retries halos whose search region proved too small
+(``SOAP/core/halo_tasks.py:276-407``).  Here, halos are processed in
+size-bucketed batches:
+
+ 1. a counting pre-pass computes the EXACT number of candidate particle
+    rows for every halo (summed-area table over grid-cell counts);
+ 2. halos are bucketed by candidate count into padded-capacity buckets
+    (powers of two), and each bucket is processed by ONE jitted program:
+    ragged-range expansion -> padded gather -> vmapped lazy property DAG;
+ 3. halos flagged ``needs_bigger`` (SO threshold not crossed inside the
+    region, aperture/ellipsoid exceeding the region — the batched
+    analogues of ``SearchRadiusTooSmallError``) get their radius grown
+    x1.5 (``READ_RADIUS_FACTOR``, ``halo_tasks.py:166-187``) and are
+    re-bucketed, until done or the hard 20 Mpc cap
+    (``halo_tasks.py:19-20``).
+
+Compiled programs are cached per (capacity, cube, batch-size, spec-set)
+signature; capacities and batch sizes are quantized so a production run
+compiles a handful of programs total.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soap_tpu.models.context import HaloContext
+from soap_tpu.models.halo_slice import (
+    ApertureSlice,
+    BoundSubhaloSlice,
+    HaloParticles,
+    HaloScalars,
+    ProjectedApertureSlice,
+    SOSlice,
+    compute_properties,
+)
+from soap_tpu.ops import geometry
+from soap_tpu.ops.gather import expand_ranges, gather_rows
+from soap_tpu.ops.grid import halo_cell_ranges
+from soap_tpu.pipeline.chunk_data import ChunkData, count_candidates_jit
+
+SEARCH_RADIUS_FACTOR = 1.2  # reference halo_tasks.py:14
+READ_RADIUS_FACTOR = 1.5  # reference halo_tasks.py:16
+MAX_SEARCH_RADIUS = 20.0  # Mpc physical; reference halo_tasks.py:19-20
+
+
+@dataclass(frozen=True)
+class HaloTypeSpec:
+    """Static description of one halo-type calculation instance.
+
+    Mirrors the reference's halo_prop_list entries
+    (``compute_halo_properties.py:224-511``): one spec per output group.
+    """
+
+    kind: str  # 'bound' | 'SO' | 'aperture' | 'projected'
+    group: str  # output group name, e.g. 'SO/200_crit'
+    keys: Tuple[str, ...]  # property-table keys to compute
+    # SO options
+    so_type: Optional[str] = None  # 'crit' | 'mean' | 'BN98' | 'physical'
+    so_multiple: Optional[float] = None  # e.g. 200.0 (or Mpc for physical)
+    radius_multiple_of: Optional[str] = None  # parent SO group name
+    radius_multiple: Optional[float] = None  # e.g. 5.0
+    core_excision_fraction: Optional[float] = None
+    # aperture options
+    aperture_radius_mpc: Optional[float] = None  # physical
+    inclusive: bool = False
+    # projected options
+    axis: Optional[int] = None
+    # halo filter: 'basic' computes for every halo; SO specs additionally
+    # restrict to centrals (reference SO_properties.py:3627)
+    centrals_only: bool = False
+
+    def target_density(self, ctx: HaloContext) -> Optional[float]:
+        if self.kind != "SO" or self.so_type in (None, "physical"):
+            return None
+        if self.so_type == "crit":
+            return self.so_multiple * ctx.critical_density
+        if self.so_type == "mean":
+            return self.so_multiple * ctx.mean_density
+        if self.so_type == "BN98":
+            return self.so_multiple * ctx.critical_density
+        raise ValueError(self.so_type)
+
+
+def _make_slice(spec, ctx, parts, scalars, prior, dens):
+    if spec.kind == "bound":
+        return BoundSubhaloSlice(ctx, parts, scalars)
+    if spec.kind == "SO":
+        if spec.radius_multiple_of is not None:
+            parent_r = prior[spec.radius_multiple_of]["r"]
+            return SOSlice(
+                ctx, parts, scalars, physical_radius=spec.radius_multiple * parent_r
+            )
+        if spec.so_type == "physical":
+            return SOSlice(
+                ctx,
+                parts,
+                scalars,
+                physical_radius=jnp.float32(spec.so_multiple),
+            )
+        return SOSlice(ctx, parts, scalars, target_density=jnp.float32(dens))
+    if spec.kind == "aperture":
+        return ApertureSlice(
+            ctx,
+            parts,
+            scalars,
+            jnp.float32(spec.aperture_radius_mpc),
+            spec.inclusive,
+        )
+    if spec.kind == "projected":
+        return ProjectedApertureSlice(
+            ctx, parts, scalars, jnp.float32(spec.aperture_radius_mpc), spec.axis
+        )
+    raise ValueError(spec.kind)
+
+
+def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities):
+    """Single-halo property evaluation over all specs (vmapped later)."""
+
+    def fn(parts: HaloParticles, scalars: HaloScalars):
+        out = {}
+        prior = {}
+        for spec, dens in zip(specs, densities):
+            s = _make_slice(spec, ctx, parts, scalars, prior, dens)
+            res = compute_properties(s, spec.keys)
+            prior[spec.group] = res
+            out[spec.group] = res
+        return out
+
+    return fn
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ctx", "specs", "cubes", "boxsize"),
+)
+def _process_bucket(
+    ctx: HaloContext,
+    specs: Tuple[HaloTypeSpec, ...],
+    cubes: Tuple[int, ...],  # per-ptype search-cube sizes (static)
+    boxsize: float,
+    chunk: ChunkData,
+    centre_hi: jnp.ndarray,  # (B, 3) comoving
+    centre_lo: jnp.ndarray,  # (B, 3)
+    radius_com: jnp.ndarray,  # (B,) comoving gather radius
+    index: jnp.ndarray,  # (B,) i64
+    search_radius_phys: jnp.ndarray,  # (B,) physical
+    is_central: jnp.ndarray,  # (B,) bool
+    fof_id: jnp.ndarray,  # (B,) i64
+):
+    """One padded bucket: gather + all property calculations."""
+    a = jnp.float32(ctx.a)
+
+    parts_per_type = []
+    overflow = jnp.zeros(centre_hi.shape[0], dtype=bool)
+    fields_concat: Dict[str, jnp.ndarray] = {}
+    for ptype, cap, cube in zip(ctx.ptypes, ctx.capacities, cubes):
+        pt = chunk.ptypes[ptype]
+
+        def one(c_hi, r):
+            starts, counts = halo_cell_ranges(
+                pt.spec, pt.offsets, pt.counts, c_hi, r, cube
+            )
+            return expand_ranges(starts, counts, cap)
+
+        idx, valid, total = jax.vmap(one)(centre_hi, radius_com)
+        overflow = overflow | (total > cap)
+
+        g_pos_hi = gather_rows(pt.pos_hi, idx)
+        g_pos_lo = gather_rows(pt.pos_lo, idx)
+        # halo-relative physical positions
+        rel = jax.vmap(
+            lambda ph, pl, ch, cl: geometry.periodic_offset(ph, pl, ch, cl, boxsize)
+        )(g_pos_hi, g_pos_lo, centre_hi, centre_lo) * a
+
+        mass = gather_rows(pt.fields["Masses"], idx)
+        if ptype == "PartType6" and "Weights" in pt.fields:
+            mass = mass * gather_rows(pt.fields["Weights"], idx)
+        vel = gather_rows(pt.fields["Velocities"], idx)
+        groupnr = (
+            gather_rows(pt.fields["GroupNr_bound"], idx)
+            if "GroupNr_bound" in pt.fields
+            else jnp.full(idx.shape, -1, dtype=jnp.int64)
+        )
+        fofid = (
+            gather_rows(pt.fields["FOFGroupIDs"], idx)
+            if "FOFGroupIDs" in pt.fields
+            else jnp.full(idx.shape, -1, dtype=jnp.int64)
+        )
+        ti = int(ptype[-1])
+        soft = jnp.full(idx.shape, jnp.float32(ctx.softening[ctx.ptypes.index(ptype)]))
+        parts_per_type.append(
+            dict(
+                valid=valid,
+                mass=jnp.where(valid, mass, 0.0),
+                pos=jnp.where(valid[..., None], rel, 0.0),
+                vel=jnp.where(valid[..., None], vel, 0.0),
+                groupnr=jnp.where(valid, groupnr, -1),
+                fofid=jnp.where(valid, fofid, -1),
+                softening=soft,
+            )
+        )
+        for fname, arr in pt.fields.items():
+            if fname in ("Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs"):
+                continue
+            fields_concat[f"{ptype}/{fname}"] = gather_rows(arr, idx)
+
+    def cat(key):
+        return jnp.concatenate([p[key] for p in parts_per_type], axis=1)
+
+    parts = HaloParticles(
+        valid=cat("valid"),
+        mass=cat("mass"),
+        pos=cat("pos"),
+        vel=cat("vel"),
+        groupnr=cat("groupnr"),
+        fofid=cat("fofid"),
+        softening=cat("softening"),
+        fields=fields_concat,
+    )
+    scalars = HaloScalars(
+        index=index,
+        centre=centre_hi.astype(jnp.float32) + centre_lo,
+        search_radius=search_radius_phys,
+        is_central=is_central,
+        fof_id=fof_id,
+    )
+
+    densities = tuple(spec.target_density(ctx) for spec in specs)
+    fn = _halo_fn(ctx, specs, densities)
+    out = jax.vmap(fn)(parts, scalars)
+
+    # zero out and re-flag halos whose candidate buffer overflowed
+    for group in out:
+        nb = out[group]["__needs_bigger__"] & (~overflow)
+        out[group]["__needs_bigger__"] = nb
+    # SO for satellites: computed but masked at assembly (centrals_only)
+    return out, overflow
+
+
+def _next_pow2(n: int, floor: int = 256) -> int:
+    return max(floor, 1 << int(math.ceil(math.log2(max(n, 1)))))
+
+
+#: target padded rows per bucket invocation (B * K); keeps peak HBM for
+#: gathered slices around a few hundred MB.
+TARGET_ROWS = 4 * 1024 * 1024
+MAX_BATCH = 2048
+
+
+@dataclass
+class EngineStats:
+    n_bucket_calls: int = 0
+    n_retries: int = 0
+    n_overflow: int = 0
+    halos_done: int = 0
+
+
+class HaloEngine:
+    """Orchestrates bucketed processing of all halos in a chunk."""
+
+    def __init__(
+        self,
+        ctx_base: HaloContext,
+        chunk: ChunkData,
+        specs: Sequence[HaloTypeSpec],
+    ):
+        self.ctx_base = ctx_base
+        self.chunk = chunk
+        self.specs = tuple(specs)
+        self.stats = EngineStats()
+
+    def _cube_for(self, ptype: str, radius_com: float) -> int:
+        pt = self.chunk.ptypes[ptype]
+        cell = pt.spec.cell_size[0]
+        need = int(math.floor(2.0 * radius_com / cell)) + 2
+        need = min(need, pt.spec.dims[0])
+        # quantize to limit distinct compilations
+        for q in (2, 3, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 192, 256):
+            if q >= need:
+                return min(q, pt.spec.dims[0])
+        return pt.spec.dims[0]
+
+    def process(
+        self,
+        centres: np.ndarray,  # (H, 3) float64 comoving
+        search_radius_phys: np.ndarray,  # (H,) physical initial radii
+        index: np.ndarray,  # (H,) i64 catalogue indices
+        is_central: np.ndarray,  # (H,) bool
+        fof_id: np.ndarray,  # (H,) i64
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Process all halos; returns {group: {key: (H, ...) array}}."""
+        H = len(index)
+        ctx0 = self.ctx_base
+        a = ctx0.a
+        boxsize = self.chunk.boxsize
+
+        # result buffers filled incrementally
+        results: Dict[str, Dict[str, np.ndarray]] = {}
+
+        radius_phys = search_radius_phys.astype(np.float64).copy()
+        pending = np.arange(H)
+
+        c_hi, c_lo = geometry.split_hi_lo(centres)
+
+        while len(pending):
+            radius_com = (radius_phys[pending] / a).astype(np.float32)
+            # exact candidate totals per ptype
+            totals = np.zeros(len(pending), dtype=np.int64)
+            per_type_counts = {}
+            for ptype in ctx0.ptypes:
+                cnt = np.asarray(
+                    count_candidates_jit(
+                        self.chunk.ptypes[ptype],
+                        jnp.asarray(c_hi[pending]),
+                        jnp.asarray(radius_com),
+                    )
+                )
+                per_type_counts[ptype] = cnt
+                totals = totals + cnt
+
+            order = np.argsort(totals)
+            next_pending: List[int] = []
+
+            pos = 0
+            while pos < len(order):
+                # build one bucket: contiguous range of the sorted halos
+                cap_probe = int(totals[order[pos]])
+                cap_total = _next_pow2(cap_probe + 8)
+                b_max = max(1, min(MAX_BATCH, TARGET_ROWS // cap_total))
+                sel = order[pos : pos + b_max]
+                # pad only to the next power of two of the real count — a
+                # small fixed set of (B, K) shapes keeps the jit cache hot
+                # without blowing up padded work
+                B = _next_pow2(len(sel), 8)
+                # capacity per ptype from the bucket's maxima
+                caps = []
+                for ptype in ctx0.ptypes:
+                    caps.append(
+                        _next_pow2(int(per_type_counts[ptype][sel].max()) + 8, 128)
+                    )
+                pos += len(sel)
+
+                bucket_global = pending[sel]
+                rcom = radius_com[sel]
+                cubes = tuple(
+                    self._cube_for(pt, float(rcom.max())) for pt in ctx0.ptypes
+                )
+                ctx = HaloContext(
+                    a=ctx0.a,
+                    z=ctx0.z,
+                    G=ctx0.G,
+                    boxsize=ctx0.boxsize,
+                    critical_density=ctx0.critical_density,
+                    mean_density=ctx0.mean_density,
+                    nu_density=ctx0.nu_density,
+                    softening=ctx0.softening,
+                    ptypes=ctx0.ptypes,
+                    capacities=tuple(caps),
+                    dmo=ctx0.dmo,
+                )
+
+                # pad the batch to B
+                nb = len(sel)
+                pad = B - nb
+
+                def padded(x, fill=0):
+                    x = np.asarray(x)
+                    if pad == 0:
+                        return x
+                    return np.concatenate(
+                        [x, np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)]
+                    )
+
+                out, overflow = _process_bucket(
+                    ctx,
+                    self.specs,
+                    cubes,
+                    float(boxsize),
+                    self.chunk,
+                    jnp.asarray(padded(c_hi[bucket_global])),
+                    jnp.asarray(padded(c_lo[bucket_global])),
+                    jnp.asarray(padded(rcom, 1e-3)),
+                    jnp.asarray(padded(index[bucket_global], -1)),
+                    jnp.asarray(
+                        padded(radius_phys[bucket_global].astype(np.float32), 1e-3)
+                    ),
+                    jnp.asarray(padded(is_central[bucket_global], False)),
+                    jnp.asarray(padded(fof_id[bucket_global], -1)),
+                )
+                self.stats.n_bucket_calls += 1
+
+                overflow_h = np.asarray(overflow)[:nb]
+                needs = np.zeros(nb, dtype=bool)
+                for spec in self.specs:
+                    g = out[spec.group]
+                    nb_flag = np.asarray(g["__needs_bigger__"])[:nb]
+                    needs |= nb_flag
+                    buf = results.setdefault(spec.group, {})
+                    for key in spec.keys:
+                        arr = np.asarray(g[key])[:nb]
+                        if key not in buf:
+                            buf[key] = np.zeros((H,) + arr.shape[1:], arr.dtype)
+                        if spec.centrals_only:
+                            arr = np.where(
+                                _expand_mask(
+                                    is_central[bucket_global], arr.shape
+                                ),
+                                arr,
+                                0,
+                            )
+                        buf[key][bucket_global] = arr
+
+                retry = overflow_h | (
+                    needs & (radius_phys[bucket_global] < MAX_SEARCH_RADIUS)
+                )
+                self.stats.n_overflow += int(overflow_h.sum())
+                if retry.any():
+                    grown = bucket_global[retry]
+                    radius_phys[grown] *= READ_RADIUS_FACTOR
+                    next_pending.extend(grown.tolist())
+                    self.stats.n_retries += len(grown)
+
+            pending = np.array(sorted(next_pending), dtype=np.int64)
+
+        self.stats.halos_done = H
+        return results
+
+
+def _expand_mask(mask_1d: np.ndarray, shape) -> np.ndarray:
+    m = np.asarray(mask_1d, dtype=bool)
+    return m.reshape((-1,) + (1,) * (len(shape) - 1))
