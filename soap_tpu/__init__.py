@@ -8,4 +8,12 @@ cell-sorted grids, padded ragged gathers and vmapped fused reduction
 kernels over batches of halos, sharded across a TPU mesh with pjit.
 """
 
+import jax as _jax
+
+# 64-bit mode is required for correctness, not convenience: particle IDs
+# are uint64 (>2^32 in production boxes) and the membership join would
+# silently truncate them under JAX's default x32 mode.  Float arrays are
+# unaffected — dtypes are preserved, and all device compute is f32.
+_jax.config.update("jax_enable_x64", True)
+
 __version__ = "0.1.0"

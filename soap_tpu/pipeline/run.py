@@ -1,0 +1,223 @@
+"""End-to-end halo property computation: the ``compute_halo_properties``
+equivalent (reference ``SOAP/compute_halo_properties.py:68-695``).
+
+Single-host flow (multi-chunk/multi-host orchestration lives in
+``soap_tpu/parallel``):
+
+ 1. read snapshot metadata + membership extra input;
+ 2. read the halo-finder catalogue, apply filters;
+ 3. for each chunk: mask cells, read particles, stage to device,
+    run the bucketed halo engine;
+ 4. assemble InputHalos passthrough, spatially sort, write catalogue.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from soap_tpu.core.params import ParameterFile
+from soap_tpu.io import swift_snapshot
+from soap_tpu.io.catalogue_writer import spatial_sort_order, write_catalogue
+from soap_tpu.io.halo_catalogue import CATALOGUE_READERS, HaloCatalogue
+from soap_tpu.models.context import HaloContext
+from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
+from soap_tpu.pipeline.engine import HaloEngine, HaloTypeSpec
+from soap_tpu.pipeline.specs import build_specs
+
+#: particle datasets every run needs per ptype (DMO tier);
+#: hydro tiers extend this per-spec from the property table's
+#: ``particle_properties`` lists.
+BASE_FIELDS = ["Coordinates", "Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs"]
+
+
+def _git_hash() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=__file__.rsplit("/", 2)[0],
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
+
+def make_context(
+    meta: swift_snapshot.SnapshotMetadata,
+    ptypes: Sequence[str],
+    dmo: bool,
+) -> HaloContext:
+    """HaloContext from snapshot metadata (physical snapshot units)."""
+    # Newton's G in snapshot units from the CGS constant
+    ul = meta.snap_units_cgs["Unit length in cgs (U_L)"]
+    um = meta.snap_units_cgs["Unit mass in cgs (U_M)"]
+    ut = meta.snap_units_cgs["Unit time in cgs (U_t)"]
+    G_snap = meta.constants_cgs["newton_G"] * um * ut**2 / ul**3
+    soft = []
+    for pt in ptypes:
+        if pt == "PartType1":
+            soft.append(meta.dark_matter_softening)
+        elif pt == "PartType6":
+            soft.append(meta.nu_softening)
+        else:
+            soft.append(meta.baryon_softening)
+    # mean neutrino background density (physical): Omega_nu_0 * rho_crit0 / a^3
+    nu_density = 0.0
+    omega_nu = float(meta.cosmology_attrs.get("Omega_nu_0", 0.0))
+    if omega_nu:
+        rho_crit0 = meta.critical_density / float(
+            meta.cosmology.E(np.array(meta.a)) ** 2
+        )
+        nu_density = omega_nu * rho_crit0 / meta.a**3
+    return HaloContext(
+        a=meta.a,
+        z=meta.z,
+        G=G_snap,
+        boxsize=meta.boxsize,
+        critical_density=meta.critical_density,
+        mean_density=meta.mean_density,
+        nu_density=nu_density,
+        softening=tuple(soft),
+        ptypes=tuple(ptypes),
+        capacities=tuple(0 for _ in ptypes),
+        dmo=dmo,
+    )
+
+
+@dataclass
+class RunResult:
+    results: Dict[str, Dict[str, np.ndarray]]
+    catalogue: HaloCatalogue
+    order: np.ndarray
+    stats: object
+    output_path: Optional[str]
+
+
+def compute_halo_properties(
+    snapshot_file: str,
+    membership_file: str,
+    halo_basename: str,
+    output_file: Optional[str],
+    halo_format: str = "HBTplus",
+    parameter_file: Optional[ParameterFile] = None,
+    dmo: bool = True,
+    centrals_only: bool = False,
+    max_halos: int = 0,
+    halo_indices: Optional[np.ndarray] = None,
+    min_read_radius_mpc: float = 5.0e-3,
+    specs: Optional[List[HaloTypeSpec]] = None,
+    verbose: bool = True,
+) -> RunResult:
+    """Run the full pipeline on one snapshot (single chunk).
+
+    ``halo_indices`` / ``centrals_only`` / ``max_halos`` mirror the
+    reference's debugging flags (``soap_args.py:44-106``,
+    ``halo_centres.py:109-134``).
+    """
+    t0 = time.time()
+    meta = swift_snapshot.SnapshotMetadata(
+        snapshot_file, [membership_file] if membership_file else []
+    )
+
+    cat = CATALOGUE_READERS[halo_format](halo_basename, h=meta.h)
+    if halo_indices is not None:
+        keep = np.isin(cat.index, np.asarray(halo_indices))
+        cat = cat.select(keep)
+    if centrals_only:
+        cat = cat.select(cat.is_central)
+    if max_halos and cat.nr_halos > max_halos:
+        keep = np.zeros(cat.nr_halos, bool)
+        keep[:max_halos] = True
+        cat = cat.select(keep)
+
+    # search radius floor (reference halo_centres.py:166-227 applies
+    # per-type floors; physical radius here)
+    search_radius_phys = np.maximum(
+        cat.search_radius * meta.a, min_read_radius_mpc
+    )
+
+    ptypes = [pt for pt in meta.ptypes if pt in meta.datasets and meta.datasets[pt]]
+    if dmo:
+        ptypes = [pt for pt in ptypes if pt in ("PartType1", "PartType6")]
+    ctx = make_context(meta, ptypes, dmo)
+
+    if specs is None:
+        specs = build_specs(parameter_file, dmo, bn98_value=meta.virBN98)
+
+    # --- single chunk: read everything the halos need ---
+    mask = meta.mask_cells_for_spheres(
+        np.mod(cat.cofp, meta.boxsize),
+        cat.search_radius * 4.0 + 0.5 * float(np.max(meta.cell_size)),
+    )
+    data = swift_snapshot.read_masked_cells(
+        meta, mask, {pt: [f for f in BASE_FIELDS if f in meta.datasets[pt]] for pt in ptypes}
+    )
+    if verbose:
+        n_read = sum(len(d["Coordinates"]) for d in data.values())
+        print(
+            f"[{time.time()-t0:6.1f}s] read {n_read} particles "
+            f"({int(mask.sum())}/{len(mask)} cells)"
+        )
+
+    chunk_ptypes = {}
+    for pt in ptypes:
+        fields = {
+            name: arr
+            for name, arr in data[pt].items()
+            if name not in ("Coordinates", "__cells__")
+        }
+        chunk_ptypes[pt] = stage_ptype(
+            np.mod(data[pt]["Coordinates"], meta.boxsize), fields, meta.boxsize
+        )
+    chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
+
+    engine = HaloEngine(ctx, chunk, specs)
+    results = engine.process(
+        centres=cat.cofp,
+        search_radius_phys=search_radius_phys,
+        index=cat.index,
+        is_central=cat.is_central.astype(bool),
+        fof_id=cat.fof_id,
+    )
+    if verbose:
+        s = engine.stats
+        print(
+            f"[{time.time()-t0:6.1f}s] processed {s.halos_done} halos in "
+            f"{s.n_bucket_calls} bucket calls ({s.n_retries} retries, "
+            f"{s.n_overflow} overflows)"
+        )
+
+    order = spatial_sort_order(
+        cat.cofp, cat.index, meta.boxsize, int(meta.dimension[0])
+    )
+
+    input_halos = {
+        "cofp": cat.cofp,
+        "index": cat.index,
+        "is_central": cat.is_central.astype(np.int64),
+        "nr_bound_part": cat.nr_bound_part,
+        **cat.passthrough,
+    }
+
+    if output_file:
+        write_catalogue(
+            output_file,
+            meta,
+            meta.units,
+            results,
+            input_halos,
+            order,
+            git_hash=_git_hash(),
+        )
+        if verbose:
+            print(f"[{time.time()-t0:6.1f}s] wrote {output_file}")
+
+    return RunResult(results, cat, order, engine.stats, output_file)

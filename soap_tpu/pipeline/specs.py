@@ -1,0 +1,186 @@
+"""Build the halo-type calculation list from a parameter file.
+
+Mirrors the reference's construction of ``halo_prop_list``
+(``SOAP/compute_halo_properties.py:224-511``): SubhaloProperties first
+(category filters depend on its particle counts), then SO variations
+(plain before radius-multiples), 3D apertures sorted by radius, projected
+apertures.  Default variation sets match the reference defaults
+(``compute_halo_properties.py:249-262,317-337,442-450``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from soap_tpu.core.halo_types import implemented_keys_for
+from soap_tpu.core.params import ParameterFile
+from soap_tpu.pipeline.engine import HaloTypeSpec
+
+DEFAULT_SO_VARIATIONS = {
+    "200_mean": {"value": 200.0, "type": "mean"},
+    "50_crit": {"value": 50.0, "type": "crit"},
+    "100_crit": {"value": 100.0, "type": "crit"},
+    "200_crit": {"value": 200.0, "type": "crit"},
+    "500_crit": {"value": 500.0, "type": "crit"},
+    "1000_crit": {"value": 1000.0, "type": "crit"},
+    "2500_crit": {"value": 2500.0, "type": "crit"},
+    "BN98": {"value": 0.0, "type": "BN98"},
+    "5xR500_crit": {"value": 500.0, "type": "crit", "radius_multiple": 5.0},
+}
+
+DEFAULT_APERTURE_VARIATIONS = {
+    f"{kind}_{r}_kpc": {"radius_in_kpc": float(r), "inclusive": kind == "inclusive"}
+    for kind in ("inclusive", "exclusive")
+    for r in (10, 30, 50, 100, 300, 500, 1000, 3000)
+}
+
+DEFAULT_PROJECTED_VARIATIONS = {
+    f"{r}_kpc": {"radius_in_kpc": float(r)} for r in (10, 30, 50, 100)
+}
+
+
+def _so_group_name(name: str, cfg: Dict) -> str:
+    return f"SO/{name}"
+
+
+def build_specs(
+    params: Optional[ParameterFile],
+    dmo: bool,
+    bn98_value: float,
+    subhalo: bool = True,
+    so: bool = True,
+    apertures: bool = True,
+    projected: bool = True,
+) -> List[HaloTypeSpec]:
+    """Assemble the ordered HaloTypeSpec list."""
+    specs: List[HaloTypeSpec] = []
+
+    if subhalo:
+        specs.append(
+            HaloTypeSpec(
+                kind="bound",
+                group="BoundSubhalo",
+                keys=implemented_keys_for("BoundSubhalo", dmo),
+            )
+        )
+
+    if so:
+        variations = (
+            params.get_halo_type_variations("SOProperties", DEFAULT_SO_VARIATIONS)
+            if params
+            else dict(DEFAULT_SO_VARIATIONS)
+        )
+        so_keys = implemented_keys_for("SO", dmo)
+        plain = {
+            n: c for n, c in variations.items() if not c.get("radius_multiple")
+        }
+        multiples = {
+            n: c for n, c in variations.items() if c.get("radius_multiple")
+        }
+        for name, cfg in plain.items():
+            so_type = cfg["type"]
+            value = float(cfg.get("value", 0.0))
+            if so_type == "BN98":
+                value = bn98_value
+            if "radius_in_kpc" in cfg:
+                specs.append(
+                    HaloTypeSpec(
+                        kind="SO",
+                        group=_so_group_name(name, cfg),
+                        keys=so_keys,
+                        so_type="physical",
+                        so_multiple=float(cfg["radius_in_kpc"]) / 1000.0,
+                        core_excision_fraction=cfg.get("core_excision_fraction"),
+                        centrals_only=True,
+                    )
+                )
+            else:
+                specs.append(
+                    HaloTypeSpec(
+                        kind="SO",
+                        group=_so_group_name(name, cfg),
+                        keys=so_keys,
+                        so_type=so_type,
+                        so_multiple=value,
+                        core_excision_fraction=cfg.get("core_excision_fraction"),
+                        centrals_only=True,
+                    )
+                )
+        for name, cfg in multiples.items():
+            # e.g. 5xR500_crit: needs the parent SO's radius in the results
+            mult = float(cfg["radius_multiple"])
+            parent = None
+            for pname, pcfg in plain.items():
+                if (
+                    pcfg["type"] == cfg["type"]
+                    and float(pcfg.get("value", -1)) == float(cfg.get("value", -2))
+                ):
+                    parent = _so_group_name(pname, pcfg)
+                    break
+            if parent is None:
+                raise ValueError(
+                    f"radius-multiple SO {name} has no parent SO variation"
+                )
+            specs.append(
+                HaloTypeSpec(
+                    kind="SO",
+                    group=_so_group_name(name, cfg),
+                    keys=so_keys,
+                    so_type=cfg["type"],
+                    so_multiple=float(cfg.get("value", 0.0)),
+                    radius_multiple_of=parent,
+                    radius_multiple=mult,
+                    centrals_only=True,
+                )
+            )
+
+    if apertures:
+        variations = (
+            params.get_halo_type_variations(
+                "ApertureProperties", DEFAULT_APERTURE_VARIATIONS
+            )
+            if params
+            else dict(DEFAULT_APERTURE_VARIATIONS)
+        )
+        ap_keys = implemented_keys_for("Aperture", dmo)
+        for name, cfg in sorted(
+            variations.items(), key=lambda kv: float(kv[1]["radius_in_kpc"])
+        ):
+            r_kpc = float(cfg["radius_in_kpc"])
+            inclusive = bool(cfg.get("inclusive", False))
+            prefix = "InclusiveSphere" if inclusive else "ExclusiveSphere"
+            specs.append(
+                HaloTypeSpec(
+                    kind="aperture",
+                    group=f"{prefix}/{r_kpc:.0f}kpc",
+                    keys=ap_keys,
+                    aperture_radius_mpc=r_kpc / 1000.0,
+                    inclusive=inclusive,
+                )
+            )
+
+    if projected:
+        variations = (
+            params.get_halo_type_variations(
+                "ProjectedApertureProperties", DEFAULT_PROJECTED_VARIATIONS
+            )
+            if params
+            else dict(DEFAULT_PROJECTED_VARIATIONS)
+        )
+        pr_keys = implemented_keys_for("ProjectedAperture", dmo)
+        for name, cfg in sorted(
+            variations.items(), key=lambda kv: float(kv[1]["radius_in_kpc"])
+        ):
+            r_kpc = float(cfg["radius_in_kpc"])
+            for axis, label in enumerate("xyz"):
+                specs.append(
+                    HaloTypeSpec(
+                        kind="projected",
+                        group=f"ProjectedAperture/{r_kpc:.0f}kpc/proj{label}",
+                        keys=pr_keys,
+                        aperture_radius_mpc=r_kpc / 1000.0,
+                        axis=axis,
+                    )
+                )
+
+    return specs

@@ -1,0 +1,131 @@
+"""Small-volume end-to-end test: membership + halo properties + catalogue.
+
+The TPU equivalent of the reference's canonical integration test
+(``tests/run_small_volume.sh``): generate a mock DMO volume, run the
+membership program, run the property pipeline, validate the output file's
+structure, units metadata, and a few values against the truth.
+"""
+
+import h5py
+import numpy as np
+import pytest
+
+from soap_tpu.core.registry import full_property_table
+from soap_tpu.pipeline.membership import run_group_membership
+from soap_tpu.pipeline.run import compute_halo_properties
+
+
+@pytest.fixture(scope="module")
+def e2e(tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("e2e"))
+    from soap_tpu.utils import mock_data
+
+    sim = mock_data.make_mock_simulation(
+        tmpdir, n_halos=8, n_field=5000, boxsize=20.0, seed=11
+    )
+    membership = f"{tmpdir}/membership_0077.hdf5"
+    grnr = run_group_membership(
+        sim["snapshot"], sim["hbt_basename"], membership
+    )
+    catalogue = f"{tmpdir}/halo_properties_0077.hdf5"
+    run = compute_halo_properties(
+        snapshot_file=sim["snapshot"],
+        membership_file=membership,
+        halo_basename=sim["hbt_basename"],
+        output_file=catalogue,
+        dmo=True,
+        verbose=False,
+    )
+    return sim, grnr, run, catalogue
+
+
+def test_membership_labels(e2e):
+    sim, grnr, run, _ = e2e
+    uni = sim["universe"]
+    labels = grnr["PartType1"]
+    # membership file rows follow the snapshot (cell-sorted) order; check
+    # totals per halo rather than positions
+    counts = np.bincount(labels[labels >= 0], minlength=uni.n_halos)
+    np.testing.assert_array_equal(counts, uni.halo_nbound)
+    assert (labels == -1).sum() == len(labels) - uni.halo_nbound.sum()
+
+
+def test_catalogue_structure(e2e):
+    _, _, run, catalogue = e2e
+    table = full_property_table()
+    with h5py.File(catalogue, "r") as f:
+        assert "BoundSubhalo/TotalMass" in f
+        assert "SO/200_crit/SORadius" in f
+        assert "ExclusiveSphere/100kpc/TotalMass" in f
+        assert "ProjectedAperture/50kpc/projz/TotalMass" in f
+        assert "InputHalos/HaloCentre" in f
+        assert "InputHalos/HaloCatalogueIndex" in f
+        assert "HBTplus/TrackId" in f
+        # unit attributes present and well-formed on every dataset
+        ds = f["BoundSubhalo/TotalMass"]
+        assert "Conversion factor to CGS (not including cosmological corrections)" in ds.attrs
+        assert ds.attrs["Value stored as physical"][0] == 1
+        assert ds.dtype == np.float32
+        r = f["SO/200_crit/SORadius"]
+        assert "Description" in r.attrs
+        # catalogue is spatially sorted: cell index of centres must be
+        # non-decreasing
+        centres = f["InputHalos/HaloCentre"][...]
+        assert centres.shape[1] == 3
+
+
+def test_catalogue_values(e2e):
+    sim, grnr, run, catalogue = e2e
+    uni = sim["universe"]
+    order = run.order
+    with h5py.File(catalogue, "r") as f:
+        mtot = f["BoundSubhalo/TotalMass"][...]
+        ndm = f["BoundSubhalo/NumberOfDarkMatterParticles"][...]
+        idx = f["InputHalos/HaloCatalogueIndex"][...]
+        so_r = f["SO/200_crit/SORadius"][...]
+    # reorder truth by the catalogue's spatial order
+    nbound = uni.halo_nbound[idx]
+    np.testing.assert_array_equal(ndm, nbound)
+    np.testing.assert_allclose(mtot, nbound * uni.mass[0], rtol=1e-5)
+    assert (so_r > 0).all()
+    # SO radius should be within a factor ~2 of the NFW R200c used to
+    # build the mock (mock halos are isolated NFW spheres)
+    rho_crit = 3.0 * (100.0 * uni.h) ** 2 / (
+        8.0 * np.pi * mock_G()
+    ) * (uni.omega_m / uni.a**3 + uni.omega_lambda)
+    m200 = nbound * uni.mass[0]
+    r200 = (3.0 * m200 / (4.0 * np.pi * 200.0 * rho_crit)) ** (1.0 / 3.0)
+    assert np.all(so_r / r200 > 0.7)
+    assert np.all(so_r / r200 < 1.5)
+
+
+def mock_G():
+    from soap_tpu.utils import mock_data
+
+    return mock_data.G_INTERNAL
+
+
+def test_aperture_monotonicity(e2e):
+    _, _, run, catalogue = e2e
+    with h5py.File(catalogue, "r") as f:
+        m50 = f["ExclusiveSphere/50kpc/TotalMass"][...]
+        m300 = f["ExclusiveSphere/300kpc/TotalMass"][...]
+        m3000 = f["ExclusiveSphere/3000kpc/TotalMass"][...]
+        bound = f["BoundSubhalo/TotalMass"][...]
+    assert np.all(m50 <= m300 + 1e-3)
+    assert np.all(m300 <= m3000 + 1e-3)
+    # the largest aperture encloses every bound particle of the mock halos
+    np.testing.assert_allclose(m3000, bound, rtol=1e-4)
+
+
+def test_projected_apertures(e2e):
+    _, _, run, catalogue = e2e
+    with h5py.File(catalogue, "r") as f:
+        mx = f["ProjectedAperture/100kpc/projx/TotalMass"][...]
+        my = f["ProjectedAperture/100kpc/projy/TotalMass"][...]
+        mz = f["ProjectedAperture/100kpc/projz/TotalMass"][...]
+        m100 = f["ExclusiveSphere/100kpc/TotalMass"][...]
+    # projected apertures include everything the 3D aperture does
+    assert np.all(mx >= m100 - 1e-3)
+    assert np.all(my >= m100 - 1e-3)
+    assert np.all(mz >= m100 - 1e-3)
