@@ -1,0 +1,138 @@
+"""Benchmark: halos/sec through the full property engine on one chip.
+
+Workload: a synthetic DMO volume (NFW halos + uniform background, same
+generator as the tests), processed with the core DMO spec set
+(BoundSubhalo + SO/200_crit — the dominant production cost centres).
+The first pass compiles; the second pass measures steady-state
+throughput, which is what a production run over millions of halos sees.
+
+Baseline: the reference publishes no benchmark numbers (BASELINE.md);
+the only quantitative envelope is FLAMINGO L1000N0900 — ~2.5e6 halos,
+full property set, <= 4 h on one 128-core COSMA8 node
+(``scripts/FLAMINGO/L1000N0900/halo_properties_L1000N0900.sh``), i.e.
+>= ~174 halos/s/node.  ``vs_baseline`` is measured halos/s per chip
+divided by that envelope number.
+
+Prints ONE JSON line on stdout; progress goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_HALOS_PER_SEC = 2.5e6 / (4 * 3600.0)  # reference envelope
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t0 = time.time()
+    from soap_tpu.core.halo_types import implemented_keys_for
+    from soap_tpu.models.context import HaloContext
+    from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
+    from soap_tpu.pipeline.engine import HaloEngine, HaloTypeSpec
+    from soap_tpu.utils import mock_data
+
+    G = mock_data.G_INTERNAL
+    n_halos = 512
+    uni = mock_data.build_mock_universe(
+        n_halos=n_halos,
+        n_field=400_000,
+        boxsize=120.0,
+        seed=20260816,
+        mass_range=(20.0, 3000.0),
+    )
+    log(f"[{time.time()-t0:6.1f}s] mock universe: {len(uni.pos)} particles, "
+        f"{uni.n_halos} halos")
+
+    groupnr = np.full(len(uni.ids), -1, dtype=np.int64)
+    id_to_row = np.empty(uni.ids.max() + 1, dtype=np.int64)
+    id_to_row[uni.ids] = np.arange(len(uni.ids))
+    for hi, ids in enumerate(uni.bound_ids):
+        groupnr[id_to_row[ids]] = hi
+
+    rho_crit0 = 3.0 * (100.0 * uni.h) ** 2 / (8.0 * np.pi * G)
+    E2 = uni.omega_m / uni.a**3 + uni.omega_lambda
+    chunk = ChunkData(
+        boxsize=uni.boxsize,
+        ptypes={
+            "PartType1": stage_ptype(
+                uni.pos,
+                {
+                    "Masses": uni.mass.astype(np.float32),
+                    "Velocities": uni.vel.astype(np.float32),
+                    "GroupNr_bound": groupnr,
+                    "FOFGroupIDs": uni.fof_ids,
+                },
+                uni.boxsize,
+            )
+        },
+    )
+    ctx = HaloContext(
+        a=uni.a,
+        z=0.0,
+        G=G,
+        boxsize=uni.boxsize,
+        critical_density=rho_crit0 * E2,
+        mean_density=rho_crit0 * uni.omega_m / uni.a**3,
+        softening=(0.01,),
+        ptypes=("PartType1",),
+        capacities=(0,),
+        dmo=True,
+    )
+    specs = [
+        HaloTypeSpec(
+            kind="bound",
+            group="BoundSubhalo",
+            keys=implemented_keys_for("BoundSubhalo", True),
+        ),
+        HaloTypeSpec(
+            kind="SO",
+            group="SO/200_crit",
+            keys=implemented_keys_for("SO", True),
+            so_type="crit",
+            so_multiple=200.0,
+            centrals_only=True,
+        ),
+    ]
+    args = dict(
+        centres=uni.halo_pos,
+        search_radius_phys=uni.halo_renclose * uni.a * 1.01,
+        index=np.arange(uni.n_halos, dtype=np.int64),
+        is_central=np.ones(uni.n_halos, dtype=bool),
+        fof_id=np.arange(1, uni.n_halos + 1, dtype=np.int64),
+    )
+
+    log(f"[{time.time()-t0:6.1f}s] warmup (compile) pass...")
+    engine = HaloEngine(ctx, chunk, specs)
+    engine.process(**args)
+    log(f"[{time.time()-t0:6.1f}s] warmup done "
+        f"({engine.stats.n_bucket_calls} bucket calls, "
+        f"{engine.stats.n_retries} retries)")
+
+    engine = HaloEngine(ctx, chunk, specs)
+    t1 = time.time()
+    engine.process(**args)
+    dt = time.time() - t1
+    halos_per_sec = n_halos / dt
+    log(f"[{time.time()-t0:6.1f}s] timed pass: {dt:.3f}s -> "
+        f"{halos_per_sec:.1f} halos/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "halos_per_sec_per_chip",
+                "value": round(halos_per_sec, 2),
+                "unit": "halos/s",
+                "vs_baseline": round(halos_per_sec / BASELINE_HALOS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Command-line entry points.
+
+Mirrors the reference's CLI contract (``SOAP/core/soap_args.py:26-211``,
+``README.md:90-96``):
+
+    python -m soap_tpu halo-properties <parameter_file.yml> \
+        --sim-name=L1000N0900/DMO_FIDUCIAL --snap-nr=77 [flags]
+    python -m soap_tpu membership <parameter_file.yml> \
+        --sim-name=... --snap-nr=77
+
+plus direct-path invocation without a parameter file for quick runs:
+
+    python -m soap_tpu halo-properties --snapshot snap.hdf5 \
+        --membership mem.hdf5 --halo-basename SubSnap_077 --output out.hdf5
+
+No MPI launcher: one process per host; device parallelism is internal.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("parameter_file", nargs="?", help="YAML parameter file")
+    p.add_argument("--sim-name", help="simulation name for {sim_name} templating")
+    p.add_argument("--snap-nr", type=int, help="snapshot number")
+    p.add_argument("--snapshot", help="snapshot file (direct path mode)")
+    p.add_argument("--membership", help="membership file (direct path mode)")
+    p.add_argument("--halo-basename", help="halo catalogue basename")
+    p.add_argument("--halo-format", default="HBTplus")
+    p.add_argument("--output", help="output file")
+
+
+def _resolve_paths(args):
+    """Parameter-file templating or direct paths."""
+    if args.snapshot:
+        return (
+            args.snapshot,
+            args.membership or "",
+            args.halo_basename,
+            args.output,
+            None,
+        )
+    from soap_tpu.core.params import ParameterFile, substitute_parameters
+
+    import yaml
+
+    with open(args.parameter_file) as f:
+        raw = yaml.safe_load(f)
+    subs = {"sim_name": args.sim_name or "", "snap_nr": f"{args.snap_nr:04d}"}
+    raw = substitute_parameters(raw, subs)
+    params = ParameterFile(parameter_dictionary=raw)
+    snaps = raw.get("Snapshots", {})
+    snap = snaps.get("filename", "")
+    mem = raw.get("GroupMembership", {}).get("filename", "")
+    halo = raw.get("HaloFinder", {}).get("filename", "")
+    out = raw.get("HaloProperties", {}).get("filename", args.output or "")
+    return snap, mem, halo, out, params
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="soap_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    hp = sub.add_parser("halo-properties", help="compute the halo catalogue")
+    _add_common(hp)
+    hp.add_argument("--dmo", action="store_true", help="dark-matter-only mode")
+    hp.add_argument("--centrals-only", action="store_true")
+    hp.add_argument("--max-halos", type=int, default=0)
+    hp.add_argument(
+        "--halo-indices",
+        type=lambda s: np.array([int(x) for x in s.split(",")]),
+        help="comma-separated catalogue indices (debugging)",
+    )
+    hp.add_argument("--chunks", type=int, default=1)
+    hp.add_argument("--profile", action="store_true", help="enable jax profiler trace")
+
+    mem = sub.add_parser("membership", help="compute group membership files")
+    _add_common(mem)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "membership":
+        from soap_tpu.pipeline.membership import run_group_membership
+
+        snap, mem_file, halo, out, _params = _resolve_paths(args)
+        run_group_membership(
+            snap, args.halo_basename or halo, args.output or mem_file,
+            halo_format=args.halo_format,
+        )
+        return 0
+
+    if args.command == "halo-properties":
+        from soap_tpu.pipeline.run import compute_halo_properties
+
+        snap, mem_file, halo, out, params = _resolve_paths(args)
+        profile_ctx = None
+        if args.profile:
+            import jax
+
+            jax.profiler.start_trace("soap_tpu_profile")
+        compute_halo_properties(
+            snapshot_file=snap,
+            membership_file=mem_file,
+            halo_basename=halo,
+            output_file=out,
+            halo_format=args.halo_format,
+            parameter_file=params,
+            dmo=args.dmo,
+            centrals_only=args.centrals_only,
+            max_halos=args.max_halos,
+            halo_indices=args.halo_indices,
+        )
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,6 +89,7 @@ def write_catalogue(
     parameters_yaml: Optional[str] = None,
     git_hash: str = "unknown",
     table: Optional[PropertyTable] = None,
+    dataset_extra_attrs: Optional[Mapping[str, Mapping[str, object]]] = None,
 ):
     """Write the final catalogue file."""
     if table is None:
@@ -134,8 +135,12 @@ def write_catalogue(
                 f.create_dataset(f"InputHalos/{key}", data=data)
 
         # --- computed halo-type groups ---
+        extra = dataset_extra_attrs or {}
         for group, props in results.items():
             for key, raw in props.items():
                 prop = table[key]
                 data = _convert_for_output(np.asarray(raw)[order], prop, a, reg)
-                write_property(f, f"{group}/{prop.name}", data, prop, reg)
+                full_name = f"{group}/{prop.name}"
+                write_property(
+                    f, full_name, data, prop, reg, extra_attrs=extra.get(full_name)
+                )

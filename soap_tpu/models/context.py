@@ -43,6 +43,11 @@ class HaloContext:
     mean_density: float
     # mean neutrino background density (0 for runs without neutrinos)
     nu_density: float = 0.0
+    # Hubble rate at this redshift (internal units) and density parameters,
+    # used by the SO shell flow rates (pseudo-evolution correction)
+    H: float = 0.0
+    omega_m: float = 0.0
+    omega_g: float = 0.0
     # per-included-ptype physical softening lengths, aligned with `ptypes`
     softening: Tuple[float, ...] = ()
     # which particle types are present, in concatenation order

@@ -449,10 +449,14 @@ class SOSlice(HaloSlice):
         scalars: HaloScalars,
         target_density: Optional[jnp.ndarray] = None,
         physical_radius: Optional[jnp.ndarray] = None,
+        virial: bool = True,
     ):
         super().__init__(ctx, parts, scalars)
         self.target_density = target_density
         self.physical_radius = physical_radius
+        # crit/mean/BN98 definitions (incl. radius multiples of them) are
+        # "virial"; fixed-kpc SOs are not (``SO_properties.py:3455-3469``)
+        self.virial_definition = virial
 
     @lazy_property
     def _so_mass_valid(self):
@@ -550,6 +554,87 @@ class SOSlice(HaloSlice):
 
     # -- concentration (``SO_properties.py:2725-2790``)
 
+    # -- shell flow rates (``SO_properties.py:2815-3057``)
+
+    @lazy_property
+    def vcom_ten_percent(self):
+        inside = self.parts.valid & (self.radius < 0.1 * self.r)
+        return red.centre_of_mass_velocity(self.parts.mass, self.parts.vel, inside)
+
+    @lazy_property
+    def vcom_thirty_percent(self):
+        inside = self.parts.valid & (self.radius < 0.3 * self.r)
+        return red.centre_of_mass_velocity(self.parts.mass, self.parts.vel, inside)
+
+    def _flow_rate_mass(self, mask_species, weights):
+        """In/outflow mass rates through shells at 0.1, 0.3, 1.0 x R_SO.
+
+        Shell thickness dR = 0.1 R_shell; radial velocity is measured
+        about the CoM velocity of particles within the shell's fraction
+        radius, with the pseudo-evolution term R_dot subtracted
+        (``SO_properties.py:2847-2908``); output is (6,): three inflow
+        then three outflow rates.
+        """
+        r = self.radius
+        rhat = self.parts.pos / jnp.maximum(r, 1e-37)[:, None]
+        # pseudo-evolution of the SO radius (``SO_properties.py:2875-2884``)
+        Rdot_base = (2.0 / 3.0) * (
+            self.ctx.G * self.SO_mass * self.ctx.H / 100.0
+        ) ** (1.0 / 3.0)
+        Rdot_base = Rdot_base * (
+            2.0 * self.ctx.omega_g + 1.5 * self.ctx.omega_m
+        )
+        rates = []
+        vcoms = {
+            0.1: self.vcom_ten_percent,
+            0.3: self.vcom_thirty_percent,
+            1.0: self.vcom,
+        }
+        shells = []
+        for frac in (0.1, 0.3, 1.0):
+            R = frac * self.r
+            dR = 0.1 * R
+            self.add_flag(self.exists & (R + 0.5 * dR > self.scalars.search_radius))
+            in_shell = (
+                mask_species
+                & (r > R - 0.5 * dR)
+                & (r < R + 0.5 * dR)
+            )
+            v_r = jnp.sum(
+                (self.parts.vel - vcoms[frac][None, :]) * rhat, axis=1
+            ) - frac * Rdot_base
+            fr = weights * jnp.abs(v_r)
+            inflow = jnp.sum(jnp.where(in_shell & (v_r < 0), fr, 0.0)) / dR
+            outflow = jnp.sum(jnp.where(in_shell & (v_r > 0), fr, 0.0)) / dR
+            shells.append((inflow, outflow))
+        flat = [s[0] for s in shells] + [s[1] for s in shells]
+        out = jnp.stack(flat)
+        return jnp.where(self.exists, out, 0.0)
+
+    def _valid_type_mask(self, ptype: str) -> jnp.ndarray:
+        """All VALID candidates of a type — flow-rate shells extend beyond
+        the SO radius, so the SO selection must not be applied."""
+        lo, hi = self.ctx.segment(ptype)
+        k = self.parts.valid.shape[0]
+        row = jnp.arange(k, dtype=jnp.int32)
+        return self.parts.valid & (row >= lo) & (row < hi)
+
+    @lazy_property
+    def DarkMatterMassFlowRate(self):
+        if not self.virial_definition:
+            return jnp.zeros(6, jnp.float32)
+        return self._flow_rate_mass(
+            self._valid_type_mask("PartType1"), self.parts.mass
+        )
+
+    @lazy_property
+    def StellarMassFlowRate(self):
+        if not self.virial_definition:
+            return jnp.zeros(6, jnp.float32)
+        return self._flow_rate_mass(
+            self._valid_type_mask("PartType4"), self.parts.mass
+        )
+
     def _concentration(self, radius_arr):
         """R1-statistic concentration with missed-mass correction."""
         r_clipped = jnp.where(self.selection, radius_arr, 0.0)
@@ -571,10 +656,14 @@ class SOSlice(HaloSlice):
 
     @lazy_property
     def concentration_unsoft(self):
+        if not self.virial_definition:
+            return _zero()
         return self._concentration(self.radius)
 
     @lazy_property
     def concentration_soft(self):
+        if not self.virial_definition:
+            return _zero()
         return self._concentration(self.soft_radius)
 
     @lazy_property

@@ -25,6 +25,7 @@ compiles a handful of programs total.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass, field
 from functools import partial
@@ -99,7 +100,11 @@ def _make_slice(spec, ctx, parts, scalars, prior, dens):
         if spec.radius_multiple_of is not None:
             parent_r = prior[spec.radius_multiple_of]["r"]
             return SOSlice(
-                ctx, parts, scalars, physical_radius=spec.radius_multiple * parent_r
+                ctx,
+                parts,
+                scalars,
+                physical_radius=spec.radius_multiple * parent_r,
+                virial=True,
             )
         if spec.so_type == "physical":
             return SOSlice(
@@ -107,6 +112,7 @@ def _make_slice(spec, ctx, parts, scalars, prior, dens):
                 parts,
                 scalars,
                 physical_radius=jnp.float32(spec.so_multiple),
+                virial=False,
             )
         return SOSlice(ctx, parts, scalars, target_density=jnp.float32(dens))
     if spec.kind == "aperture":
@@ -356,19 +362,7 @@ class HaloEngine:
                 cubes = tuple(
                     self._cube_for(pt, float(rcom.max())) for pt in ctx0.ptypes
                 )
-                ctx = HaloContext(
-                    a=ctx0.a,
-                    z=ctx0.z,
-                    G=ctx0.G,
-                    boxsize=ctx0.boxsize,
-                    critical_density=ctx0.critical_density,
-                    mean_density=ctx0.mean_density,
-                    nu_density=ctx0.nu_density,
-                    softening=ctx0.softening,
-                    ptypes=ctx0.ptypes,
-                    capacities=tuple(caps),
-                    dmo=ctx0.dmo,
-                )
+                ctx = dataclasses.replace(ctx0, capacities=tuple(caps))
 
                 # pad the batch to B
                 nb = len(sel)

@@ -20,11 +20,14 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from soap_tpu.core.category_filter import DEFAULT_FILTERS, CategoryFilter
 from soap_tpu.core.params import ParameterFile
+from soap_tpu.core.registry import full_property_table
 from soap_tpu.io import swift_snapshot
 from soap_tpu.io.catalogue_writer import spatial_sort_order, write_catalogue
 from soap_tpu.io.halo_catalogue import CATALOGUE_READERS, HaloCatalogue
 from soap_tpu.models.context import HaloContext
+from soap_tpu.pipeline import derived
 from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
 from soap_tpu.pipeline.engine import HaloEngine, HaloTypeSpec
 from soap_tpu.pipeline.specs import build_specs
@@ -85,11 +88,62 @@ def make_context(
         critical_density=meta.critical_density,
         mean_density=meta.mean_density,
         nu_density=nu_density,
+        H=float(meta.cosmology_attrs.get("H [internal units]", 0.0)),
+        omega_m=float(meta.cosmology_attrs.get("Omega_m", 0.0)),
+        omega_g=float(meta.cosmology_attrs.get("Omega_g", 0.0)),
         softening=tuple(soft),
         ptypes=tuple(ptypes),
         capacities=tuple(0 for _ in ptypes),
         dmo=dmo,
     )
+
+
+#: output group prefix -> parameter-file base halo type (reference
+#: ``category_filter.py:158-165``)
+GROUP_TO_BASE = {
+    "BoundSubhalo": "SubhaloProperties",
+    "SO": "SOProperties",
+    "ExclusiveSphere": "ApertureProperties",
+    "InclusiveSphere": "ApertureProperties",
+    "ProjectedAperture": "ProjectedApertureProperties",
+}
+
+
+def apply_category_filters(
+    results: Dict[str, Dict[str, np.ndarray]],
+    cat_filter: CategoryFilter,
+    parameter_file: Optional[ParameterFile],
+    n_halos: int,
+) -> Dict[str, Dict[str, object]]:
+    """Zero out masked halos in-place; return per-dataset filter attrs.
+
+    The per-property category comes from the parameter file
+    (``parameter_file.py:120-154``); without one, every property is
+    'basic' (never masked).
+    """
+    sub = results.get("BoundSubhalo", {})
+    masks = cat_filter.category_masks(sub, n_halos)
+    attrs: Dict[str, Dict[str, object]] = {}
+    table = full_property_table()
+    for group, props in results.items():
+        base = GROUP_TO_BASE.get(group.split("/")[0])
+        categories: Dict[str, object] = {}
+        if parameter_file is not None and base is not None:
+            categories = parameter_file.get_property_filters(
+                base, list(props.keys())
+            )
+        for key, arr in props.items():
+            category = categories.get(key, "basic")
+            if category is False:
+                category = "basic"
+            attrs[f"{group}/{table[key].name}"] = cat_filter.filter_metadata(
+                category if isinstance(category, str) else None
+            )
+            mask = masks.get(category if isinstance(category, str) else "basic")
+            if mask is not None and not mask.all():
+                keep = mask.reshape((-1,) + (1,) * (arr.ndim - 1))
+                props[key] = np.where(keep, arr, 0)
+    return attrs
 
 
 @dataclass
@@ -195,9 +249,37 @@ def compute_halo_properties(
             f"{s.n_overflow} overflows)"
         )
 
+    # --- category filters: zero masked halos, record metadata ---
+    cat_filter = CategoryFilter(
+        parameter_file.get_filters(DEFAULT_FILTERS) if parameter_file else None,
+        dmo=dmo,
+    )
+    filter_attrs = apply_category_filters(
+        results, cat_filter, parameter_file, cat.nr_halos
+    )
+
     order = spatial_sort_order(
         cat.cofp, cat.index, meta.boxsize, int(meta.dimension[0])
     )
+
+    # --- derived SOAP/* columns, computed in final (sorted) order and
+    # mapped back to unsorted storage for the writer's [order] indexing ---
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(len(order))
+    soap_cols: Dict[str, np.ndarray] = {}
+    if "HBTplus/HostHaloId" in cat.passthrough:
+        host_fof_sorted = cat.passthrough["HBTplus/HostHaloId"][order]
+        central_sorted = cat.is_central.astype(bool)[order]
+        hhi_sorted = derived.host_halo_index(host_fof_sorted, central_sorted)
+        # indices refer to sorted rows already; store unsorted view
+        soap_cols["SOAP/HostHaloIndex"] = hhi_sorted[inv_order]
+        if "BoundSubhalo" in results and "Mtot" in results["BoundSubhalo"]:
+            track_sorted = cat.passthrough["HBTplus/TrackId"][order]
+            mass_sorted = results["BoundSubhalo"]["Mtot"][order]
+            rank_sorted = derived.subhalo_rank_by_bound_mass(
+                host_fof_sorted, track_sorted, mass_sorted
+            )
+            soap_cols["SOAP/SubhaloRankByBoundMass"] = rank_sorted[inv_order]
 
     input_halos = {
         "cofp": cat.cofp,
@@ -205,6 +287,7 @@ def compute_halo_properties(
         "is_central": cat.is_central.astype(np.int64),
         "nr_bound_part": cat.nr_bound_part,
         **cat.passthrough,
+        **soap_cols,
     }
 
     if output_file:
@@ -216,6 +299,7 @@ def compute_halo_properties(
             input_halos,
             order,
             git_hash=_git_hash(),
+            dataset_extra_attrs=filter_attrs,
         )
         if verbose:
             print(f"[{time.time()-t0:6.1f}s] wrote {output_file}")
