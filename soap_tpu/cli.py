@@ -77,6 +77,7 @@ def main(argv=None):
         help="comma-separated catalogue indices (debugging)",
     )
     hp.add_argument("--chunks", type=int, default=1)
+    hp.add_argument("--scratch-dir", help="chunk scratch/restart directory")
     hp.add_argument("--profile", action="store_true", help="enable jax profiler trace")
 
     mem = sub.add_parser("membership", help="compute group membership files")
@@ -114,6 +115,8 @@ def main(argv=None):
             centrals_only=args.centrals_only,
             max_halos=args.max_halos,
             halo_indices=args.halo_indices,
+            nr_chunks=args.chunks,
+            scratch_dir=args.scratch_dir,
         )
         if args.profile:
             import jax

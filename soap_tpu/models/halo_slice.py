@@ -152,6 +152,35 @@ class HaloSlice:
         ``subhalo_properties.py:1027``)."""
         return jnp.maximum(self.radius, self.parts.softening)
 
+    # ---------------- shared radius sort ----------------
+    # ONE sort serves every profile kernel (half-mass radii, Vmax, the
+    # SO solver); the reference re-sorts per kernel.
+
+    @lazy_property
+    def _rsort_order(self):
+        return jnp.argsort(jnp.where(self.parts.valid, self.radius, jnp.inf))
+
+    @lazy_property
+    def _r_sorted(self):
+        return jnp.where(self.parts.valid, self.radius, jnp.inf)[
+            self._rsort_order
+        ]
+
+    @lazy_property
+    def _m_sorted(self):
+        return self.parts.mass[self._rsort_order]
+
+    @lazy_property
+    def _valid_sorted(self):
+        return self.parts.valid[self._rsort_order]
+
+    def _sorted(self, mask: jnp.ndarray) -> jnp.ndarray:
+        return mask[self._rsort_order]
+
+    @lazy_property
+    def _sel_sorted(self):
+        return self._sorted(self.selection)
+
     # ---------------- needs-bigger-region ladder ----------------
 
     @property
@@ -266,26 +295,26 @@ class HaloSlice:
 
     @lazy_property
     def HalfMassRadiusTot(self):
-        return radii_ops.half_weight_radius(
-            self.radius, self.parts.mass, self.Mtot, self.selection
+        return radii_ops.half_weight_radius_sorted(
+            self._r_sorted, self._m_sorted, self._sel_sorted, self.Mtot
         )
 
     @lazy_property
     def HalfMassRadiusGas(self):
-        return radii_ops.half_weight_radius(
-            self.radius, self.parts.mass, self.Mgas, self.mask_gas
+        return radii_ops.half_weight_radius_sorted(
+            self._r_sorted, self._m_sorted, self._sorted(self.mask_gas), self.Mgas
         )
 
     @lazy_property
     def HalfMassRadiusDM(self):
-        return radii_ops.half_weight_radius(
-            self.radius, self.parts.mass, self.Mdm, self.mask_dm
+        return radii_ops.half_weight_radius_sorted(
+            self._r_sorted, self._m_sorted, self._sorted(self.mask_dm), self.Mdm
         )
 
     @lazy_property
     def HalfMassRadiusStar(self):
-        return radii_ops.half_weight_radius(
-            self.radius, self.parts.mass, self.Mstar, self.mask_star
+        return radii_ops.half_weight_radius_sorted(
+            self._r_sorted, self._m_sorted, self._sorted(self.mask_star), self.Mstar
         )
 
     # ---------------- kinematics ----------------
@@ -333,11 +362,13 @@ class HaloSlice:
 
     @lazy_property
     def _vmax_soft(self):
+        # softening floors break the shared radius order for mixed
+        # particle types, so the softened profile keeps its own sort
         return kin.vmax(self.parts.mass, self.soft_radius, self.selection)
 
     @lazy_property
     def _vmax_unsoft(self):
-        return kin.vmax(self.parts.mass, self.radius, self.selection)
+        return kin.vmax_sorted(self._m_sorted, self._r_sorted, self._sel_sorted)
 
     @lazy_property
     def Vmax_soft(self):
@@ -371,51 +402,106 @@ class HaloSlice:
         return jnp.where(ok, Lnorm / jnp.maximum(denom, 1e-37), 0.0)
 
     # ---------------- inertia tensors ----------------
+    #
+    # Per-halo-type semantics follow the reference exactly:
+    #  - BoundSubhalo: sphere = 10 x half-mass radius of the species, bound
+    #    particles only, NO search-radius check (all bound particles are
+    #    always in the region — ``inertia_tensors.py:110-112``);
+    #  - apertures: sphere = the aperture radius, ALL bound particles of
+    #    the species (``aperture_properties.py:3596-3610``), no check;
+    #  - SO: sphere = the SO radius, every candidate particle (including
+    #    beyond the SO radius, the ellipsoid may deform outward), WITH the
+    #    search-radius check (``SO_properties.py:620-670``).
 
-    def _inertia(self, mask, half_mass_radius, reduced, iterative, total_mass):
+    def _inertia_cfg(self, species: str):
+        """(mask, sphere_radius, search_radius|None, gate_mass)."""
+        masks = {
+            "tot": (self.selection, self.HalfMassRadiusTot, self.Mtot),
+            "gas": (self.mask_gas, self.HalfMassRadiusGas, self.Mgas),
+            "dm": (self.mask_dm, self.HalfMassRadiusDM, self.Mdm),
+            "star": (self.mask_star, self.HalfMassRadiusStar, self.Mstar),
+        }
+        mask, hmr, gate = masks[species]
+        return mask, 10.0 * hmr, None, gate
+
+    def _inertia(self, species, reduced, iterative):
+        mask, sphere, search, gate = self._inertia_cfg(species)
         result = inertia_ops.inertia_tensor(
             self.parts.mass,
             self.parts.pos,
             mask,
-            10.0 * half_mass_radius,
-            search_radius=self.scalars.search_radius,
+            sphere,
+            search_radius=search,
             reduced=reduced,
             max_iterations=20 if iterative else 1,
         )
-        self.add_flag(result.needs_bigger)
-        return jnp.where(total_mass > 0, result.tensor, 0.0)
+        if search is not None:
+            self.add_flag(result.needs_bigger)
+        return jnp.where(gate > 0, result.tensor, 0.0)
 
     @lazy_property
     def TotalInertiaTensor(self):
-        return self._inertia(self.selection, self.HalfMassRadiusTot, False, True, self.Mtot)
+        return self._inertia("tot", False, True)
 
     @lazy_property
     def TotalInertiaTensorReduced(self):
-        return self._inertia(self.selection, self.HalfMassRadiusTot, True, True, self.Mtot)
+        return self._inertia("tot", True, True)
 
     @lazy_property
     def TotalInertiaTensorNoniterative(self):
-        return self._inertia(self.selection, self.HalfMassRadiusTot, False, False, self.Mtot)
+        return self._inertia("tot", False, False)
 
     @lazy_property
     def TotalInertiaTensorReducedNoniterative(self):
-        return self._inertia(self.selection, self.HalfMassRadiusTot, True, False, self.Mtot)
+        return self._inertia("tot", True, False)
 
     @lazy_property
     def DarkMatterInertiaTensor(self):
-        return self._inertia(self.mask_dm, self.HalfMassRadiusDM, False, True, self.Mdm)
+        return self._inertia("dm", False, True)
 
     @lazy_property
     def DarkMatterInertiaTensorReduced(self):
-        return self._inertia(self.mask_dm, self.HalfMassRadiusDM, True, True, self.Mdm)
+        return self._inertia("dm", True, True)
 
     @lazy_property
     def DarkMatterInertiaTensorNoniterative(self):
-        return self._inertia(self.mask_dm, self.HalfMassRadiusDM, False, False, self.Mdm)
+        return self._inertia("dm", False, False)
 
     @lazy_property
     def DarkMatterInertiaTensorReducedNoniterative(self):
-        return self._inertia(self.mask_dm, self.HalfMassRadiusDM, True, False, self.Mdm)
+        return self._inertia("dm", True, False)
+
+    @lazy_property
+    def GasInertiaTensor(self):
+        return self._inertia("gas", False, True)
+
+    @lazy_property
+    def GasInertiaTensorReduced(self):
+        return self._inertia("gas", True, True)
+
+    @lazy_property
+    def GasInertiaTensorNoniterative(self):
+        return self._inertia("gas", False, False)
+
+    @lazy_property
+    def GasInertiaTensorReducedNoniterative(self):
+        return self._inertia("gas", True, False)
+
+    @lazy_property
+    def StellarInertiaTensor(self):
+        return self._inertia("star", False, True)
+
+    @lazy_property
+    def StellarInertiaTensorReduced(self):
+        return self._inertia("star", True, True)
+
+    @lazy_property
+    def StellarInertiaTensorNoniterative(self):
+        return self._inertia("star", False, False)
+
+    @lazy_property
+    def StellarInertiaTensorReducedNoniterative(self):
+        return self._inertia("star", True, False)
 
     # ---------------- misc ----------------
 
@@ -458,28 +544,25 @@ class SOSlice(HaloSlice):
         # "virial"; fixed-kpc SOs are not (``SO_properties.py:3455-3469``)
         self.virial_definition = virial
 
-    @lazy_property
-    def _so_mass_valid(self):
-        """Particles contributing to the SO mass profile: types 0,1,4,5
-        (``SOAP/core/dataset_names.py`` ``ptypes_for_so_masses``) plus
-        weighted neutrinos."""
-        m = self.parts.valid
-        lo, hi = self.ctx.segment("PartType6")
-        if hi > lo:
-            k = self.parts.valid.shape[0]
-            row = jnp.arange(k, dtype=jnp.int32)
-            is_nu = (row >= lo) & (row < hi)
-            # neutrino masses are pre-multiplied by their weights at gather
-            m = m  # all types included; weights already applied
-            del is_nu
-        return m
+    def _inertia_cfg(self, species: str):
+        """SO inertia: sphere = SO radius, ALL candidates of the species
+        (the ellipsoid may deform beyond R_SO), search-radius check on
+        (``SO_properties.py:620-670``)."""
+        masks = {
+            "tot": (self.parts.valid, self.SO_mass),
+            "gas": (self._valid_type_mask("PartType0"), self.Mgas),
+            "dm": (self._valid_type_mask("PartType1"), self.Mdm),
+            "star": (self._valid_type_mask("PartType4"), self.Mstar),
+        }
+        mask, gate = masks[species]
+        return mask, self.r, self.scalars.search_radius, gate
 
     @lazy_property
     def _so_solution(self) -> so_ops.SOResult:
-        res = so_ops.so_radius_single(
-            self.radius,
-            self.parts.mass,
-            self._so_mass_valid,
+        res = so_ops.so_radius_sorted(
+            self._r_sorted,
+            self._m_sorted,
+            self._valid_sorted,
             self.target_density,
             jnp.float32(self.ctx.nu_density),
         )
@@ -496,10 +579,10 @@ class SOSlice(HaloSlice):
     @lazy_property
     def SO_mass(self):
         if self.physical_radius is not None:
-            return so_ops.enclosed_mass_at_radius(
-                self.radius,
-                self.parts.mass,
-                self._so_mass_valid,
+            return so_ops.enclosed_mass_sorted(
+                self._r_sorted,
+                self._m_sorted,
+                self._valid_sorted,
                 self.physical_radius,
                 jnp.float32(self.ctx.nu_density),
             )
@@ -703,6 +786,25 @@ class ApertureSlice(HaloSlice):
         if self.inclusive:
             return inside
         return inside & self.bound_mask
+
+    def _type_bound(self, ptype: str) -> jnp.ndarray:
+        lo, hi = self.ctx.segment(ptype)
+        k = self.parts.valid.shape[0]
+        row = jnp.arange(k, dtype=jnp.int32)
+        return self.bound_mask & (row >= lo) & (row < hi)
+
+    def _inertia_cfg(self, species: str):
+        """Aperture inertia: sphere = the aperture radius, ALL bound
+        particles of the species regardless of the aperture (the ellipsoid
+        may deform beyond it) — ``aperture_properties.py:3596-3610``."""
+        masks = {
+            "tot": (self.bound_mask, self.Mtot),
+            "gas": (self._type_bound("PartType0"), self.Mgas),
+            "dm": (self._type_bound("PartType1"), self.Mdm),
+            "star": (self._type_bound("PartType4"), self.Mstar),
+        }
+        mask, gate = masks[species]
+        return mask, self.aperture_radius, None, gate
 
 
 class ProjectedApertureSlice(HaloSlice):

@@ -30,6 +30,96 @@ TOL = 1.0e-4
 MIN_PARTICLES = 20
 
 
+def sym_eigh_3x3(A: jnp.ndarray):
+    """Closed-form eigendecomposition of a symmetric 3x3 matrix.
+
+    Trigonometric eigenvalue formula + cross-product eigenvectors — pure
+    VPU arithmetic, replacing XLA's general ``eigh`` inside the inertia
+    iteration loop (20 iterations x 8 tensor variants per halo makes the
+    eigensolver the hot op).  Returns (w ascending, V columns) matching
+    ``jnp.linalg.eigh`` conventions.
+
+    The decomposition runs in float64 internally (a per-tensor scalar
+    cost, negligible next to the (K,3) reductions that build the tensor)
+    because float32 trigonometry limits eigenvalues to ~2e-4 relative
+    accuracy — too coarse for the 1e-4 axis-ratio convergence test.
+    """
+    in_dtype = A.dtype
+    A = A.astype(jnp.float64)
+    a00, a11, a22 = A[0, 0], A[1, 1], A[2, 2]
+    a01, a02, a12 = A[0, 1], A[0, 2], A[1, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+    p_safe = jnp.maximum(p, 1e-30)
+    B = (A - q * jnp.eye(3, dtype=A.dtype)) / p_safe
+    detB = (
+        B[0, 0] * (B[1, 1] * B[2, 2] - B[1, 2] * B[2, 1])
+        - B[0, 1] * (B[1, 0] * B[2, 2] - B[1, 2] * B[2, 0])
+        + B[0, 2] * (B[1, 0] * B[2, 1] - B[1, 1] * B[2, 0])
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    w2 = q + 2.0 * p * jnp.cos(phi)  # largest
+    w0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    w1 = 3.0 * q - w2 - w0
+    degenerate = p2 <= 1e-30 * jnp.maximum(q * q, 1e-30)
+    w = jnp.stack([w0, w1, w2])
+    w = jnp.where(degenerate, jnp.stack([q, q, q]), w)
+
+    def eigenvector(lam):
+        # v is orthogonal to the rows of (A - lam I); use the largest of
+        # the three row cross products for numerical stability
+        M = A - lam * jnp.eye(3, dtype=A.dtype)
+        c0 = jnp.cross(M[0], M[1])
+        c1 = jnp.cross(M[0], M[2])
+        c2 = jnp.cross(M[1], M[2])
+        n0 = jnp.sum(c0 * c0)
+        n1 = jnp.sum(c1 * c1)
+        n2 = jnp.sum(c2 * c2)
+        best = jnp.argmax(jnp.stack([n0, n1, n2]))
+        v = jnp.stack([c0, c1, c2])[best]
+        nrm = jnp.sqrt(jnp.maximum(jnp.sum(v * v), 1e-37))
+        return v / nrm
+
+    v0 = eigenvector(w0)
+    v2 = eigenvector(w2)
+    # enforce an orthonormal right-handed frame; robust when w1 is close
+    # to either neighbour (v1 from cross product keeps orthogonality)
+    v2 = v2 - v0 * jnp.sum(v0 * v2)
+    v2 = v2 / jnp.sqrt(jnp.maximum(jnp.sum(v2 * v2), 1e-37))
+    v1 = jnp.cross(v2, v0)
+    V = jnp.stack([v0, v1, v2], axis=1)
+    V = jnp.where(degenerate, jnp.eye(3, dtype=A.dtype), V)
+    return w.astype(in_dtype), V.astype(in_dtype)
+
+
+def sym_eigh_2x2(A: jnp.ndarray):
+    """Closed-form eigendecomposition of a symmetric 2x2 matrix;
+    (w ascending, V columns)."""
+    in_dtype = A.dtype
+    A = A.astype(jnp.float64)
+    a, b, d = A[0, 0], A[0, 1], A[1, 1]
+    tr2 = (a + d) / 2.0
+    det = a * d - b * b
+    disc = jnp.sqrt(jnp.maximum(tr2 * tr2 - det, 0.0))
+    w0, w1 = tr2 - disc, tr2 + disc
+    # eigenvector for w1: (b, w1 - a) unless b ~ 0
+    use_b = jnp.abs(b) > 1e-30
+    v1 = jnp.where(
+        use_b,
+        jnp.stack([b, w1 - a]),
+        jnp.where(a >= d, jnp.array([1.0, 0.0], A.dtype), jnp.array([0.0, 1.0], A.dtype)),
+    )
+    v1 = v1 / jnp.sqrt(jnp.maximum(jnp.sum(v1 * v1), 1e-37))
+    v0 = jnp.stack([-v1[1], v1[0]])
+    return (
+        jnp.stack([w0, w1]).astype(in_dtype),
+        jnp.stack([v0, v1], axis=1).astype(in_dtype),
+    )
+
+
 class InertiaResult(NamedTuple):
     tensor: jnp.ndarray  # (6,) or (3,) flattened tensor
     found: jnp.ndarray  # bool: enough particles
@@ -96,7 +186,7 @@ def inertia_tensor(
         q_now = jnp.sqrt(eig_val[1] / eig_val[2])
         converged = jnp.abs((old_q - q_now) / jnp.maximum(q_now, 1e-37)) < TOL
         tensor_new, q, inside = compute_tensor(eig_val, eig_vec)
-        val, vec = jnp.linalg.eigh(tensor_new)
+        val, vec = sym_eigh_3x3(tensor_new)
         val = jnp.abs(val)
         # degenerate: effectively a single particle left
         degenerate = q == 0.0
@@ -186,7 +276,7 @@ def projected_inertia_tensor(
         q_now = jnp.sqrt(eig_val[0] / eig_val[1])
         converged = jnp.abs((old_q - q_now) / jnp.maximum(q_now, 1e-37)) < TOL
         tensor_new, q = compute_tensor(eig_val, eig_vec)
-        val, vec = jnp.linalg.eigh(tensor_new)
+        val, vec = sym_eigh_2x2(tensor_new)
         val = jnp.abs(val)
         degenerate = q == 0.0
         tensor_new = jnp.where(degenerate, jnp.zeros_like(tensor_new), tensor_new)

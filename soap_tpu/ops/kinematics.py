@@ -71,26 +71,19 @@ class VmaxResult(NamedTuple):
     vmax_sq_over_G: jnp.ndarray  # Vmax^2 / G = max(M(<r)/r); caller scales
 
 
-def vmax(
-    mass: jnp.ndarray,  # (K,) padded masses
-    radius: jnp.ndarray,  # (K,) padded radii (invalid = +inf)
-    mask: jnp.ndarray,
+def vmax_sorted(
+    m: jnp.ndarray,  # (K,) masses in radius-sorted order
+    r: jnp.ndarray,  # (K,) radii sorted ascending
+    v: jnp.ndarray,  # (K,) selection mask in the same order
 ) -> VmaxResult:
-    """Maximum circular velocity from the cumulative mass profile.
+    """Vmax from a PRE-SORTED profile (shared halo-wide radius sort).
 
-    Reference semantics (``kinematic_properties.py:555-593``): sort by
-    radius, skip leading ~zero radii (the centre particle), then
-    vmax = sqrt(G * max(M(<r)/r)).  G is applied by the caller (a static
-    unit factor), keeping this kernel unit-free.
+    Reference semantics (``kinematic_properties.py:555-593``): cumulative
+    mass over the selected particles, skip ~zero radii (the centre
+    particle), then vmax = sqrt(G * max(M(<r)/r)).  G is applied by the
+    caller (a static unit factor), keeping this kernel unit-free.
     """
-    big = jnp.float32(jnp.finfo(jnp.float32).max)
-    r_s = jnp.where(mask, radius, big)
-    order = jnp.argsort(r_s)
-    r = r_s[order]
-    m = jnp.where(mask, mass, 0.0)[order]
-    v = mask[order]
-    cum = jnp.cumsum(m)
-    # skip leading zero radii (isclose(r, 0) with default atol=1e-8)
+    cum = jnp.cumsum(jnp.where(v, m, 0.0))
     near_zero = v & (jnp.abs(r) <= 1e-8)
     usable = v & (~near_zero)
     ratio = jnp.where(usable, cum / jnp.maximum(r, 1e-37), -jnp.inf)
@@ -101,6 +94,18 @@ def vmax(
         radius=jnp.where(any_usable, jnp.take(r, imax), 0.0),
         vmax_sq_over_G=jnp.where(any_usable, jnp.maximum(best, 0.0), 0.0),
     )
+
+
+def vmax(
+    mass: jnp.ndarray,  # (K,) padded masses
+    radius: jnp.ndarray,  # (K,) padded radii
+    mask: jnp.ndarray,
+) -> VmaxResult:
+    """Unsorted-input convenience wrapper (sorts internally)."""
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    r_s = jnp.where(mask, radius, big)
+    order = jnp.argsort(r_s)
+    return vmax_sorted(mass[order], r_s[order], mask[order])
 
 
 def spin_parameter(

@@ -73,22 +73,16 @@ def _bisect_cubic(rho_dim, slope_dim, u_hi):
     return 0.5 * (lo + hi)
 
 
-def so_radius_single(
-    radius: jnp.ndarray,  # (K,) particle radii; invalid slots = +inf
-    mass: jnp.ndarray,  # (K,) particle masses; invalid slots = 0
-    valid: jnp.ndarray,  # (K,) bool
+def so_radius_sorted(
+    r: jnp.ndarray,  # (K,) radii sorted ascending (invalid slots last)
+    m: jnp.ndarray,  # (K,) masses in the same order
+    v: jnp.ndarray,  # (K,) validity in the same order
     reference_density: jnp.ndarray,  # scalar > 0
     nu_background_density: jnp.ndarray,  # scalar (0 for DMO)
 ) -> SOResult:
-    """SO radius/mass for one halo from unsorted padded particle arrays."""
-    K = radius.shape[0]
-    big = jnp.float32(jnp.finfo(jnp.float32).max)
-    r_sortable = jnp.where(valid, radius, big)
-    order = jnp.argsort(r_sortable)
-    r = r_sortable[order]
-    m = jnp.where(valid, mass, 0.0)[order]
-    v = valid[order]
-
+    """SO radius/mass for one halo from a PRE-SORTED profile."""
+    K = r.shape[0]
+    m = jnp.where(v, m, 0.0)
     cum = jnp.cumsum(m)
     nu_term = jnp.where(v, nu_background_density * _FOUR_PI_3 * r**3, 0.0)
     cum = cum + nu_term
@@ -159,20 +153,37 @@ def so_radius_single(
     )
 
 
+def so_radius_single(
+    radius: jnp.ndarray,  # (K,) particle radii (any order)
+    mass: jnp.ndarray,
+    valid: jnp.ndarray,
+    reference_density: jnp.ndarray,
+    nu_background_density: jnp.ndarray,
+) -> SOResult:
+    """Unsorted-input convenience wrapper (sorts internally)."""
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    r_sortable = jnp.where(valid, radius, big)
+    order = jnp.argsort(r_sortable)
+    return so_radius_sorted(
+        r_sortable[order], mass[order], valid[order],
+        reference_density, nu_background_density,
+    )
+
+
 #: Batched solver: (B, K) particle data, (B,) thresholds.
 so_radius_batch = jax.jit(
     jax.vmap(so_radius_single, in_axes=(0, 0, 0, 0, None))
 )
 
 
-def enclosed_mass_at_radius(
-    radius: jnp.ndarray,  # (K,) sorted or unsorted padded radii
-    mass: jnp.ndarray,
-    valid: jnp.ndarray,
+def enclosed_mass_sorted(
+    r: jnp.ndarray,  # (K,) radii sorted ascending
+    m: jnp.ndarray,
+    v: jnp.ndarray,
     target_radius: jnp.ndarray,  # scalar: fixed physical aperture
     nu_background_density: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Interpolated cumulative mass at a fixed radius.
+    """Interpolated cumulative mass at a fixed radius (pre-sorted input).
 
     Semantics of the reference's fixed-physical-radius SO branch
     (``SO_properties.py:433-452``): linear interpolation of the cumulative
@@ -180,13 +191,8 @@ def enclosed_mass_at_radius(
     when every particle is inside, and to the first cumulative value when
     the first particle is already outside.
     """
-    K = radius.shape[0]
-    big = jnp.float32(jnp.finfo(jnp.float32).max)
-    r_sortable = jnp.where(valid, radius, big)
-    order = jnp.argsort(r_sortable)
-    r = r_sortable[order]
-    m = jnp.where(valid, mass, 0.0)[order]
-    v = valid[order]
+    K = r.shape[0]
+    m = jnp.where(v, m, 0.0)
     cum = jnp.cumsum(m) + jnp.where(
         v, nu_background_density * _FOUR_PI_3 * r**3, 0.0
     )
@@ -218,6 +224,23 @@ def enclosed_mass_at_radius(
         ~has_outside, total, jnp.where(at_first, jnp.take(cum, i), interp)
     )
     return jnp.where(jnp.any(usable), mass_out, 0.0)
+
+
+def enclosed_mass_at_radius(
+    radius: jnp.ndarray,  # (K,) padded radii (any order)
+    mass: jnp.ndarray,
+    valid: jnp.ndarray,
+    target_radius: jnp.ndarray,
+    nu_background_density: jnp.ndarray,
+) -> jnp.ndarray:
+    """Unsorted-input convenience wrapper (sorts internally)."""
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    r_sortable = jnp.where(valid, radius, big)
+    order = jnp.argsort(r_sortable)
+    return enclosed_mass_sorted(
+        r_sortable[order], mass[order], valid[order],
+        target_radius, nu_background_density,
+    )
 
 
 enclosed_mass_batch = jax.jit(

@@ -1,0 +1,107 @@
+"""Spatial domain decomposition: Peano–Hilbert chunking of halos.
+
+Equivalent of the reference's ``SOAP/core/domain_decomposition.py``:
+halos are ordered along a Hilbert curve over a 2^bits-cell grid and split
+into chunks of equal halo count, so each chunk is spatially compact (one
+chunk's particles fit one device/host memory).  Optionally the most
+massive halos are placed in dedicated chunks (``separate_chunks``,
+``domain_decomposition.py:29-133``) since their particle spheres dominate
+memory.
+
+The Hilbert key implementation is the standard Skilling transpose
+algorithm (public domain construction), vectorized over numpy arrays —
+no MPI parallel sort is needed: 10^7 halo keys sort on-host in
+milliseconds.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def hilbert_key_3d(ijk: np.ndarray, bits: int) -> np.ndarray:
+    """Hilbert curve index of integer cells ``ijk`` (N, 3) at ``bits``
+    bits per dimension (vectorized Skilling transpose-to-axes inverse)."""
+    x = ijk.astype(np.uint64).copy()
+    n = 3
+    m = np.uint64(1) << np.uint64(bits - 1)
+
+    # inverse undo excess work
+    q = m
+    while q > np.uint64(1):
+        p = q - np.uint64(1)
+        for i in range(n):
+            mask = (x[:, i] & q) != 0
+            # invert low bits of x[0]
+            x[mask, 0] ^= p
+            t = (x[:, 0] ^ x[:, i]) & p
+            x[~mask, 0] ^= t[~mask]
+            x[~mask, i] ^= t[~mask]
+        q >>= np.uint64(1)
+
+    # gray encode
+    for i in range(1, n):
+        x[:, i] ^= x[:, i - 1]
+    t = np.zeros(len(x), dtype=np.uint64)
+    q = m
+    while q > np.uint64(1):
+        mask = (x[:, n - 1] & q) != 0
+        t[mask] ^= q - np.uint64(1)
+        q >>= np.uint64(1)
+    for i in range(n):
+        x[:, i] ^= t
+
+    # interleave bits (x is the transposed Hilbert index)
+    key = np.zeros(len(x), dtype=np.uint64)
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            key = (key << np.uint64(1)) | ((x[:, i] >> np.uint64(b)) & np.uint64(1))
+    return key
+
+
+def peano_decomposition(
+    centres: np.ndarray,  # (H, 3) comoving positions
+    boxsize: float,
+    nr_chunks: int,
+    bits: int = 10,  # 2^10 cells per dimension, reference default
+    nr_bound_part: np.ndarray = None,
+    separate_chunks: List[int] = None,
+) -> np.ndarray:
+    """Chunk index per halo (0..nr_chunks-1), equal-count split along the
+    Hilbert curve (``domain_decomposition.py:64-141``).
+
+    ``separate_chunks`` is a descending list of ``nr_bound_part``
+    thresholds; halos above each threshold get dedicated chunks appended
+    after the spatial ones (``domain_decomposition.py:29-62``).
+    """
+    H = len(centres)
+    chunk_nr = np.zeros(H, dtype=np.int32)
+    if H == 0 or nr_chunks <= 1 and not separate_chunks:
+        return chunk_nr
+
+    spatial = np.ones(H, dtype=bool)
+    next_chunk = nr_chunks
+    if separate_chunks:
+        assert nr_bound_part is not None
+        for threshold in separate_chunks:
+            big = spatial & (nr_bound_part > threshold)
+            for idx in np.flatnonzero(big):
+                chunk_nr[idx] = next_chunk
+                next_chunk += 1
+            spatial &= ~big
+
+    cells = np.floor(
+        np.mod(centres, boxsize) / boxsize * (1 << bits)
+    ).astype(np.int64)
+    cells = np.clip(cells, 0, (1 << bits) - 1)
+    keys = hilbert_key_3d(cells, bits)
+    order = np.argsort(keys[spatial], kind="stable")
+    spatial_rows = np.flatnonzero(spatial)[order]
+    # equal-count split
+    n_spatial = len(spatial_rows)
+    boundaries = (np.arange(1, nr_chunks) * n_spatial) // nr_chunks
+    assignment = np.searchsorted(boundaries, np.arange(n_spatial), side="right")
+    chunk_nr[spatial_rows] = assignment.astype(np.int32)
+    return chunk_nr

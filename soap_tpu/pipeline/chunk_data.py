@@ -39,6 +39,7 @@ class PTypeChunk:
     offsets: jnp.ndarray  # (C,) i32 first row of each cell
     counts: jnp.ndarray  # (C,) i32
     sat: jnp.ndarray  # (d0+1, d1+1, d2+1) i32 summed-area table
+    mass_sat: jnp.ndarray  # (d0+1, d1+1, d2+1) f32 mass summed-area table
     fields: Dict[str, jnp.ndarray]  # cell-sorted per-particle data
 
     def tree_flatten(self):
@@ -48,6 +49,7 @@ class PTypeChunk:
             self.offsets,
             self.counts,
             self.sat,
+            self.mass_sat,
             self.fields,
         )
         return children, (self.spec, self.n)
@@ -55,8 +57,8 @@ class PTypeChunk:
     @classmethod
     def tree_unflatten(cls, aux, children):
         spec, n = aux
-        pos_hi, pos_lo, offsets, counts, sat, fields = children
-        return cls(spec, n, pos_hi, pos_lo, offsets, counts, sat, fields)
+        pos_hi, pos_lo, offsets, counts, sat, mass_sat, fields = children
+        return cls(spec, n, pos_hi, pos_lo, offsets, counts, sat, mass_sat, fields)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -77,12 +79,12 @@ class ChunkData:
         return cls(boxsize, dict(zip(names, children)))
 
 
-def _summed_area_table(counts: jnp.ndarray, dims) -> jnp.ndarray:
+def _summed_area_table(values: jnp.ndarray, dims, dtype) -> jnp.ndarray:
     """3D inclusive prefix sum with a leading zero plane per axis.
 
-    ``sat[i, j, k]`` = number of particles in cells [0:i, 0:j, 0:k].
+    ``sat[i, j, k]`` = sum of per-cell values in cells [0:i, 0:j, 0:k].
     """
-    c = counts.reshape(dims).astype(jnp.int32)
+    c = values.reshape(dims).astype(dtype)
     c = jnp.cumsum(c, axis=0)
     c = jnp.cumsum(c, axis=1)
     c = jnp.cumsum(c, axis=2)
@@ -117,10 +119,23 @@ def stage_ptype(
     pos_hi = jnp.asarray(hi)
     pos_lo = jnp.asarray(lo)
     order, offsets, counts = build_grid(spec, pos_hi)
-    sat = _summed_area_table(counts, spec.dims)
+    sat = _summed_area_table(counts, spec.dims, jnp.int32)
     dev_fields = {}
     for name, arr in fields.items():
         dev_fields[name] = jnp.asarray(np.asarray(arr))[order]
+    # per-cell mass sums -> mass SAT (drives the SO gather-radius presize)
+    from soap_tpu.ops.grid import cell_index_of
+
+    keys = cell_index_of(spec, pos_hi)
+    mass = dev_fields.get("Masses")
+    if mass is None:
+        cell_mass = counts.astype(jnp.float32)
+    else:
+        # fields are already in sorted order; scatter with sorted keys
+        cell_mass = (
+            jnp.zeros(spec.n_cells, jnp.float32).at[keys[order]].add(mass)
+        )
+    mass_sat = _summed_area_table(cell_mass, spec.dims, jnp.float32)
     return PTypeChunk(
         spec=spec,
         n=n,
@@ -129,6 +144,7 @@ def stage_ptype(
         offsets=offsets,
         counts=counts,
         sat=sat,
+        mass_sat=mass_sat,
         fields=dev_fields,
     )
 
@@ -151,25 +167,25 @@ def _axis_intervals(lo, hi, d):
     return (a0, b0), (a1, b1)
 
 
-def count_candidates(
-    chunk_pt: PTypeChunk,
-    centre_hi: jnp.ndarray,  # (H, 3) comoving f32
-    radius: jnp.ndarray,  # (H,) comoving f32 search radii
+def sat_aabb_sum(
+    sat: jnp.ndarray,  # (d0+1, d1+1, d2+1) summed-area table
+    dims,
+    cell_size,
+    centre: jnp.ndarray,  # (H, 3)
+    radius: jnp.ndarray,  # (H,)
 ) -> jnp.ndarray:
-    """Exact candidate-row count per halo via the summed-area table."""
-    spec = chunk_pt.spec
-    cell = jnp.asarray(spec.cell_size, dtype=jnp.float32)
-    d = jnp.asarray(spec.dims, dtype=jnp.int32)
-    lo = jnp.floor((centre_hi - radius[:, None]) / cell).astype(jnp.int32)
-    hi = jnp.floor((centre_hi + radius[:, None]) / cell).astype(jnp.int32)
+    """Sum of per-cell values over each halo's periodic search AABB
+    (8 periodic sub-boxes x 8 SAT corners per halo)."""
+    cell = jnp.asarray(cell_size, dtype=jnp.float32)
+    d = jnp.asarray(dims, dtype=jnp.int32)
+    lo = jnp.floor((centre - radius[:, None]) / cell).astype(jnp.int32)
+    hi = jnp.floor((centre + radius[:, None]) / cell).astype(jnp.int32)
 
-    sat = chunk_pt.sat
-
-    def box_count(ix, iy, iz):
+    def box_sum(ix, iy, iz):
         (a, b) = ix
         (c, e) = iy
         (f, g) = iz
-        s = (
+        return (
             sat[b, e, g]
             - sat[a, e, g]
             - sat[b, c, g]
@@ -179,17 +195,68 @@ def count_candidates(
             + sat[b, c, f]
             - sat[a, c, f]
         )
-        return s
 
-    total = jnp.zeros(centre_hi.shape[0], dtype=jnp.int32)
+    total = jnp.zeros(centre.shape[0], dtype=sat.dtype)
     ivx = _axis_intervals(lo[:, 0], hi[:, 0], d[0])
     ivy = _axis_intervals(lo[:, 1], hi[:, 1], d[1])
     ivz = _axis_intervals(lo[:, 2], hi[:, 2], d[2])
     for ix in ivx:
         for iy in ivy:
             for iz in ivz:
-                total = total + box_count(ix, iy, iz)
+                total = total + box_sum(ix, iy, iz)
     return total
 
 
+def count_candidates(
+    chunk_pt: PTypeChunk,
+    centre_hi: jnp.ndarray,  # (H, 3) comoving f32
+    radius: jnp.ndarray,  # (H,) comoving f32 search radii
+) -> jnp.ndarray:
+    """Exact candidate-row count per halo via the summed-area table."""
+    spec = chunk_pt.spec
+    return sat_aabb_sum(
+        chunk_pt.sat, spec.dims, spec.cell_size, centre_hi, radius
+    )
+
+
 count_candidates_jit = jax.jit(count_candidates)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def presize_so_radius(
+    chunk: "ChunkData",
+    centre_hi: jnp.ndarray,  # (H, 3) comoving
+    radius0: jnp.ndarray,  # (H,) comoving initial radii
+    target_density_com: jnp.ndarray,  # scalar comoving density threshold
+    grow: float = 1.2,
+    n_steps: int = 24,
+) -> jnp.ndarray:
+    """Grow each radius by ``grow`` until the enclosed mean density drops
+    below the SO threshold — the batched analogue of the reference's
+    radius-growth loop (``SOAP/core/halo_tasks.py:73-103``), evaluated
+    with mass summed-area tables instead of mesh queries.  The AABB mass
+    overestimates the sphere mass, so the result radius is conservative
+    (always large enough); invalid for halos processed without SO.
+    """
+    factors = grow ** jnp.arange(n_steps, dtype=jnp.float32)  # (S,)
+
+    def density_ok(r):
+        total = jnp.zeros(centre_hi.shape[0], jnp.float32)
+        for pt in chunk.ptypes.values():
+            total = total + sat_aabb_sum(
+                pt.mass_sat, pt.spec.dims, pt.spec.cell_size, centre_hi, r
+            )
+        vol = _FOUR_PI_3 * r**3
+        return total <= target_density_com * vol
+
+    # evaluate all growth steps in parallel (S is small); pick the first
+    # radius whose enclosed density is below the threshold
+    radii = radius0[None, :] * factors[:, None]  # (S, H)
+    ok = jax.vmap(density_ok)(radii)  # (S, H)
+    any_ok = jnp.any(ok, axis=0)
+    first = jnp.argmax(ok, axis=0)
+    chosen = radius0 * grow ** first.astype(jnp.float32)
+    return jnp.where(any_ok, chosen, radius0 * grow ** (n_steps - 1))
+
+
+_FOUR_PI_3 = 4.0 * np.pi / 3.0

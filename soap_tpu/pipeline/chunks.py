@@ -1,0 +1,204 @@
+"""Chunked processing with scratch checkpoints and restart.
+
+Functional equivalent of the reference's chunk task machinery
+(``SOAP/core/chunk_tasks.py``, ``SOAP/core/task_queue.py``): the volume
+is split into Peano–Hilbert chunks of halos
+(``soap_tpu/parallel/domain.py``), each chunk's particle cells are read
+and staged to the device, the halo engine processes the chunk's halos,
+and the per-chunk results are written to a scratch HDF5 file with a
+``Write complete`` marker.  A rerun validates existing scratch files
+(calc names + halo rows must match) and skips finished chunks — the same
+chunk-granularity restart story as the reference
+(``chunk_tasks.py:122-162,389-398``).
+
+No dynamic task queue: chunks run in a deterministic order on this host
+(multi-host runs assign chunk ranges per host).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from soap_tpu.io import swift_snapshot
+from soap_tpu.io.halo_catalogue import HaloCatalogue
+from soap_tpu.models.context import HaloContext
+from soap_tpu.parallel.domain import peano_decomposition
+from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
+from soap_tpu.pipeline.engine import EngineStats, HaloEngine, HaloTypeSpec
+
+#: fields needed per ptype for the DMO tier (hydro tiers extend this)
+BASE_FIELDS = ["Coordinates", "Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs"]
+
+#: factor applied to search radii when masking cells to read: leaves head
+#: room for the engine's x1.5 retry ladder without re-reading
+READ_MARGIN = 4.0
+
+
+def _scratch_path(scratch_dir: str, chunk_nr: int) -> str:
+    return os.path.join(scratch_dir, f"chunk_{chunk_nr}.hdf5")
+
+
+def _try_load_scratch(
+    path: str, specs: Sequence[HaloTypeSpec], rows: np.ndarray
+) -> Optional[Dict[str, Dict[str, np.ndarray]]]:
+    """Load a finished chunk's results if the scratch file is valid."""
+    import h5py
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with h5py.File(path, "r") as f:
+            if not f.attrs.get("Write complete", False):
+                return None
+            calc_names = [n.decode() for n in f.attrs["calc_names"]]
+            want = [f"{s.group}/{k}" for s in specs for k in s.keys]
+            if calc_names != want:
+                return None
+            if not np.array_equal(f["rows"][...], rows):
+                return None
+            out: Dict[str, Dict[str, np.ndarray]] = {}
+            for spec in specs:
+                out[spec.group] = {}
+                for key in spec.keys:
+                    out[spec.group][key] = f[f"{spec.group}/{key}"][...]
+            return out
+    except Exception:
+        return None
+
+
+def _write_scratch(
+    path: str,
+    specs: Sequence[HaloTypeSpec],
+    rows: np.ndarray,
+    results: Dict[str, Dict[str, np.ndarray]],
+) -> None:
+    import h5py
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        f.create_dataset("rows", data=rows)
+        for spec in specs:
+            for key in spec.keys:
+                f.create_dataset(f"{spec.group}/{key}", data=results[spec.group][key])
+        f.attrs["calc_names"] = [
+            np.bytes_(f"{s.group}/{k}") for s in specs for k in s.keys
+        ]
+        f.attrs["Write complete"] = True
+    os.replace(tmp, path)
+
+
+def process_chunks(
+    meta: swift_snapshot.SnapshotMetadata,
+    cat: HaloCatalogue,
+    ctx: HaloContext,
+    specs: Sequence[HaloTypeSpec],
+    ptypes: Sequence[str],
+    search_radius_phys: np.ndarray,
+    nr_chunks: int = 1,
+    scratch_dir: Optional[str] = None,
+    extra_fields: Optional[Dict[str, List[str]]] = None,
+    t0: Optional[float] = None,
+    verbose: bool = True,
+) -> Tuple[Dict[str, Dict[str, np.ndarray]], EngineStats]:
+    """Process all halos chunk by chunk; returns merged {group: {key: (H,...)}}."""
+    if t0 is None:
+        t0 = time.time()
+    H = cat.nr_halos
+    chunk_of = (
+        peano_decomposition(np.mod(cat.cofp, meta.boxsize), meta.boxsize, nr_chunks)
+        if nr_chunks > 1
+        else np.zeros(H, dtype=np.int32)
+    )
+    total_stats = EngineStats()
+    merged: Dict[str, Dict[str, np.ndarray]] = {}
+
+    fields_per_type = {
+        pt: [f for f in BASE_FIELDS if f in meta.datasets[pt]] for pt in ptypes
+    }
+    if extra_fields:
+        for pt, names in extra_fields.items():
+            for n in names:
+                if n not in fields_per_type.get(pt, []):
+                    fields_per_type.setdefault(pt, []).append(n)
+
+    for chunk_nr in range(int(chunk_of.max()) + 1 if H else 0):
+        rows = np.flatnonzero(chunk_of == chunk_nr)
+        if len(rows) == 0:
+            continue
+
+        chunk_results = None
+        if scratch_dir:
+            chunk_results = _try_load_scratch(
+                _scratch_path(scratch_dir, chunk_nr), specs, rows
+            )
+            if chunk_results is not None and verbose:
+                print(
+                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: restart — "
+                    f"reusing scratch for {len(rows)} halos"
+                )
+
+        if chunk_results is None:
+            centres = np.mod(cat.cofp[rows], meta.boxsize)
+            mask = meta.mask_cells_for_spheres(
+                centres,
+                cat.search_radius[rows] * READ_MARGIN
+                + 0.5 * float(np.max(meta.cell_size)),
+            )
+            data = swift_snapshot.read_masked_cells(meta, mask, fields_per_type)
+            if verbose:
+                n_read = sum(len(d["Coordinates"]) for d in data.values())
+                print(
+                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: read {n_read} "
+                    f"particles ({int(mask.sum())}/{len(mask)} cells), "
+                    f"{len(rows)} halos"
+                )
+            chunk_ptypes = {}
+            for pt in ptypes:
+                fields = {
+                    name: arr
+                    for name, arr in data[pt].items()
+                    if name not in ("Coordinates", "__cells__")
+                }
+                chunk_ptypes[pt] = stage_ptype(
+                    np.mod(data[pt]["Coordinates"], meta.boxsize),
+                    fields,
+                    meta.boxsize,
+                )
+            chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
+
+            engine = HaloEngine(ctx, chunk, specs)
+            chunk_results = engine.process(
+                centres=cat.cofp[rows],
+                search_radius_phys=search_radius_phys[rows],
+                index=cat.index[rows],
+                is_central=cat.is_central.astype(bool)[rows],
+                fof_id=cat.fof_id[rows],
+            )
+            s = engine.stats
+            total_stats.n_bucket_calls += s.n_bucket_calls
+            total_stats.n_retries += s.n_retries
+            total_stats.n_overflow += s.n_overflow
+            total_stats.halos_done += s.halos_done
+            if verbose:
+                print(
+                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: processed "
+                    f"{s.halos_done} halos in {s.n_bucket_calls} bucket calls "
+                    f"({s.n_retries} retries, {s.n_overflow} overflows)"
+                )
+            if scratch_dir:
+                _write_scratch(
+                    _scratch_path(scratch_dir, chunk_nr), specs, rows, chunk_results
+                )
+
+        for group, props in chunk_results.items():
+            buf = merged.setdefault(group, {})
+            for key, arr in props.items():
+                if key not in buf:
+                    buf[key] = np.zeros((H,) + arr.shape[1:], arr.dtype)
+                buf[key][rows] = arr
+    return merged, total_stats

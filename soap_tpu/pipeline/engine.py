@@ -48,7 +48,11 @@ from soap_tpu.models.halo_slice import (
 from soap_tpu.ops import geometry
 from soap_tpu.ops.gather import expand_ranges, gather_rows
 from soap_tpu.ops.grid import halo_cell_ranges
-from soap_tpu.pipeline.chunk_data import ChunkData, count_candidates_jit
+from soap_tpu.pipeline.chunk_data import (
+    ChunkData,
+    count_candidates_jit,
+    presize_so_radius,
+)
 
 SEARCH_RADIUS_FACTOR = 1.2  # reference halo_tasks.py:14
 READ_RADIUS_FACTOR = 1.5  # reference halo_tasks.py:16
@@ -319,6 +323,41 @@ class HaloEngine:
 
         c_hi, c_lo = geometry.split_hi_lo(centres)
 
+        # SO gather-radius presize: grow central halos' regions until the
+        # enclosed mean density is below the *lowest* SO threshold, so the
+        # density crossing is inside the first gather (the batched form of
+        # the reference's radius-growth loop, ``halo_tasks.py:73-103`` and
+        # minimum-target logic ``halo_tasks.py:302-317``).
+        so_targets = [
+            spec.target_density(ctx0)
+            for spec in self.specs
+            if spec.kind == "SO" and spec.target_density(ctx0) is not None
+        ]
+        if so_targets and H:
+            # margin 1.5: the flow-rate shell reaches 1.05 x R_SO and the
+            # crossing interpolation needs particles past the threshold
+            # radius, so presize to a slightly lower density target
+            target_com = min(so_targets) * a**3 / 1.5  # physical -> comoving
+            grown_com = np.asarray(
+                presize_so_radius(
+                    self.chunk,
+                    jnp.asarray(c_hi),
+                    jnp.asarray((radius_phys / a).astype(np.float32)),
+                    jnp.float32(target_com),
+                )
+            )
+            grown_phys = grown_com.astype(np.float64) * a
+            so_eligible = (
+                is_central
+                if any(s.centrals_only for s in self.specs if s.kind == "SO")
+                else np.ones(H, bool)
+            )
+            radius_phys = np.where(
+                so_eligible,
+                np.minimum(np.maximum(radius_phys, grown_phys), MAX_SEARCH_RADIUS),
+                radius_phys,
+            )
+
         while len(pending):
             radius_com = (radius_phys[pending] / a).astype(np.float32)
             # exact candidate totals per ptype
@@ -340,11 +379,18 @@ class HaloEngine:
 
             pos = 0
             while pos < len(order):
-                # build one bucket: contiguous range of the sorted halos
-                cap_probe = int(totals[order[pos]])
-                cap_total = _next_pow2(cap_probe + 8)
-                b_max = max(1, min(MAX_BATCH, TARGET_ROWS // cap_total))
-                sel = order[pos : pos + b_max]
+                # build one bucket: extend along the sorted halos while the
+                # padded row budget B * K stays within TARGET_ROWS, where K
+                # tracks the bucket's (quantized) maximum candidate count
+                n_sel = 1
+                cap_total = _next_pow2(int(totals[order[pos]]) + 8)
+                while pos + n_sel < len(order) and n_sel < MAX_BATCH:
+                    cap_next = _next_pow2(int(totals[order[pos + n_sel]]) + 8)
+                    if (n_sel + 1) * max(cap_total, cap_next) > TARGET_ROWS:
+                        break
+                    cap_total = max(cap_total, cap_next)
+                    n_sel += 1
+                sel = order[pos : pos + n_sel]
                 # pad only to the next power of two of the real count — a
                 # small fixed set of (B, K) shapes keeps the jit cache hot
                 # without blowing up padded work

@@ -29,6 +29,7 @@ from soap_tpu.io.halo_catalogue import CATALOGUE_READERS, HaloCatalogue
 from soap_tpu.models.context import HaloContext
 from soap_tpu.pipeline import derived
 from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
+from soap_tpu.pipeline.chunks import process_chunks
 from soap_tpu.pipeline.engine import HaloEngine, HaloTypeSpec
 from soap_tpu.pipeline.specs import build_specs
 
@@ -168,6 +169,8 @@ def compute_halo_properties(
     halo_indices: Optional[np.ndarray] = None,
     min_read_radius_mpc: float = 5.0e-3,
     specs: Optional[List[HaloTypeSpec]] = None,
+    nr_chunks: int = 1,
+    scratch_dir: Optional[str] = None,
     verbose: bool = True,
 ) -> RunResult:
     """Run the full pipeline on one snapshot (single chunk).
@@ -206,48 +209,19 @@ def compute_halo_properties(
     if specs is None:
         specs = build_specs(parameter_file, dmo, bn98_value=meta.virBN98)
 
-    # --- single chunk: read everything the halos need ---
-    mask = meta.mask_cells_for_spheres(
-        np.mod(cat.cofp, meta.boxsize),
-        cat.search_radius * 4.0 + 0.5 * float(np.max(meta.cell_size)),
+    # --- chunked processing (Peano decomposition for nr_chunks > 1) ---
+    results, engine_stats = process_chunks(
+        meta,
+        cat,
+        ctx,
+        specs,
+        ptypes,
+        search_radius_phys,
+        nr_chunks=nr_chunks,
+        scratch_dir=scratch_dir,
+        t0=t0,
+        verbose=verbose,
     )
-    data = swift_snapshot.read_masked_cells(
-        meta, mask, {pt: [f for f in BASE_FIELDS if f in meta.datasets[pt]] for pt in ptypes}
-    )
-    if verbose:
-        n_read = sum(len(d["Coordinates"]) for d in data.values())
-        print(
-            f"[{time.time()-t0:6.1f}s] read {n_read} particles "
-            f"({int(mask.sum())}/{len(mask)} cells)"
-        )
-
-    chunk_ptypes = {}
-    for pt in ptypes:
-        fields = {
-            name: arr
-            for name, arr in data[pt].items()
-            if name not in ("Coordinates", "__cells__")
-        }
-        chunk_ptypes[pt] = stage_ptype(
-            np.mod(data[pt]["Coordinates"], meta.boxsize), fields, meta.boxsize
-        )
-    chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
-
-    engine = HaloEngine(ctx, chunk, specs)
-    results = engine.process(
-        centres=cat.cofp,
-        search_radius_phys=search_radius_phys,
-        index=cat.index,
-        is_central=cat.is_central.astype(bool),
-        fof_id=cat.fof_id,
-    )
-    if verbose:
-        s = engine.stats
-        print(
-            f"[{time.time()-t0:6.1f}s] processed {s.halos_done} halos in "
-            f"{s.n_bucket_calls} bucket calls ({s.n_retries} retries, "
-            f"{s.n_overflow} overflows)"
-        )
 
     # --- category filters: zero masked halos, record metadata ---
     cat_filter = CategoryFilter(
@@ -304,4 +278,4 @@ def compute_halo_properties(
         if verbose:
             print(f"[{time.time()-t0:6.1f}s] wrote {output_file}")
 
-    return RunResult(results, cat, order, engine.stats, output_file)
+    return RunResult(results, cat, order, engine_stats, output_file)
