@@ -90,6 +90,12 @@ def _zero():
     return jnp.float32(0.0)
 
 
+#: index of the GAMA r band in SWIFT's 9-band Luminosities named columns
+#: (u, g, r, i, z, Y, J, H, K — reference
+#: ``snapshot_datasets.get_column_index("PartType4/Luminosities", "GAMA_r")``)
+GAMA_R_BAND = 2
+
+
 class HaloSlice:
     """Base class: one halo's selected particles + lazy property methods.
 
@@ -97,10 +103,19 @@ class HaloSlice:
     belong to this halo type (bound / inside SO radius / inside aperture).
     """
 
-    def __init__(self, ctx: HaloContext, parts: HaloParticles, scalars: HaloScalars):
+    def __init__(
+        self,
+        ctx: HaloContext,
+        parts: HaloParticles,
+        scalars: HaloScalars,
+        aux: Optional[Dict[str, object]] = None,
+    ):
         self.ctx = ctx
         self.parts = parts
         self.scalars = scalars
+        #: shared non-batched constants (e.g. the cosmology age table);
+        #: closed over by the vmapped evaluation, not vmapped themselves
+        self.aux = aux or {}
 
     # ---------------- selection & basic masks ----------------
 
@@ -487,6 +502,48 @@ class HaloSlice:
     def GasInertiaTensorReducedNoniterative(self):
         return self._inertia("gas", True, False)
 
+    def _inertia_lum(self, reduced, iterative):
+        """Luminosity-weighted stellar inertia: one (6,) tensor per GAMA
+        band, concatenated -> (54,) (``inertia_tensors.py:168-224``);
+        sphere radius follows the class's stellar inertia configuration."""
+        if not self._has("PartType4/Luminosities"):
+            return jnp.zeros(54, jnp.float32)
+        mask, sphere, search, gate = self._inertia_cfg("star")
+        lo, hi = self.ctx.segment("PartType4")
+        outs = []
+        for band in range(9):
+            weights = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
+            weights = weights.at[lo:hi].set(self._star_lum[:, band])
+            result = inertia_ops.inertia_tensor(
+                weights,
+                self.parts.pos,
+                mask,
+                sphere,
+                search_radius=search,
+                reduced=reduced,
+                max_iterations=20 if iterative else 1,
+            )
+            if search is not None:
+                self.add_flag(result.needs_bigger)
+            outs.append(jnp.where(gate > 0, result.tensor, 0.0))
+        return jnp.concatenate(outs)
+
+    @lazy_property
+    def StellarInertiaTensorLuminosityWeighted(self):
+        return self._inertia_lum(False, True)
+
+    @lazy_property
+    def StellarInertiaTensorReducedLuminosityWeighted(self):
+        return self._inertia_lum(True, True)
+
+    @lazy_property
+    def StellarInertiaTensorNoniterativeLuminosityWeighted(self):
+        return self._inertia_lum(False, False)
+
+    @lazy_property
+    def StellarInertiaTensorReducedNoniterativeLuminosityWeighted(self):
+        return self._inertia_lum(True, False)
+
     @lazy_property
     def StellarInertiaTensor(self):
         return self._inertia("star", False, True)
@@ -510,6 +567,632 @@ class HaloSlice:
         """Fraction of stellar mass formed ex situ; needs star-formation
         tracking data — 0 when stars are absent (DMO)."""
         return _zero()
+
+    # =====================================================================
+    # Hydro tier: gas / star / black-hole properties.
+    # Extra per-type datasets are carried in ``parts.fields`` with
+    # type-local row counts; the helpers below slice the concatenated
+    # common arrays (mass/pos/vel/masks) down to one type's segment so
+    # both align.  Missing datasets degrade to zeros (DMO runs never
+    # request these keys; the guards protect partial snapshots).
+    # =====================================================================
+
+    def _seg_arr(self, arr: jnp.ndarray, ptype: str) -> jnp.ndarray:
+        lo, hi = self.ctx.segment(ptype)
+        return arr[lo:hi]
+
+    def _has(self, name: str) -> bool:
+        return name in self.parts.fields
+
+    def field(self, name: str) -> jnp.ndarray:
+        return self.parts.fields[name]
+
+    # ---- gas ----
+
+    @lazy_property
+    def _gas_sel(self):
+        """Selected-gas mask, gas-segment local."""
+        return self._seg_arr(self.mask_gas, "PartType0")
+
+    @lazy_property
+    def _gas_mass(self):
+        return self._seg_arr(self.parts.mass, "PartType0")
+
+    @lazy_property
+    def _gas_sfr(self):
+        """SFR with SWIFT's negative last-SF-scale-factor encoding zeroed
+        (``subhalo_properties.py`` gas_SFR)."""
+        sfr = self.field("PartType0/StarFormationRates")
+        return jnp.maximum(sfr, 0.0)
+
+    @lazy_property
+    def SFR(self):
+        if not self._has("PartType0/StarFormationRates"):
+            return _zero()
+        return jnp.sum(jnp.where(self._gas_sel, self._gas_sfr, 0.0))
+
+    @lazy_property
+    def Mgas_SF(self):
+        if not self._has("PartType0/StarFormationRates"):
+            return _zero()
+        sf = self._gas_sel & (self._gas_sfr > 0.0)
+        return jnp.sum(jnp.where(sf, self._gas_mass, 0.0))
+
+    @lazy_property
+    def _gas_metal_mass(self):
+        return self._gas_mass * self.field("PartType0/MetalMassFractions")
+
+    @lazy_property
+    def gasmetalfrac(self):
+        if not self._has("PartType0/MetalMassFractions"):
+            return _zero()
+        mm = jnp.sum(jnp.where(self._gas_sel, self._gas_metal_mass, 0.0))
+        return jnp.where(self.Mgas > 0, mm / jnp.maximum(self.Mgas, 1e-37), 0.0)
+
+    @lazy_property
+    def gasmetalfrac_SF(self):
+        if not (
+            self._has("PartType0/MetalMassFractions")
+            and self._has("PartType0/StarFormationRates")
+        ):
+            return _zero()
+        sf = self._gas_sel & (self._gas_sfr > 0.0)
+        mm = jnp.sum(jnp.where(sf, self._gas_metal_mass, 0.0))
+        return jnp.where(
+            self.Mgas_SF > 0, mm / jnp.maximum(self.Mgas_SF, 1e-37), 0.0
+        )
+
+    #: hot/cool boundary (K) — reference Tgas_no_cool / Mhotgas
+    T_COOL_MAX = 1.0e5
+
+    @lazy_property
+    def _gas_temp(self):
+        return self.field("PartType0/Temperatures")
+
+    @lazy_property
+    def Tgas(self):
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        m = jnp.where(self._gas_sel, self._gas_mass, 0.0)
+        return jnp.sum(m * self._gas_temp) / jnp.maximum(self.Mgas, 1e-37)
+
+    @lazy_property
+    def Tgas_no_cool(self):
+        """Mass-weighted temperature of gas with T >= 1e5 K."""
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        no_cool = self._gas_sel & (self._gas_temp >= self.T_COOL_MAX)
+        m = jnp.where(no_cool, self._gas_mass, 0.0)
+        mtot = jnp.sum(m)
+        return jnp.where(
+            mtot > 0, jnp.sum(m * self._gas_temp) / jnp.maximum(mtot, 1e-37), 0.0
+        )
+
+    @lazy_property
+    def Mhotgas(self):
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        hot = self._gas_sel & (self._gas_temp >= self.T_COOL_MAX)
+        return jnp.sum(jnp.where(hot, self._gas_mass, 0.0))
+
+    @lazy_property
+    def com_gas(self):
+        _, rel = red.centre_of_mass(self.parts.mass, self.parts.pos, self.mask_gas)
+        return jnp.where(
+            self.Mgas > 0, self.scalars.centre * self.ctx.a + rel, 0.0
+        )
+
+    @lazy_property
+    def com_dm(self):
+        _, rel = red.centre_of_mass(self.parts.mass, self.parts.pos, self.mask_dm)
+        return jnp.where(
+            self.Mdm > 0, self.scalars.centre * self.ctx.a + rel, 0.0
+        )
+
+    @lazy_property
+    def com_star(self):
+        _, rel = red.centre_of_mass(self.parts.mass, self.parts.pos, self.mask_star)
+        return jnp.where(
+            self.Mstar > 0, self.scalars.centre * self.ctx.a + rel, 0.0
+        )
+
+    # ---- kinetic energies (vcom + Hubble-flow frame,
+    #      ``subhalo_properties.py`` KineticEnergyTotal) ----
+
+    def _kinetic_energy(self, mask):
+        v = (
+            self.parts.vel
+            - self.vcom[None, :]
+            + self.parts.pos * jnp.float32(self.ctx.H)
+        )
+        m = jnp.where(mask, self.parts.mass, 0.0)
+        return 0.5 * jnp.sum(m * jnp.sum(v * v, axis=1))
+
+    @lazy_property
+    def KineticEnergyTotal(self):
+        return self._kinetic_energy(self.selection)
+
+    @lazy_property
+    def KineticEnergyGas(self):
+        return self._kinetic_energy(self.mask_gas)
+
+    @lazy_property
+    def KineticEnergyStars(self):
+        return self._kinetic_energy(self.mask_star)
+
+    # ---- kappa_corot family ----
+
+    def _kappa(self, mask, vcom_species):
+        vel_rel = self.parts.vel - vcom_species[None, :]
+        res = kin.angular_momentum_and_kappa(
+            self.parts.mass, self.parts.pos, vel_rel, mask
+        )
+        return res
+
+    @lazy_property
+    def kappa_corot_gas(self):
+        return self._kappa(self.mask_gas, self.vcom_gas).kappa_corot
+
+    @lazy_property
+    def kappa_corot_star(self):
+        return self._kappa(self.mask_star, self.vcom_star).kappa_corot
+
+    @lazy_property
+    def vcom_bar(self):
+        return red.centre_of_mass_velocity(
+            self.parts.mass, self.parts.vel, self.mask_gas | self.mask_star
+        )
+
+    @lazy_property
+    def Lbaryons(self):
+        bar = self.mask_gas | self.mask_star
+        vel_rel = self.parts.vel - self.vcom_bar[None, :]
+        return kin.angular_momentum(
+            self.parts.mass, self.parts.pos, vel_rel, bar
+        )
+
+    @lazy_property
+    def kappa_corot_baryons(self):
+        return self._kappa(self.mask_gas | self.mask_star, self.vcom_bar).kappa_corot
+
+    @lazy_property
+    def _Mcountrot_gas(self):
+        return self._kappa(self.mask_gas, self.vcom_gas).m_counterrot
+
+    @lazy_property
+    def _Mcountrot_star(self):
+        return self._kappa(self.mask_star, self.vcom_star).m_counterrot
+
+    @lazy_property
+    def DtoTgas(self):
+        """Disc-to-total = 1 - 2 Mcounterrot/M (``subhalo_properties.py``)."""
+        return jnp.where(
+            self.Mgas > 0,
+            1.0 - 2.0 * self._Mcountrot_gas / jnp.maximum(self.Mgas, 1e-37),
+            0.0,
+        )
+
+    @lazy_property
+    def DtoTstar(self):
+        return jnp.where(
+            self.Mstar > 0,
+            1.0 - 2.0 * self._Mcountrot_star / jnp.maximum(self.Mstar, 1e-37),
+            0.0,
+        )
+
+    # ---- stars ----
+
+    @lazy_property
+    def _star_sel(self):
+        return self._seg_arr(self.mask_star, "PartType4")
+
+    @lazy_property
+    def _star_mass(self):
+        return self._seg_arr(self.parts.mass, "PartType4")
+
+    @lazy_property
+    def Mstar_init(self):
+        if not self._has("PartType4/InitialMasses"):
+            return _zero()
+        return jnp.sum(
+            jnp.where(self._star_sel, self.field("PartType4/InitialMasses"), 0.0)
+        )
+
+    @lazy_property
+    def starmetalfrac(self):
+        if not self._has("PartType4/MetalMassFractions"):
+            return _zero()
+        mm = jnp.sum(
+            jnp.where(
+                self._star_sel,
+                self._star_mass * self.field("PartType4/MetalMassFractions"),
+                0.0,
+            )
+        )
+        return jnp.where(self.Mstar > 0, mm / jnp.maximum(self.Mstar, 1e-37), 0.0)
+
+    @lazy_property
+    def _star_lum(self):
+        """(K4, 9) luminosities in the GAMA bands."""
+        return self.field("PartType4/Luminosities")
+
+    @lazy_property
+    def StellarLuminosity(self):
+        if not self._has("PartType4/Luminosities"):
+            return jnp.zeros(9, jnp.float32)
+        return jnp.sum(
+            jnp.where(self._star_sel[:, None], self._star_lum, 0.0), axis=0
+        )
+
+    @lazy_property
+    def _star_r_local(self):
+        return self._seg_arr(self.radius, "PartType4")
+
+    @lazy_property
+    def HalfLightRadiusStar(self):
+        """Per-band half-light radii (reference
+        ``half_mass_radius.py:102-161``); one shared star-segment sort."""
+        if not self._has("PartType4/Luminosities"):
+            return jnp.zeros(9, jnp.float32)
+        r = jnp.where(self._star_sel, self._star_r_local, jnp.inf)
+        order = jnp.argsort(r)
+        r_s = r[order]
+        sel_s = self._star_sel[order]
+        lum_s = self._star_lum[order]
+        out = []
+        for band in range(9):
+            w = lum_s[:, band]
+            total = jnp.sum(jnp.where(sel_s, w, 0.0))
+            out.append(
+                radii_ops.half_weight_radius_sorted(r_s, w, sel_s, total)
+            )
+        return jnp.stack(out)
+
+    @lazy_property
+    def HalfMassRadiusBaryon(self):
+        bar = self.mask_gas | self.mask_star
+        mbar = self.Mgas + self.Mstar
+        return radii_ops.half_weight_radius_sorted(
+            self._r_sorted, self._m_sorted, self._sorted(bar), mbar
+        )
+
+    @lazy_property
+    def _stellar_ages(self):
+        """Per-star age from birth scale factor via the age table
+        (reference ``stellar_age_calculator.py:21-113``)."""
+        birth_a = self.field("PartType4/BirthScaleFactors")
+        age_a, age_t = self.aux["age_table"]
+        t_birth = jnp.interp(birth_a, age_a, age_t)
+        t_now = jnp.interp(jnp.float32(self.ctx.a), age_a, age_t)
+        return jnp.maximum(t_now - t_birth, 0.0)
+
+    @lazy_property
+    def stellar_age_mw(self):
+        if not self._has("PartType4/BirthScaleFactors") or "age_table" not in self.aux:
+            return _zero()
+        m = jnp.where(self._star_sel, self._star_mass, 0.0)
+        return jnp.where(
+            self.Mstar > 0,
+            jnp.sum(m * self._stellar_ages) / jnp.maximum(self.Mstar, 1e-37),
+            0.0,
+        )
+
+    @lazy_property
+    def stellar_age_lw(self):
+        """r-band-luminosity-weighted mean age (GAMA_r = band 2)."""
+        if (
+            not self._has("PartType4/BirthScaleFactors")
+            or not self._has("PartType4/Luminosities")
+            or "age_table" not in self.aux
+        ):
+            return _zero()
+        Lr = jnp.where(self._star_sel, self._star_lum[:, GAMA_R_BAND], 0.0)
+        Ltot = jnp.sum(Lr)
+        return jnp.where(
+            Ltot > 0, jnp.sum(Lr * self._stellar_ages) / jnp.maximum(Ltot, 1e-37), 0.0
+        )
+
+    # ---- stellar cylindrical kinematics ----
+
+    @lazy_property
+    def _star_pos_local(self):
+        return self._seg_arr(self.parts.pos, "PartType4")
+
+    @lazy_property
+    def _star_vel_local(self):
+        return self._seg_arr(self.parts.vel, "PartType4")
+
+    @lazy_property
+    def _star_vcyl(self):
+        """Cylindrical star velocities: z along Lstar, velocities about
+        vcom_star (``subhalo_properties.py:1410-1432``)."""
+        vel = jnp.where(
+            self._star_sel[:, None],
+            self._star_vel_local - self.vcom_star[None, :],
+            0.0,
+        )
+        pos = jnp.where(self._star_sel[:, None], self._star_pos_local, 0.0)
+        return kin.cylindrical_velocities(pos, vel, self.Lstar)
+
+    @lazy_property
+    def _star_cyl_ok(self):
+        return (self.Nstar >= 2) & (jnp.sum(self.Lstar * self.Lstar) > 0)
+
+    @lazy_property
+    def StellarRotationalVelocity(self):
+        v = kin.weighted_rotation_velocity(
+            self._star_mass, self._star_vcyl[:, 1], self._star_sel
+        )
+        return jnp.where(self._star_cyl_ok, v, 0.0)
+
+    @lazy_property
+    def _star_cyl_disp(self):
+        return kin.weighted_cylindrical_dispersion(
+            self._star_mass, self._star_vcyl, self._star_sel
+        )
+
+    @lazy_property
+    def StellarCylindricalVelocityDispersion(self):
+        v = jnp.sqrt(jnp.sum(self._star_cyl_disp**2) / 3.0)
+        return jnp.where(self._star_cyl_ok, v, 0.0)
+
+    @lazy_property
+    def StellarCylindricalVelocityDispersionVertical(self):
+        return jnp.where(self._star_cyl_ok, self._star_cyl_disp[2], 0.0)
+
+    @lazy_property
+    def StellarCylindricalVelocityDispersionDiscPlane(self):
+        v = jnp.sqrt((self._star_cyl_disp[0] ** 2 + self._star_cyl_disp[1] ** 2) / 2.0)
+        return jnp.where(self._star_cyl_ok, v, 0.0)
+
+    # luminosity-weighted variants: per-band L frame
+    @lazy_property
+    def _star_lum_L(self):
+        """(9, 3) per-band luminosity-weighted angular momenta."""
+        if not self._has("PartType4/Luminosities"):
+            return jnp.zeros((9, 3), jnp.float32)
+        return jnp.stack(
+            [
+                kin.angular_momentum(
+                    self._star_lum[:, b],
+                    self._star_pos_local,
+                    self._star_vel_local - self._star_vlum_coms[b][None, :],
+                    self._star_sel,
+                )
+                for b in range(9)
+            ]
+        )
+
+    @lazy_property
+    def _star_vlum_coms(self):
+        """(9, 3) luminosity-weighted mean velocities per band."""
+        out = []
+        for b in range(9):
+            w = jnp.where(self._star_sel, self._star_lum[:, b], 0.0)
+            wsum = jnp.maximum(jnp.sum(w), 1e-37)
+            out.append(jnp.sum(w[:, None] * self._star_vel_local, axis=0) / wsum)
+        return jnp.stack(out)
+
+    @lazy_property
+    def Lstar_luminosity_weighted(self):
+        """(27,) = 9 bands x 3 components."""
+        return self._star_lum_L.reshape(-1)
+
+    @lazy_property
+    def kappa_corot_star_luminosity_weighted(self):
+        if not self._has("PartType4/Luminosities"):
+            return _zero()
+        b = GAMA_R_BAND
+        vel_rel = self._star_vel_local - self._star_vlum_coms[b][None, :]
+        res = kin.angular_momentum_and_kappa(
+            self._star_lum[:, b], self._star_pos_local, vel_rel, self._star_sel
+        )
+        return res.kappa_corot
+
+    @lazy_property
+    def Lstar_lw_r(self):
+        return self._star_lum_L[GAMA_R_BAND]
+
+    @lazy_property
+    def StellarRotationalVelocityLuminosityWeighted(self):
+        if not self._has("PartType4/Luminosities"):
+            return _zero()
+        vel = jnp.where(
+            self._star_sel[:, None],
+            self._star_vel_local - self._star_vlum_coms[GAMA_R_BAND][None, :],
+            0.0,
+        )
+        pos = jnp.where(self._star_sel[:, None], self._star_pos_local, 0.0)
+        vcyl = kin.cylindrical_velocities(pos, vel, self.Lstar_lw_r)
+        v = kin.weighted_rotation_velocity(
+            self._star_lum[:, GAMA_R_BAND], vcyl[:, 1], self._star_sel
+        )
+        ok = (self.Nstar >= 2) & (jnp.sum(self.Lstar_lw_r**2) > 0)
+        return jnp.where(ok, v, 0.0)
+
+    @lazy_property
+    def _star_cyl_disp_lw(self):
+        vel = jnp.where(
+            self._star_sel[:, None],
+            self._star_vel_local - self._star_vlum_coms[GAMA_R_BAND][None, :],
+            0.0,
+        )
+        pos = jnp.where(self._star_sel[:, None], self._star_pos_local, 0.0)
+        vcyl = kin.cylindrical_velocities(pos, vel, self.Lstar_lw_r)
+        return kin.weighted_cylindrical_dispersion(
+            self._star_lum[:, GAMA_R_BAND], vcyl, self._star_sel
+        )
+
+    @lazy_property
+    def StellarCylindricalVelocityDispersionLuminosityWeighted(self):
+        if not self._has("PartType4/Luminosities"):
+            return _zero()
+        ok = (self.Nstar >= 2) & (jnp.sum(self.Lstar_lw_r**2) > 0)
+        return jnp.where(
+            ok, jnp.sqrt(jnp.sum(self._star_cyl_disp_lw**2) / 3.0), 0.0
+        )
+
+    @lazy_property
+    def StellarCylindricalVelocityDispersionVerticalLuminosityWeighted(self):
+        if not self._has("PartType4/Luminosities"):
+            return _zero()
+        ok = (self.Nstar >= 2) & (jnp.sum(self.Lstar_lw_r**2) > 0)
+        return jnp.where(ok, self._star_cyl_disp_lw[2], 0.0)
+
+    @lazy_property
+    def StellarCylindricalVelocityDispersionDiscPlaneLuminosityWeighted(self):
+        if not self._has("PartType4/Luminosities"):
+            return _zero()
+        ok = (self.Nstar >= 2) & (jnp.sum(self.Lstar_lw_r**2) > 0)
+        return jnp.where(
+            ok,
+            jnp.sqrt(
+                (self._star_cyl_disp_lw[0] ** 2 + self._star_cyl_disp_lw[1] ** 2)
+                / 2.0
+            ),
+            0.0,
+        )
+
+    # ---- DtoT luminosity-weighted variants ----
+
+    @lazy_property
+    def _kappa_star_lw(self):
+        b = GAMA_R_BAND
+        vel_rel = self._star_vel_local - self._star_vlum_coms[b][None, :]
+        return kin.angular_momentum_and_kappa(
+            self._star_lum[:, b], self._star_pos_local, vel_rel, self._star_sel
+        )
+
+    @lazy_property
+    def DtoTstar_luminosity_weighted_luminosity_ratio(self):
+        """1 - 2 x (counter-rotating r-band luminosity) / (total)."""
+        if not self._has("PartType4/Luminosities"):
+            return _zero()
+        Ltot = jnp.sum(
+            jnp.where(self._star_sel, self._star_lum[:, GAMA_R_BAND], 0.0)
+        )
+        return jnp.where(
+            Ltot > 0,
+            1.0 - 2.0 * self._kappa_star_lw.m_counterrot / jnp.maximum(Ltot, 1e-37),
+            0.0,
+        )
+
+    @lazy_property
+    def DtoTstar_luminosity_weighted_mass_ratio(self):
+        """1 - 2 x (mass counter-rotating wrt the luminosity-weighted L)
+        / (total stellar mass)."""
+        if not self._has("PartType4/Luminosities"):
+            return _zero()
+        b = GAMA_R_BAND
+        vel_rel = self._star_vel_local - self._star_vlum_coms[b][None, :]
+        # counter-rotating mass about the luminosity-weighted L direction
+        L = self.Lstar_lw_r
+        Ldir = L / jnp.sqrt(jnp.maximum(jnp.sum(L * L), 1e-37))
+        Li = jnp.sum(
+            self._star_mass[:, None]
+            * jnp.cross(self._star_pos_local, vel_rel)
+            * Ldir[None, :],
+            axis=1,
+        )
+        counter = self._star_sel & (Li < 0.0)
+        m_counter = jnp.sum(jnp.where(counter, self._star_mass, 0.0))
+        return jnp.where(
+            self.Mstar > 0,
+            1.0 - 2.0 * m_counter / jnp.maximum(self.Mstar, 1e-37),
+            0.0,
+        )
+
+    # ---- dust (total dust mass fractions) ----
+
+    @lazy_property
+    def DustGasMass(self):
+        if not self._has("PartType0/TotalDustMassFractions"):
+            return _zero()
+        return jnp.sum(
+            jnp.where(
+                self._gas_sel,
+                self._gas_mass * self.field("PartType0/TotalDustMassFractions"),
+                0.0,
+            )
+        )
+
+    # ---- black holes ----
+
+    @lazy_property
+    def _bh_sel(self):
+        return self._seg_arr(self.mask_bh, "PartType5")
+
+    @lazy_property
+    def Mbh_subgrid(self):
+        if not self._has("PartType5/SubgridMasses"):
+            return _zero()
+        return jnp.sum(
+            jnp.where(self._bh_sel, self.field("PartType5/SubgridMasses"), 0.0)
+        )
+
+    @lazy_property
+    def _bh_max_idx(self):
+        """(index, found) of the most massive (subgrid) selected BH."""
+        sub = jnp.where(
+            self._bh_sel, self.field("PartType5/SubgridMasses"), -jnp.inf
+        )
+        return jnp.argmax(sub), jnp.any(self._bh_sel)
+
+    def _bh_max_field(self, name, fill=0.0):
+        if not (self._has("PartType5/SubgridMasses") and self._has(name)):
+            return jnp.float32(fill)
+        idx, found = self._bh_max_idx
+        val = self.field(name)[idx]
+        return jnp.where(found, val, jnp.zeros_like(val) + fill)
+
+    @lazy_property
+    def BHmaxM(self):
+        return self._bh_max_field("PartType5/SubgridMasses")
+
+    @lazy_property
+    def BHmaxID(self):
+        if not (
+            self._has("PartType5/SubgridMasses")
+            and self._has("PartType5/ParticleIDs")
+        ):
+            return jnp.uint64(0)
+        idx, found = self._bh_max_idx
+        return jnp.where(found, self.field("PartType5/ParticleIDs")[idx], 0)
+
+    @lazy_property
+    def BHmaxpos(self):
+        if not self._has("PartType5/SubgridMasses"):
+            return jnp.zeros(3, jnp.float32)
+        idx, found = self._bh_max_idx
+        rel = self._seg_arr(self.parts.pos, "PartType5")[idx]
+        return jnp.where(found, self.scalars.centre * self.ctx.a + rel, 0.0)
+
+    @lazy_property
+    def BHmaxvel(self):
+        if not self._has("PartType5/SubgridMasses"):
+            return jnp.zeros(3, jnp.float32)
+        idx, found = self._bh_max_idx
+        return jnp.where(
+            found, self._seg_arr(self.parts.vel, "PartType5")[idx], 0.0
+        )
+
+    @lazy_property
+    def BHmaxAR(self):
+        return self._bh_max_field("PartType5/AccretionRates")
+
+    @lazy_property
+    def BHmaxlasteventa(self):
+        return self._bh_max_field("PartType5/LastAGNFeedbackScaleFactors")
+
+    @lazy_property
+    def BHlasteventa(self):
+        """Most recent AGN event scale factor over all selected BHs."""
+        if not self._has("PartType5/LastAGNFeedbackScaleFactors"):
+            return _zero()
+        a = jnp.where(
+            self._bh_sel, self.field("PartType5/LastAGNFeedbackScaleFactors"), 0.0
+        )
+        return jnp.max(a)
 
 
 class BoundSubhaloSlice(HaloSlice):
@@ -536,8 +1219,9 @@ class SOSlice(HaloSlice):
         target_density: Optional[jnp.ndarray] = None,
         physical_radius: Optional[jnp.ndarray] = None,
         virial: bool = True,
+        aux: Optional[Dict[str, object]] = None,
     ):
-        super().__init__(ctx, parts, scalars)
+        super().__init__(ctx, parts, scalars, aux)
         self.target_density = target_density
         self.physical_radius = physical_radius
         # crit/mean/BN98 definitions (incl. radius multiples of them) are
@@ -772,8 +1456,9 @@ class ApertureSlice(HaloSlice):
         scalars: HaloScalars,
         aperture_radius: jnp.ndarray,  # physical internal units
         inclusive: bool,
+        aux: Optional[Dict[str, object]] = None,
     ):
-        super().__init__(ctx, parts, scalars)
+        super().__init__(ctx, parts, scalars, aux)
         self.aperture_radius = aperture_radius
         self.inclusive = inclusive
 
@@ -819,8 +1504,9 @@ class ProjectedApertureSlice(HaloSlice):
         scalars: HaloScalars,
         aperture_radius: jnp.ndarray,
         axis: int,  # 0, 1, 2 = projection along x, y, z
+        aux: Optional[Dict[str, object]] = None,
     ):
-        super().__init__(ctx, parts, scalars)
+        super().__init__(ctx, parts, scalars, aux)
         self.aperture_radius = aperture_radius
         self.axis = axis
         self._proj_dims = tuple(d for d in range(3) if d != axis)
@@ -871,6 +1557,117 @@ class ProjectedApertureSlice(HaloSlice):
         mtot = jnp.sum(m)
         var = jnp.sum(m * dv * dv) / jnp.maximum(mtot, 1e-37)
         return jnp.where(mtot > 0, jnp.sqrt(var), 0.0)
+
+    # ---- projected inertia tensors (``inertia_tensors.py:226-343``) ----
+    # Circle radius = the projected aperture radius; ALL bound particles
+    # of the species (the ellipse may deform beyond the aperture).
+
+    def _proj_inertia(self, species, reduced, iterative, lum_weighted=False):
+        masks = {
+            "tot": (self.bound_mask, self.Mtot),
+            "gas": (self._type_bound_proj("PartType0"), self.Mgas),
+            "star": (self._type_bound_proj("PartType4"), self.Mstar),
+        }
+        mask, gate = masks[species]
+        if lum_weighted:
+            # one (3,) tensor per GAMA band, concatenated -> (27,)
+            # (``inertia_tensors.py:168-224``)
+            if not self._has("PartType4/Luminosities"):
+                return jnp.zeros(27, jnp.float32)
+            lo, hi = self.ctx.segment("PartType4")
+            outs = []
+            for band in range(9):
+                weights = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
+                weights = weights.at[lo:hi].set(self._star_lum[:, band])
+                result = inertia_ops.projected_inertia_tensor(
+                    weights,
+                    self.proj_pos,
+                    mask,
+                    self.aperture_radius,
+                    max_iterations=20 if iterative else 1,
+                    reduced=reduced,
+                )
+                outs.append(jnp.where(gate > 0, result.tensor, 0.0))
+            return jnp.concatenate(outs)
+        result = inertia_ops.projected_inertia_tensor(
+            self.parts.mass,
+            self.proj_pos,
+            mask,
+            self.aperture_radius,
+            max_iterations=20 if iterative else 1,
+            reduced=reduced,
+        )
+        return jnp.where(gate > 0, result.tensor, 0.0)
+
+    def _type_bound_proj(self, ptype: str) -> jnp.ndarray:
+        lo, hi = self.ctx.segment(ptype)
+        k = self.parts.valid.shape[0]
+        row = jnp.arange(k, dtype=jnp.int32)
+        return self.bound_mask & (row >= lo) & (row < hi)
+
+    @lazy_property
+    def ProjectedTotalInertiaTensor(self):
+        return self._proj_inertia("tot", False, True)
+
+    @lazy_property
+    def ProjectedTotalInertiaTensorReduced(self):
+        return self._proj_inertia("tot", True, True)
+
+    @lazy_property
+    def ProjectedTotalInertiaTensorNoniterative(self):
+        return self._proj_inertia("tot", False, False)
+
+    @lazy_property
+    def ProjectedTotalInertiaTensorReducedNoniterative(self):
+        return self._proj_inertia("tot", True, False)
+
+    @lazy_property
+    def ProjectedGasInertiaTensor(self):
+        return self._proj_inertia("gas", False, True)
+
+    @lazy_property
+    def ProjectedGasInertiaTensorReduced(self):
+        return self._proj_inertia("gas", True, True)
+
+    @lazy_property
+    def ProjectedGasInertiaTensorNoniterative(self):
+        return self._proj_inertia("gas", False, False)
+
+    @lazy_property
+    def ProjectedGasInertiaTensorReducedNoniterative(self):
+        return self._proj_inertia("gas", True, False)
+
+    @lazy_property
+    def ProjectedStellarInertiaTensor(self):
+        return self._proj_inertia("star", False, True)
+
+    @lazy_property
+    def ProjectedStellarInertiaTensorReduced(self):
+        return self._proj_inertia("star", True, True)
+
+    @lazy_property
+    def ProjectedStellarInertiaTensorNoniterative(self):
+        return self._proj_inertia("star", False, False)
+
+    @lazy_property
+    def ProjectedStellarInertiaTensorReducedNoniterative(self):
+        return self._proj_inertia("star", True, False)
+
+    @lazy_property
+    def ProjectedStellarInertiaTensorLuminosityWeighted(self):
+        return self._proj_inertia("star", False, True, lum_weighted=True)
+
+    @lazy_property
+    def ProjectedStellarInertiaTensorReducedLuminosityWeighted(self):
+        return self._proj_inertia("star", True, True, lum_weighted=True)
+
+    @lazy_property
+    def ProjectedStellarInertiaTensorNoniterativeLuminosityWeighted(self):
+        return self._proj_inertia("star", False, False, lum_weighted=True)
+
+    @lazy_property
+    def ProjectedStellarInertiaTensorReducedNoniterativeLuminosityWeighted(self):
+        return self._proj_inertia("star", True, False, lum_weighted=True)
 
     @lazy_property
     def proj_veldisp_gas(self):

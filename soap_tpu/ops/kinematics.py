@@ -108,6 +108,61 @@ def vmax(
     return vmax_sorted(mass[order], r_s[order], mask[order])
 
 
+def cylindrical_velocities(
+    pos: jnp.ndarray,  # (K, 3) halo-relative positions
+    vel: jnp.ndarray,  # (K, 3) velocities (already frame-shifted)
+    L: jnp.ndarray,  # (3,) target z-axis (angular momentum)
+) -> jnp.ndarray:
+    """(v_r, v_phi, v_z) per particle after rotating z onto L.
+
+    Reference: ``SOAP/property_calculation/cylindrical_coordinates.py:13-93``
+    — orthonormal frame from a helper vector not parallel to L, then the
+    standard cylindrical decomposition.
+    """
+    Lnorm = jnp.sqrt(jnp.maximum(jnp.sum(L * L), 1e-37))
+    z = L / Lnorm
+    helper_x = jnp.array([1.0, 0.0, 0.0], dtype=pos.dtype)
+    helper_y = jnp.array([0.0, 1.0, 0.0], dtype=pos.dtype)
+    use_y = jnp.abs(jnp.sum(z * helper_x)) > 0.9
+    helper = jnp.where(use_y, helper_y, helper_x)
+    x = jnp.cross(helper, z)
+    x = x / jnp.sqrt(jnp.maximum(jnp.sum(x * x), 1e-37))
+    y = jnp.cross(z, x)
+    R = jnp.stack([x, y, z])  # rows = new axes
+
+    pr = pos @ R.T
+    vr3 = vel @ R.T
+    phi = jnp.arctan2(pr[:, 1], pr[:, 0])
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    v_r = vr3[:, 0] * c + vr3[:, 1] * s
+    v_phi = -vr3[:, 0] * s + vr3[:, 1] * c
+    return jnp.stack([v_r, v_phi, vr3[:, 2]], axis=1)
+
+
+def weighted_cylindrical_dispersion(
+    weights: jnp.ndarray,  # (K,) normalized or raw weights
+    v_cyl: jnp.ndarray,  # (K, 3)
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """[sigma_r, sigma_phi, sigma_z] with weight-normalized mean removal
+    (``kinematic_properties.py:130-219``)."""
+    w = jnp.where(mask, weights, 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-37)
+    wn = w / wsum
+    mean = jnp.sum(wn[:, None] * v_cyl, axis=0)
+    var = jnp.sum(wn[:, None] * (v_cyl - mean[None, :]) ** 2, axis=0)
+    return jnp.sqrt(var)
+
+
+def weighted_rotation_velocity(
+    weights: jnp.ndarray, v_phi: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Weight-averaged azimuthal velocity (``kinematic_properties.py:35-51``)."""
+    w = jnp.where(mask, weights, 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-37)
+    return jnp.sum(w * v_phi) / wsum
+
+
 def spin_parameter(
     L_norm: jnp.ndarray,  # |L| within radius R
     mass: jnp.ndarray,  # total mass within R

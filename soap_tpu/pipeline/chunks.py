@@ -33,6 +33,33 @@ from soap_tpu.pipeline.engine import EngineStats, HaloEngine, HaloTypeSpec
 #: fields needed per ptype for the DMO tier (hydro tiers extend this)
 BASE_FIELDS = ["Coordinates", "Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs"]
 
+
+def required_datasets(
+    specs: Sequence[HaloTypeSpec], meta: swift_snapshot.SnapshotMetadata
+) -> Dict[str, List[str]]:
+    """Union of the particle datasets the enabled properties need.
+
+    Resolved from the property table's per-key ``particle_properties``
+    lists (the reference's mechanism: ``chunk_tasks.py:220-251`` unions
+    ``halo_prop.particle_properties``); restricted to datasets actually
+    present in the snapshot + extra inputs.
+    """
+    from soap_tpu.core.registry import full_property_table
+
+    table = full_property_table()
+    out: Dict[str, List[str]] = {}
+    for spec in specs:
+        for key in spec.keys:
+            if key not in table:
+                continue
+            for ds in table[key].particle_properties:
+                ptype, name = ds.split("/", 1)
+                if ptype in meta.datasets and name in meta.datasets[ptype]:
+                    out.setdefault(ptype, [])
+                    if name not in out[ptype]:
+                        out[ptype].append(name)
+    return out
+
 #: factor applied to search radii when masking cells to read: leaves head
 #: room for the engine's x1.5 retry ladder without re-reading
 READ_MARGIN = 4.0
@@ -102,6 +129,7 @@ def process_chunks(
     nr_chunks: int = 1,
     scratch_dir: Optional[str] = None,
     extra_fields: Optional[Dict[str, List[str]]] = None,
+    aux: Optional[Dict[str, object]] = None,
     t0: Optional[float] = None,
     verbose: bool = True,
 ) -> Tuple[Dict[str, Dict[str, np.ndarray]], EngineStats]:
@@ -171,7 +199,7 @@ def process_chunks(
                 )
             chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
 
-            engine = HaloEngine(ctx, chunk, specs)
+            engine = HaloEngine(ctx, chunk, specs, aux=aux)
             chunk_results = engine.process(
                 centres=cat.cofp[rows],
                 search_radius_phys=search_radius_phys[rows],

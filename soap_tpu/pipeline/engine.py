@@ -97,9 +97,9 @@ class HaloTypeSpec:
         raise ValueError(self.so_type)
 
 
-def _make_slice(spec, ctx, parts, scalars, prior, dens):
+def _make_slice(spec, ctx, parts, scalars, prior, dens, aux):
     if spec.kind == "bound":
-        return BoundSubhaloSlice(ctx, parts, scalars)
+        return BoundSubhaloSlice(ctx, parts, scalars, aux=aux)
     if spec.kind == "SO":
         if spec.radius_multiple_of is not None:
             parent_r = prior[spec.radius_multiple_of]["r"]
@@ -109,6 +109,7 @@ def _make_slice(spec, ctx, parts, scalars, prior, dens):
                 scalars,
                 physical_radius=spec.radius_multiple * parent_r,
                 virial=True,
+                aux=aux,
             )
         if spec.so_type == "physical":
             return SOSlice(
@@ -117,8 +118,11 @@ def _make_slice(spec, ctx, parts, scalars, prior, dens):
                 scalars,
                 physical_radius=jnp.float32(spec.so_multiple),
                 virial=False,
+                aux=aux,
             )
-        return SOSlice(ctx, parts, scalars, target_density=jnp.float32(dens))
+        return SOSlice(
+            ctx, parts, scalars, target_density=jnp.float32(dens), aux=aux
+        )
     if spec.kind == "aperture":
         return ApertureSlice(
             ctx,
@@ -126,22 +130,32 @@ def _make_slice(spec, ctx, parts, scalars, prior, dens):
             scalars,
             jnp.float32(spec.aperture_radius_mpc),
             spec.inclusive,
+            aux=aux,
         )
     if spec.kind == "projected":
         return ProjectedApertureSlice(
-            ctx, parts, scalars, jnp.float32(spec.aperture_radius_mpc), spec.axis
+            ctx,
+            parts,
+            scalars,
+            jnp.float32(spec.aperture_radius_mpc),
+            spec.axis,
+            aux=aux,
         )
     raise ValueError(spec.kind)
 
 
-def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities):
-    """Single-halo property evaluation over all specs (vmapped later)."""
+def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=None):
+    """Single-halo property evaluation over all specs (vmapped later).
+
+    ``aux`` holds shared non-batched device constants (e.g. the cosmology
+    age table); it is closed over, NOT vmapped.
+    """
 
     def fn(parts: HaloParticles, scalars: HaloScalars):
         out = {}
         prior = {}
         for spec, dens in zip(specs, densities):
-            s = _make_slice(spec, ctx, parts, scalars, prior, dens)
+            s = _make_slice(spec, ctx, parts, scalars, prior, dens, aux)
             res = compute_properties(s, spec.keys)
             prior[spec.group] = res
             out[spec.group] = res
@@ -167,6 +181,7 @@ def _process_bucket(
     search_radius_phys: jnp.ndarray,  # (B,) physical
     is_central: jnp.ndarray,  # (B,) bool
     fof_id: jnp.ndarray,  # (B,) i64
+    aux=None,  # pytree of shared (non-batched) device constants
 ):
     """One padded bucket: gather + all property calculations."""
     a = jnp.float32(ctx.a)
@@ -247,7 +262,7 @@ def _process_bucket(
     )
 
     densities = tuple(spec.target_density(ctx) for spec in specs)
-    fn = _halo_fn(ctx, specs, densities)
+    fn = _halo_fn(ctx, specs, densities, aux)
     out = jax.vmap(fn)(parts, scalars)
 
     # zero out and re-flag halos whose candidate buffer overflowed
@@ -284,10 +299,16 @@ class HaloEngine:
         ctx_base: HaloContext,
         chunk: ChunkData,
         specs: Sequence[HaloTypeSpec],
+        aux: Optional[Dict[str, object]] = None,
     ):
         self.ctx_base = ctx_base
         self.chunk = chunk
         self.specs = tuple(specs)
+        self.aux = (
+            {k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in aux.items()}
+            if aux
+            else {}
+        )
         self.stats = EngineStats()
 
     def _cube_for(self, ptype: str, radius_com: float) -> int:
@@ -437,6 +458,7 @@ class HaloEngine:
                     ),
                     jnp.asarray(padded(is_central[bucket_global], False)),
                     jnp.asarray(padded(fof_id[bucket_global], -1)),
+                    self.aux,
                 )
                 self.stats.n_bucket_calls += 1
 

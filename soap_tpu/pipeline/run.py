@@ -29,7 +29,7 @@ from soap_tpu.io.halo_catalogue import CATALOGUE_READERS, HaloCatalogue
 from soap_tpu.models.context import HaloContext
 from soap_tpu.pipeline import derived
 from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
-from soap_tpu.pipeline.chunks import process_chunks
+from soap_tpu.pipeline.chunks import process_chunks, required_datasets
 from soap_tpu.pipeline.engine import HaloEngine, HaloTypeSpec
 from soap_tpu.pipeline.specs import build_specs
 
@@ -209,6 +209,18 @@ def compute_halo_properties(
     if specs is None:
         specs = build_specs(parameter_file, dmo, bn98_value=meta.virBN98)
 
+    # shared device constants: the a -> age lookup table in internal time
+    # units (replaces the reference's per-particle astropy calls,
+    # ``stellar_age_calculator.py``)
+    aux = {}
+    H0_internal = float(meta.cosmology_attrs.get("H0 [internal units]", 0.0))
+    if H0_internal > 0:
+        age_a, age_h0 = meta.cosmology.age_table()
+        aux["age_table"] = (
+            age_a.astype(np.float32),
+            (age_h0 / H0_internal).astype(np.float32),
+        )
+
     # --- chunked processing (Peano decomposition for nr_chunks > 1) ---
     results, engine_stats = process_chunks(
         meta,
@@ -219,6 +231,8 @@ def compute_halo_properties(
         search_radius_phys,
         nr_chunks=nr_chunks,
         scratch_dir=scratch_dir,
+        extra_fields=required_datasets(specs, meta),
+        aux=aux,
         t0=t0,
         verbose=verbose,
     )

@@ -47,7 +47,7 @@ class MockUniverse:
     omega_m: float
     omega_lambda: float
     omega_b: float
-    pos: np.ndarray  # comoving Mpc, float64
+    pos: np.ndarray  # comoving Mpc, float64 (dark matter, PartType1)
     vel: np.ndarray  # peculiar km/s
     mass: np.ndarray  # 1e10 Msun
     ids: np.ndarray  # uint64
@@ -61,6 +61,9 @@ class MockUniverse:
     halo_depth: np.ndarray
     bound_ids: list  # list of arrays: bound particle IDs, most-bound first
     fof_ids: np.ndarray  # per-particle FOF group id (-1 for field)
+    # hydro particle types: ptype -> {dataset name: array}; each carries
+    # at least Coordinates/Velocities/Masses/ParticleIDs/FOFGroupIDs
+    extra_ptypes: Optional[Dict[str, Dict[str, np.ndarray]]] = None
 
     @property
     def n_halos(self) -> int:
@@ -88,6 +91,9 @@ def build_mock_universe(
     particle_mass: float = 0.1,  # 1e9 Msun
     seed: int = 42,
     mass_range=(50.0, 2000.0),  # halo masses in 1e10 Msun
+    hydro: bool = False,
+    gas_fraction: float = 0.15,
+    star_fraction: float = 0.06,
 ) -> MockUniverse:
     rng = np.random.default_rng(seed)
     omega_lambda = 1.0 - omega_m
@@ -108,6 +114,19 @@ def build_mock_universe(
     order = np.argsort(-m200)  # biggest first, like a halo finder would rank
     m200 = m200[order]
 
+    # per-halo hydro particles, accumulated per type
+    hy = {
+        "gas": {"pos": [], "vel": [], "cnt": []},
+        "star": {"pos": [], "vel": [], "cnt": []},
+        "bh": {"pos": [], "vel": [], "cnt": []},
+    }
+
+    def _nfw_sphere(centre, n, c, r200, sigma):
+        rr = _sample_nfw_radii(rng, n, c, r200)
+        u = rng.normal(size=(n, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        return centre[None, :] + rr[:, None] * u, rng.normal(0.0, sigma, (n, 3))
+
     for i in range(n_halos):
         centre = rng.uniform(0.0, boxsize, 3)
         c = rng.uniform(4.0, 10.0)
@@ -115,6 +134,7 @@ def build_mock_universe(
         r200_phys = (3.0 * m200[i] / (4.0 * np.pi * 200.0 * rho_crit)) ** (1.0 / 3.0)
         r200 = r200_phys / a  # comoving
         npart = max(int(round(m200[i] / particle_mass)), 32)
+        sigma = np.sqrt(G_INTERNAL * m200[i] / (2.0 * r200_phys))
         r = _sample_nfw_radii(rng, npart, c, r200)
         # random isotropic directions
         u = rng.normal(size=(npart, 3))
@@ -123,14 +143,40 @@ def build_mock_universe(
         # most-bound particle exactly at the centre (r=0), mirroring HBT's
         # centre-of-potential convention
         ppos[0] = centre
-        sigma = np.sqrt(G_INTERNAL * m200[i] / (2.0 * r200_phys))
         pvel = rng.normal(0.0, sigma, (npart, 3))
         positions.append(np.mod(ppos, boxsize))
         velocities.append(pvel)
         halo_pos.append(centre)
         dr = np.linalg.norm(ppos - centre[None, :], axis=1)
-        halo_renclose.append(dr.max())
-        halo_nbound.append(npart)
+        renclose = dr.max()
+
+        n_gas = n_star = n_bh = 0
+        if hydro:
+            n_gas = max(int(npart * gas_fraction), 25)
+            n_star = max(int(npart * star_fraction), 12)
+            n_bh = 1 if npart >= 300 else 0
+            gpos, gvel = _nfw_sphere(centre, n_gas, c * 0.7, r200 * 0.9, sigma)
+            spos, svel = _nfw_sphere(centre, n_star, c * 2.0, r200 * 0.3, sigma)
+            hy["gas"]["pos"].append(np.mod(gpos, boxsize))
+            hy["gas"]["vel"].append(gvel)
+            hy["star"]["pos"].append(np.mod(spos, boxsize))
+            hy["star"]["vel"].append(svel)
+            renclose = max(
+                renclose,
+                np.linalg.norm(gpos - centre[None, :], axis=1).max(),
+                np.linalg.norm(spos - centre[None, :], axis=1).max(),
+            )
+            if n_bh:
+                hy["bh"]["pos"].append(
+                    np.mod(centre[None, :] + rng.normal(0, 0.01, (1, 3)), boxsize)
+                )
+                hy["bh"]["vel"].append(rng.normal(0.0, sigma, (1, 3)))
+        hy["gas"]["cnt"].append(n_gas)
+        hy["star"]["cnt"].append(n_star)
+        hy["bh"]["cnt"].append(n_bh)
+
+        halo_renclose.append(renclose)
+        halo_nbound.append(npart + n_gas + n_star + n_bh)
         halo_rank.append(0)
         halo_host.append(i)
         halo_track.append(i)
@@ -149,14 +195,100 @@ def build_mock_universe(
     ids = np.arange(1, n_tot + 1, dtype=np.uint64)
     rng.shuffle(ids)  # IDs are not position-ordered in real snapshots
 
-    # bound particle lists: IDs of each halo's particles, most-bound first
+    # hydro particle arrays + their IDs (allocated after the DM ID block)
+    extra_ptypes = None
+    hydro_ids = {}
+    if hydro:
+        next_id = n_tot + 1
+        extra_ptypes = {}
+        for kind, ptype in (("gas", "PartType0"), ("star", "PartType4"), ("bh", "PartType5")):
+            if not hy[kind]["pos"]:
+                continue
+            p = np.concatenate(hy[kind]["pos"])
+            v = np.concatenate(hy[kind]["vel"])
+            n = len(p)
+            pids = np.arange(next_id, next_id + n, dtype=np.uint64)
+            next_id += n
+            hydro_ids[kind] = pids
+            fields = {
+                "Coordinates": p,
+                "Velocities": v.astype(np.float32),
+                "Masses": np.full(n, particle_mass, np.float32),
+                "ParticleIDs": pids,
+            }
+            if kind == "gas":
+                fields["Temperatures"] = 10.0 ** rng.uniform(3.0, 8.0, n).astype(
+                    np.float32
+                )
+                sfr = rng.uniform(0.01, 5.0, n).astype(np.float32)
+                # ~70% of gas is not star-forming: SWIFT stores the last
+                # star-formation scale factor as a NEGATIVE value there
+                not_sf = rng.uniform(size=n) < 0.7
+                sfr[not_sf] = -rng.uniform(0.1, 1.0, not_sf.sum())
+                fields["StarFormationRates"] = sfr
+                fields["MetalMassFractions"] = (
+                    0.02 * rng.uniform(0.0, 1.0, n)
+                ).astype(np.float32)
+                fields["TotalDustMassFractions"] = (
+                    0.1 * fields["MetalMassFractions"]
+                ).astype(np.float32)
+            if kind == "star":
+                fields["InitialMasses"] = np.full(
+                    n, particle_mass * 1.1, np.float32
+                )
+                fields["BirthScaleFactors"] = rng.uniform(0.15, a, n).astype(
+                    np.float32
+                )
+                fields["MetalMassFractions"] = (
+                    0.03 * rng.uniform(0.0, 1.0, n)
+                ).astype(np.float32)
+                fields["Luminosities"] = 10.0 ** rng.uniform(
+                    6.0, 9.0, (n, 9)
+                ).astype(np.float32)
+            if kind == "bh":
+                fields["SubgridMasses"] = (
+                    particle_mass * 10.0 ** rng.uniform(0.0, 2.0, n)
+                ).astype(np.float32)
+                fields["DynamicalMasses"] = np.full(n, particle_mass, np.float32)
+                fields["AccretionRates"] = rng.uniform(0.0, 0.1, n).astype(
+                    np.float32
+                )
+                fields["LastAGNFeedbackScaleFactors"] = rng.uniform(
+                    0.2, a, n
+                ).astype(np.float32)
+            extra_ptypes[ptype] = fields
+
+    # bound particle lists: IDs of each halo's particles, most-bound first;
+    # hydro members are appended after the halo's DM block
     bound_ids = []
     fof = np.full(n_tot, -1, dtype=np.int64)
     start = 0
+    offsets = {k: 0 for k in hy}
     for i, cnt in enumerate(bound_counts):
-        bound_ids.append(ids[start : start + cnt].copy())
+        members = [ids[start : start + cnt].copy()]
         fof[start : start + cnt] = i + 1  # FOF ids are 1-based here
         start += cnt
+        if hydro:
+            for kind in ("gas", "star", "bh"):
+                n_k = hy[kind]["cnt"][i]
+                if n_k and kind in hydro_ids:
+                    o = offsets[kind]
+                    members.append(hydro_ids[kind][o : o + n_k])
+                    offsets[kind] = o + n_k
+        bound_ids.append(np.concatenate(members))
+    if hydro:
+        # per-particle FOF ids for hydro members
+        for kind, ptype in (("gas", "PartType0"), ("star", "PartType4"), ("bh", "PartType5")):
+            if ptype not in (extra_ptypes or {}):
+                continue
+            n = len(extra_ptypes[ptype]["Coordinates"])
+            f = np.full(n, -1, dtype=np.int64)
+            o = 0
+            for i in range(n_halos):
+                n_k = hy[kind]["cnt"][i]
+                f[o : o + n_k] = i + 1
+                o += n_k
+            extra_ptypes[ptype]["FOFGroupIDs"] = f
 
     return MockUniverse(
         boxsize=boxsize,
@@ -178,6 +310,7 @@ def build_mock_universe(
         halo_depth=np.array(halo_depth, dtype=np.int32),
         bound_ids=bound_ids,
         fof_ids=fof,
+        extra_ptypes=extra_ptypes,
     )
 
 
@@ -200,27 +333,71 @@ def _unit_attrs(l=0.0, m=0.0, t=0.0, temp=0.0, i=0.0, a_exp=0.0, physical=False)
     }
 
 
+#: dataset name -> _unit_attrs keyword arguments
+_FIELD_UNITS = {
+    "Coordinates": dict(l=1.0, a_exp=1.0),
+    "Velocities": dict(l=1.0, t=-1.0),
+    "Masses": dict(m=1.0),
+    "InitialMasses": dict(m=1.0),
+    "SubgridMasses": dict(m=1.0),
+    "DynamicalMasses": dict(m=1.0),
+    "ParticleIDs": dict(),
+    "FOFGroupIDs": dict(),
+    "Temperatures": dict(temp=1.0, physical=True),
+    "StarFormationRates": dict(m=1.0, t=-1.0, physical=True),
+    "AccretionRates": dict(m=1.0, t=-1.0, physical=True),
+    "MetalMassFractions": dict(),
+    "TotalDustMassFractions": dict(),
+    "BirthScaleFactors": dict(),
+    "Luminosities": dict(),
+    "LastAGNFeedbackScaleFactors": dict(),
+}
+
+
 def write_swift_snapshot(
     path: str,
     uni: MockUniverse,
     cells_per_dim: int = 4,
     extra_datasets: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
 ) -> np.ndarray:
-    """Write a single-file SWIFT-layout DMO snapshot.
+    """Write a single-file SWIFT-layout snapshot (DMO or hydro).
 
-    Particles are sorted by top-level cell (row-major flat index), and the
-    ``Cells`` metadata group records per-cell counts/offsets/files as SWIFT
-    does.  Returns the permutation applied to the particle arrays so the
-    caller can align any extra per-particle data.
+    Every particle type is sorted by top-level cell (row-major flat
+    index), and the ``Cells`` metadata group records per-cell
+    counts/offsets/files per type as SWIFT does.  Returns the permutation
+    applied to the PartType1 arrays so the caller can align any extra
+    per-particle data.
     """
     n_cells = cells_per_dim**3
     cell_size = uni.boxsize / cells_per_dim
-    ijk = np.floor(uni.pos / cell_size).astype(np.int64) % cells_per_dim
-    flat = (ijk[:, 0] * cells_per_dim + ijk[:, 1]) * cells_per_dim + ijk[:, 2]
-    order = np.argsort(flat, kind="stable")
-    flat_sorted = flat[order]
-    counts = np.bincount(flat_sorted, minlength=n_cells).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def cell_layout(p):
+        ijk = np.floor(p / cell_size).astype(np.int64) % cells_per_dim
+        flat = (ijk[:, 0] * cells_per_dim + ijk[:, 1]) * cells_per_dim + ijk[:, 2]
+        order = np.argsort(flat, kind="stable")
+        counts = np.bincount(flat[order], minlength=n_cells).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        return order, counts, offsets
+
+    # assemble every particle type's datasets
+    ptype_data: Dict[str, Dict[str, np.ndarray]] = {
+        "PartType1": {
+            "Coordinates": uni.pos,
+            "Velocities": uni.vel.astype(np.float32),
+            "Masses": uni.mass.astype(np.float32),
+            "ParticleIDs": uni.ids,
+            "FOFGroupIDs": uni.fof_ids,
+        }
+    }
+    if extra_datasets and "PartType1" in extra_datasets:
+        ptype_data["PartType1"].update(extra_datasets["PartType1"])
+    for ptype, fields in (uni.extra_ptypes or {}).items():
+        ptype_data[ptype] = dict(fields)
+
+    layouts = {
+        ptype: cell_layout(np.asarray(fields["Coordinates"]))
+        for ptype, fields in ptype_data.items()
+    }
 
     centres = np.zeros((n_cells, 3))
     k = np.arange(n_cells)
@@ -234,12 +411,11 @@ def write_swift_snapshot(
         hdr = f.create_group("Header")
         hdr.attrs["BoxSize"] = np.array([uni.boxsize] * 3)
         hdr.attrs["NumFilesPerSnapshot"] = np.array([1], dtype=np.int32)
-        hdr.attrs["NumPart_ThisFile"] = np.array(
-            [0, n_tot, 0, 0, 0, 0, 0], dtype=np.int64
-        )
-        hdr.attrs["NumPart_Total"] = np.array(
-            [0, n_tot, 0, 0, 0, 0, 0], dtype=np.int64
-        )
+        numpart = np.zeros(7, dtype=np.int64)
+        for ptype, fields in ptype_data.items():
+            numpart[int(ptype[-1])] = len(fields["Coordinates"])
+        hdr.attrs["NumPart_ThisFile"] = numpart
+        hdr.attrs["NumPart_Total"] = numpart
         hdr.attrs["Redshift"] = np.array([1.0 / uni.a - 1.0])
         hdr.attrs["Scale-factor"] = np.array([uni.a])
         hdr.attrs["RunName"] = np.bytes_("soap_tpu_mock")
@@ -291,30 +467,24 @@ def write_swift_snapshot(
         md.attrs["dimension"] = np.array([cells_per_dim] * 3, dtype=np.int64)
         md.attrs["size"] = np.array([cell_size] * 3)
         cells.create_dataset("Centres", data=centres)
-        for sub, data in (
-            ("Counts", counts),
-            ("OffsetsInFile", offsets),
-            ("Files", np.zeros(n_cells, dtype=np.int32)),
-        ):
-            g = cells.create_group(sub)
-            g.create_dataset("PartType1", data=data)
+        for sub in ("Counts", "OffsetsInFile", "Files"):
+            cells.create_group(sub)
+        for ptype in ptype_data:
+            order_t, counts_t, offsets_t = layouts[ptype]
+            cells["Counts"].create_dataset(ptype, data=counts_t)
+            cells["OffsetsInFile"].create_dataset(ptype, data=offsets_t)
+            cells["Files"].create_dataset(
+                ptype, data=np.zeros(n_cells, dtype=np.int32)
+            )
 
-        pt1 = f.create_group("PartType1")
-
-        def dset(name, data, **unit_kw):
-            ds = pt1.create_dataset(name, data=data)
-            for k, v in _unit_attrs(**unit_kw).items():
-                ds.attrs[k] = v
-
-        dset("Coordinates", uni.pos[order], l=1.0, a_exp=1.0)
-        dset("Velocities", uni.vel[order].astype(np.float32), l=1.0, t=-1.0)
-        dset("Masses", uni.mass[order].astype(np.float32), m=1.0)
-        dset("ParticleIDs", uni.ids[order])
-        dset("FOFGroupIDs", uni.fof_ids[order])
-        if extra_datasets and "PartType1" in extra_datasets:
-            for name, data in extra_datasets["PartType1"].items():
-                dset(name, data[order])
-    return order
+        for ptype, fields in ptype_data.items():
+            group = f.create_group(ptype)
+            order_t, _, _ = layouts[ptype]
+            for name, data in fields.items():
+                ds = group.create_dataset(name, data=np.asarray(data)[order_t])
+                for k, v in _unit_attrs(**_FIELD_UNITS.get(name, {})).items():
+                    ds.attrs[k] = v
+    return layouts["PartType1"][0]
 
 
 def write_hbt_catalogue(basename: str, uni: MockUniverse) -> None:
