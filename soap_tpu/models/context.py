@@ -48,6 +48,15 @@ class HaloContext:
     H: float = 0.0
     omega_m: float = 0.0
     omega_g: float = 0.0
+    # recently-heated AGN gas filter (reference
+    # ``particle_filter/recently_heated_gas_filter.py:49-173``): gas with
+    # LastAGNFeedbackScaleFactors >= a_limit and temperature inside
+    # [Tmin, Tmax] is excluded from the *_no_agn properties
+    agn_a_limit: float = 2.0  # > 1 disables the filter
+    agn_Tmin: float = 0.0
+    agn_Tmax: float = float("inf")
+    # lightcone observer position (comoving), for DopplerB
+    observer_position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # per-included-ptype physical softening lengths, aligned with `ptypes`
     softening: Tuple[float, ...] = ()
     # which particle types are present, in concatenation order

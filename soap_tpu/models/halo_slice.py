@@ -260,7 +260,15 @@ class HaloSlice:
 
     @lazy_property
     def Mnu(self):
-        """Raw neutrino particle mass inside the selection."""
+        """Raw (unweighted) neutrino particle mass inside the selection;
+        the concatenated mass array carries delta-f weights, so the raw
+        masses come from the per-type field."""
+        if "PartType6/Masses" in self.parts.fields:
+            lo, hi = self.ctx.segment("PartType6")
+            sel = self._seg_arr(self.mask_nu, "PartType6")
+            return jnp.sum(
+                jnp.where(sel, self.parts.fields["PartType6/Masses"], 0.0)
+            )
         return red.masked_sum(self.parts.mass, self.mask_nu)
 
     # ---------------- centre of mass ----------------
@@ -1102,20 +1110,6 @@ class HaloSlice:
             0.0,
         )
 
-    # ---- dust (total dust mass fractions) ----
-
-    @lazy_property
-    def DustGasMass(self):
-        if not self._has("PartType0/TotalDustMassFractions"):
-            return _zero()
-        return jnp.sum(
-            jnp.where(
-                self._gas_sel,
-                self._gas_mass * self.field("PartType0/TotalDustMassFractions"),
-                0.0,
-            )
-        )
-
     # ---- black holes ----
 
     @lazy_property
@@ -1194,6 +1188,455 @@ class HaloSlice:
         )
         return jnp.max(a)
 
+    @lazy_property
+    def BlackHolesTotalInjectedThermalEnergy(self):
+        if not self._has("PartType5/AGNTotalInjectedEnergies"):
+            return _zero()
+        return jnp.sum(
+            jnp.where(
+                self._bh_sel, self.field("PartType5/AGNTotalInjectedEnergies"), 0.0
+            )
+        )
+
+    @lazy_property
+    def BlackHolesTotalInjectedJetEnergy(self):
+        if not self._has("PartType5/InjectedJetEnergies"):
+            return _zero()
+        return jnp.sum(
+            jnp.where(self._bh_sel, self.field("PartType5/InjectedJetEnergies"), 0.0)
+        )
+
+    # ---- AGN recently-heated filter + *_no_agn temperatures ----
+
+    @lazy_property
+    def _gas_recently_heated(self):
+        """Recently-AGN-heated gas (reference
+        ``recently_heated_gas_filter.py:155-173``)."""
+        if not self._has("PartType0/LastAGNFeedbackScaleFactors"):
+            lo, hi = self.ctx.segment("PartType0")
+            return jnp.zeros(hi - lo, bool)
+        last_a = self.field("PartType0/LastAGNFeedbackScaleFactors")
+        heated = last_a >= jnp.float32(self.ctx.agn_a_limit)
+        if self._has("PartType0/Temperatures"):
+            heated = (
+                heated
+                & (self._gas_temp >= jnp.float32(self.ctx.agn_Tmin))
+                & (self._gas_temp <= jnp.float32(self.ctx.agn_Tmax))
+            )
+        return heated
+
+    def _masked_mw_temperature(self, extra_mask):
+        m = jnp.where(self._gas_sel & extra_mask, self._gas_mass, 0.0)
+        mtot = jnp.sum(m)
+        return jnp.where(
+            mtot > 0,
+            jnp.sum(m * self._gas_temp) / jnp.maximum(mtot, 1e-37),
+            0.0,
+        )
+
+    @lazy_property
+    def Tgas_no_agn(self):
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        return self._masked_mw_temperature(~self._gas_recently_heated)
+
+    @lazy_property
+    def Tgas_no_cool_no_agn(self):
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        return self._masked_mw_temperature(
+            (~self._gas_recently_heated) & (self._gas_temp >= self.T_COOL_MAX)
+        )
+
+    # ---- averaged SFR (two recording windows) ----
+
+    @lazy_property
+    def AveragedStarFormationRate(self):
+        if not self._has("PartType0/AveragedStarFormationRates"):
+            return jnp.zeros(2, jnp.float32)
+        avg = self.field("PartType0/AveragedStarFormationRates")
+        return jnp.sum(jnp.where(self._gas_sel[:, None], avg, 0.0), axis=0)
+
+    # ---- dust ----
+
+    @lazy_property
+    def DustMass(self):
+        if not self._has("PartType0/TotalDustMassFractions"):
+            return _zero()
+        return jnp.sum(
+            jnp.where(
+                self._gas_sel,
+                self._gas_mass * self.field("PartType0/TotalDustMassFractions"),
+                0.0,
+            )
+        )
+
+    @lazy_property
+    def HalfMassRadiusDust(self):
+        if not self._has("PartType0/TotalDustMassFractions"):
+            return _zero()
+        lo, hi = self.ctx.segment("PartType0")
+        w = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
+        w = w.at[lo:hi].set(
+            self._gas_mass * self.field("PartType0/TotalDustMassFractions")
+        )
+        return radii_ops.half_weight_radius_sorted(
+            self._r_sorted,
+            w[self._rsort_order],
+            self._sorted(self.mask_gas),
+            self.DustMass,
+        )
+
+    # ---- thermal / potential energies ----
+
+    @lazy_property
+    def ThermalEnergyGas(self):
+        """Sum m * u with u = P / ((gamma - 1) rho), gamma = 5/3
+        (reference ``subhalo_properties.py`` ThermalEnergyGas)."""
+        if not (
+            self._has("PartType0/Pressures") and self._has("PartType0/Densities")
+        ):
+            return _zero()
+        u = self.field("PartType0/Pressures") / (
+            (5.0 / 3.0 - 1.0)
+            * jnp.maximum(self.field("PartType0/Densities"), 1e-37)
+        )
+        return jnp.sum(jnp.where(self._gas_sel, self._gas_mass * u, 0.0))
+
+    @lazy_property
+    def PotentialEnergyTotal(self):
+        """Sum of m * specific potential / 2 over all selected types
+        (pairwise energies counted once)."""
+        total = _zero()
+        for ptype, mass_name in (
+            ("PartType0", None),
+            ("PartType1", None),
+            ("PartType4", None),
+            ("PartType5", "PartType5/DynamicalMasses"),
+        ):
+            key = f"{ptype}/SpecificPotentialEnergies"
+            if not self._has(key):
+                continue
+            lo, hi = self.ctx.segment(ptype)
+            sel = self._seg_arr(self.selection, ptype)
+            m = (
+                self.field(mass_name)
+                if mass_name and self._has(mass_name)
+                else self._seg_arr(self.parts.mass, ptype)
+            )
+            total = total + 0.5 * jnp.sum(
+                jnp.where(sel, m * self.field(key), 0.0)
+            )
+        return total
+
+    # ---- stellar birth statistics (median / min / max) ----
+
+    def _star_birth_stat(self, name, stat):
+        if not self._has(name):
+            return _zero()
+        vals = self.field(name)
+        sel = self._star_sel
+        if stat == "min":
+            return jnp.min(jnp.where(sel, vals, jnp.inf))
+        if stat == "max":
+            return jnp.max(jnp.where(sel, vals, -jnp.inf))
+        # masked median matching np.median: average the two middle values
+        v = jnp.sort(jnp.where(sel, vals, jnp.inf))
+        n = jnp.sum(sel.astype(jnp.int32))
+        i_lo = jnp.maximum((n - 1) // 2, 0)
+        i_hi = jnp.maximum(n // 2, 0)
+        med = 0.5 * (jnp.take(v, i_lo) + jnp.take(v, i_hi))
+        return jnp.where(n > 0, med, 0.0)
+
+    @lazy_property
+    def MedianStellarBirthDensity(self):
+        return self._star_birth_stat("PartType4/BirthDensities", "median")
+
+    @lazy_property
+    def MinimumStellarBirthDensity(self):
+        v = self._star_birth_stat("PartType4/BirthDensities", "min")
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    @lazy_property
+    def MaximumStellarBirthDensity(self):
+        v = self._star_birth_stat("PartType4/BirthDensities", "max")
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    @lazy_property
+    def MedianStellarBirthTemperature(self):
+        return self._star_birth_stat("PartType4/BirthTemperatures", "median")
+
+    @lazy_property
+    def MinimumStellarBirthTemperature(self):
+        v = self._star_birth_stat("PartType4/BirthTemperatures", "min")
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    @lazy_property
+    def MaximumStellarBirthTemperature(self):
+        v = self._star_birth_stat("PartType4/BirthTemperatures", "max")
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    @lazy_property
+    def _star_birth_pressure(self):
+        """Birth pressure P = rho * k_B * T (ideal gas, mean molecular
+        weight folded into the table unit convention)."""
+        return self.field("PartType4/BirthDensities") * self.field(
+            "PartType4/BirthTemperatures"
+        )
+
+    def _birth_pressure_stat(self, stat):
+        if not (
+            self._has("PartType4/BirthDensities")
+            and self._has("PartType4/BirthTemperatures")
+        ):
+            return _zero()
+        vals = self._star_birth_pressure
+        sel = self._star_sel
+        if stat == "min":
+            v = jnp.min(jnp.where(sel, vals, jnp.inf))
+            return jnp.where(jnp.isfinite(v), v, 0.0)
+        if stat == "max":
+            v = jnp.max(jnp.where(sel, vals, -jnp.inf))
+            return jnp.where(jnp.isfinite(v), v, 0.0)
+        v = jnp.sort(jnp.where(sel, vals, jnp.inf))
+        n = jnp.sum(sel.astype(jnp.int32))
+        med = 0.5 * (
+            jnp.take(v, jnp.maximum((n - 1) // 2, 0))
+            + jnp.take(v, jnp.maximum(n // 2, 0))
+        )
+        return jnp.where(n > 0, med, 0.0)
+
+    @lazy_property
+    def MedianStellarBirthPressure(self):
+        return self._birth_pressure_stat("median")
+
+    @lazy_property
+    def MinimumStellarBirthPressure(self):
+        return self._birth_pressure_stat("min")
+
+    @lazy_property
+    def MaximumStellarBirthPressure(self):
+        return self._birth_pressure_stat("max")
+
+    @lazy_property
+    def LastSupernovaEventMaximumGasDensity(self):
+        """Max over gas of the larger of the last SNII thermal/kinetic
+        feedback densities."""
+        have_t = self._has("PartType0/LastSNIIThermalFeedbackDensities")
+        have_k = self._has("PartType0/LastSNIIKineticFeedbackDensities")
+        if not (have_t or have_k):
+            return _zero()
+        dens = None
+        if have_t:
+            dens = self.field("PartType0/LastSNIIThermalFeedbackDensities")
+        if have_k:
+            k = self.field("PartType0/LastSNIIKineticFeedbackDensities")
+            dens = k if dens is None else jnp.maximum(dens, k)
+        v = jnp.max(jnp.where(self._gas_sel, dens, -jnp.inf))
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    # ---- X-ray / Compton-y / spectroscopic-like temperatures ----
+    # X-ray luminosities are per-particle datasets (snapshot or the
+    # recalculated extra-input tables, reference ``swift_cells.py:350-372``);
+    # the properties are masked band-wise sums (``SO_properties.py:1709``).
+
+    def _gas_band_sum(self, name, extra_mask=None, bands=3):
+        if not self._has(name):
+            return jnp.zeros(bands, jnp.float32)
+        mask = self._gas_sel if extra_mask is None else (self._gas_sel & extra_mask)
+        return jnp.sum(jnp.where(mask[:, None], self.field(name), 0.0), axis=0)
+
+    @lazy_property
+    def Xraylum(self):
+        return self._gas_band_sum("PartType0/XrayLuminosities")
+
+    @lazy_property
+    def Xrayphlum(self):
+        return self._gas_band_sum("PartType0/XrayPhotonLuminosities")
+
+    @lazy_property
+    def Xraylum_restframe(self):
+        return self._gas_band_sum("PartType0/XrayLuminositiesRestframe")
+
+    @lazy_property
+    def Xrayphlum_restframe(self):
+        return self._gas_band_sum("PartType0/XrayPhotonLuminositiesRestframe")
+
+    @lazy_property
+    def Xraylum_no_agn(self):
+        return self._gas_band_sum(
+            "PartType0/XrayLuminosities", ~self._gas_recently_heated
+        )
+
+    @lazy_property
+    def Xrayphlum_no_agn(self):
+        return self._gas_band_sum(
+            "PartType0/XrayPhotonLuminosities", ~self._gas_recently_heated
+        )
+
+    @lazy_property
+    def Xraylum_restframe_no_agn(self):
+        return self._gas_band_sum(
+            "PartType0/XrayLuminositiesRestframe", ~self._gas_recently_heated
+        )
+
+    @lazy_property
+    def Xrayphlum_restframe_no_agn(self):
+        return self._gas_band_sum(
+            "PartType0/XrayPhotonLuminositiesRestframe", ~self._gas_recently_heated
+        )
+
+    @lazy_property
+    def compY(self):
+        if not self._has("PartType0/ComptonYParameters"):
+            return _zero()
+        return jnp.sum(
+            jnp.where(
+                self._gas_sel, self.field("PartType0/ComptonYParameters"), 0.0
+            )
+        )
+
+    @lazy_property
+    def compY_no_agn(self):
+        if not self._has("PartType0/ComptonYParameters"):
+            return _zero()
+        return jnp.sum(
+            jnp.where(
+                self._gas_sel & (~self._gas_recently_heated),
+                self.field("PartType0/ComptonYParameters"),
+                0.0,
+            )
+        )
+
+    def _cy_weighted_T(self, extra_mask=None):
+        """Compton-y-weighted mean temperature (``SO_properties.py:1472``)."""
+        if not (
+            self._has("PartType0/ComptonYParameters")
+            and self._has("PartType0/Temperatures")
+        ):
+            return _zero()
+        mask = self._gas_sel if extra_mask is None else (self._gas_sel & extra_mask)
+        y = jnp.where(mask, self.field("PartType0/ComptonYParameters"), 0.0)
+        ysum = jnp.sum(y)
+        return jnp.where(
+            ysum > 0,
+            jnp.sum(y * self._gas_temp) / jnp.maximum(ysum, 1e-37),
+            0.0,
+        )
+
+    @lazy_property
+    def Tgas_cy_weighted(self):
+        return self._cy_weighted_T()
+
+    @lazy_property
+    def Tgas_cy_weighted_no_agn(self):
+        return self._cy_weighted_T(~self._gas_recently_heated)
+
+    #: X-ray temperature selection threshold (``SO_properties.py``
+    #: gas_selection_xray_temperature)
+    T_XRAY_MIN = 1.16e6
+
+    def _spectroscopic_like_T(self, extra_mask=None):
+        """rho m T^(1/4) / rho m T^(-3/4) over gas hotter than 1.16e6 K
+        (``SO_properties.py:2110``)."""
+        if not (
+            self._has("PartType0/Densities")
+            and self._has("PartType0/Temperatures")
+        ):
+            return _zero()
+        mask = self._gas_sel & (self._gas_temp > self.T_XRAY_MIN)
+        if extra_mask is not None:
+            mask = mask & extra_mask
+        rho_m = self.field("PartType0/Densities") * self._gas_mass
+        T = jnp.maximum(self._gas_temp, 1e-30)
+        num = jnp.sum(jnp.where(mask, rho_m * T ** 0.25, 0.0))
+        den = jnp.sum(jnp.where(mask, rho_m * T ** -0.75, 0.0))
+        return jnp.where(den > 0, num / jnp.maximum(den, 1e-37), 0.0)
+
+    @lazy_property
+    def SpectroscopicLikeTemperature(self):
+        return self._spectroscopic_like_T()
+
+    @lazy_property
+    def SpectroscopicLikeTemperature_no_agn(self):
+        return self._spectroscopic_like_T(~self._gas_recently_heated)
+
+    # ---- neutrinos ----
+
+    @lazy_property
+    def MnuNS(self):
+        """Noise-suppressed neutrino mass: sum of weighted masses (the
+        concatenated mass array already carries the weights)."""
+        return red.masked_sum(self.parts.mass, self.mask_nu)
+
+    # ---- DM-only softened Vmax ----
+
+    @lazy_property
+    def _vmax_dm_soft(self):
+        return kin.vmax(self.parts.mass, self.soft_radius, self.mask_dm)
+
+    @lazy_property
+    def DM_Vmax_soft(self):
+        return jnp.sqrt(self.ctx.G * self._vmax_dm_soft.vmax_sq_over_G)
+
+    @lazy_property
+    def DM_R_vmax_soft(self):
+        return self._vmax_dm_soft.radius
+
+
+#: "most massive BH" detail lookups: key -> (dataset, value shape, int?)
+#: (each is the dataset value of the subgrid-most-massive selected BH;
+#: reference ``subhalo_properties.py`` BHmax* family)
+_BH_MAX_DETAIL = {
+    "MostMassiveBlackHoleAveragedAccretionRate": (
+        "PartType5/AveragedAccretionRates", (2,), False),
+    "MostMassiveBlackHoleAccretionMode": (
+        "PartType5/AccretionModes", (), True),
+    "MostMassiveBlackHoleFormationScalefactor": (
+        "PartType5/FormationScaleFactors", (), False),
+    "MostMassiveBlackHoleGWMassLoss": (
+        "PartType5/GWMassLosses", (), False),
+    "MostMassiveBlackHoleInjectedJetEnergyByMode": (
+        "PartType5/InjectedJetEnergiesByMode", (3,), False),
+    "MostMassiveBlackHoleInjectedThermalEnergy": (
+        "PartType5/AGNTotalInjectedEnergies", (), False),
+    "MostMassiveBlackHoleLastJetEventScalefactor": (
+        "PartType5/LastAGNJetScaleFactors", (), False),
+    "MostMassiveBlackHoleNumberOfAGNEvents": (
+        "PartType5/NumberOfAGNEvents", (), True),
+    "MostMassiveBlackHoleNumberOfAGNJetEvents": (
+        "PartType5/NumberOfAGNJetEvents", (), True),
+    "MostMassiveBlackHoleNumberOfMergers": (
+        "PartType5/NumberOfMergers", (), True),
+    "MostMassiveBlackHoleRadiatedEnergyByMode": (
+        "PartType5/RadiatedEnergiesByMode", (3,), False),
+    "MostMassiveBlackHoleSpin": ("PartType5/Spins", (), False),
+    "MostMassiveBlackHoleTotalAccretedMass": (
+        "PartType5/TotalAccretedMasses", (), False),
+    "MostMassiveBlackHoleTotalAccretedMassesByMode": (
+        "PartType5/TotalAccretedMassesByMode", (3,), False),
+    "MostMassiveBlackHoleWindEnergyByMode": (
+        "PartType5/WindEnergiesByMode", (3,), False),
+}
+
+
+def _make_bh_detail(key, dataset, shape, is_int):
+    def method(self):
+        dtype = jnp.int32 if is_int else jnp.float32
+        if not (self._has("PartType5/SubgridMasses") and self._has(dataset)):
+            return jnp.zeros(shape, dtype)
+        idx, found = self._bh_max_idx
+        val = self.field(dataset)[idx]
+        return jnp.where(found, val, jnp.zeros(shape, val.dtype))
+
+    method.__name__ = key
+    method.__doc__ = f"{dataset} of the most massive (subgrid) bound BH."
+    return lazy_property(method)
+
+
+for _key, (_ds, _shape, _int) in _BH_MAX_DETAIL.items():
+    setattr(HaloSlice, _key, _make_bh_detail(_key, _ds, _shape, _int))
+
 
 class BoundSubhaloSlice(HaloSlice):
     """``BoundSubhalo/*`` selection: particles bound to this subhalo."""
@@ -1220,10 +1663,12 @@ class SOSlice(HaloSlice):
         physical_radius: Optional[jnp.ndarray] = None,
         virial: bool = True,
         aux: Optional[Dict[str, object]] = None,
+        core_excision_fraction: Optional[float] = None,
     ):
         super().__init__(ctx, parts, scalars, aux)
         self.target_density = target_density
         self.physical_radius = physical_radius
+        self.core_excision_fraction = core_excision_fraction
         # crit/mean/BN98 definitions (incl. radius multiples of them) are
         # "virial"; fixed-kpc SOs are not (``SO_properties.py:3455-3469``)
         self.virial_definition = virial
@@ -1333,14 +1778,15 @@ class SOSlice(HaloSlice):
         inside = self.parts.valid & (self.radius < 0.3 * self.r)
         return red.centre_of_mass_velocity(self.parts.mass, self.parts.vel, inside)
 
-    def _flow_rate_mass(self, mask_species, weights):
+    def _flow_rate_mass(self, mask_species, weights, fast_outflows=False):
         """In/outflow mass rates through shells at 0.1, 0.3, 1.0 x R_SO.
 
         Shell thickness dR = 0.1 R_shell; radial velocity is measured
         about the CoM velocity of particles within the shell's fraction
         radius, with the pseudo-evolution term R_dot subtracted
         (``SO_properties.py:2847-2908``); output is (6,): three inflow
-        then three outflow rates.
+        then three outflow rates — plus three fast-outflow rates
+        (v_r > 0.25 Vmax_soft) when ``fast_outflows`` is on (shape 9).
         """
         r = self.radius
         rhat = self.parts.pos / jnp.maximum(r, 1e-37)[:, None]
@@ -1351,7 +1797,6 @@ class SOSlice(HaloSlice):
         Rdot_base = Rdot_base * (
             2.0 * self.ctx.omega_g + 1.5 * self.ctx.omega_m
         )
-        rates = []
         vcoms = {
             0.1: self.vcom_ten_percent,
             0.3: self.vcom_thirty_percent,
@@ -1373,10 +1818,68 @@ class SOSlice(HaloSlice):
             fr = weights * jnp.abs(v_r)
             inflow = jnp.sum(jnp.where(in_shell & (v_r < 0), fr, 0.0)) / dR
             outflow = jnp.sum(jnp.where(in_shell & (v_r > 0), fr, 0.0)) / dR
-            shells.append((inflow, outflow))
+            fast = jnp.sum(
+                jnp.where(in_shell & (v_r > 0.25 * self.Vmax_soft), fr, 0.0)
+            ) / dR
+            shells.append((inflow, outflow, fast))
         flat = [s[0] for s in shells] + [s[1] for s in shells]
+        if fast_outflows:
+            flat += [s[2] for s in shells]
         out = jnp.stack(flat)
         return jnp.where(self.exists, out, 0.0)
+
+    #: temperature bands for the sliced gas flow rates (K); reference
+    #: ``SO_properties.py:3057-3104``
+    _GAS_T_BANDS = {
+        "Cold": (None, 1.0e3),
+        "Cool": (1.0e3, 1.0e5),
+        "Warm": (1.0e5, 1.0e7),
+        "Hot": (1.0e7, None),
+    }
+
+    def _gas_T_flow(self, band):
+        if not (self.virial_definition and self._has("PartType0/Temperatures")):
+            return jnp.zeros(9, jnp.float32)
+        tmin, tmax = self._GAS_T_BANDS[band]
+        lo, hi = self.ctx.segment("PartType0")
+        t_full = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
+        t_full = t_full.at[lo:hi].set(self._gas_temp)
+        mask = self._valid_type_mask("PartType0")
+        if tmin is not None:
+            mask = mask & (t_full > tmin)
+        if tmax is not None:
+            mask = mask & (t_full < tmax)
+        return self._flow_rate_mass(mask, self.parts.mass, fast_outflows=True)
+
+    @lazy_property
+    def ColdGasMassFlowRate(self):
+        return self._gas_T_flow("Cold")
+
+    @lazy_property
+    def CoolGasMassFlowRate(self):
+        return self._gas_T_flow("Cool")
+
+    @lazy_property
+    def WarmGasMassFlowRate(self):
+        return self._gas_T_flow("Warm")
+
+    @lazy_property
+    def HotGasMassFlowRate(self):
+        return self._gas_T_flow("Hot")
+
+    @lazy_property
+    def MetalMassFlowRate(self):
+        if not (
+            self.virial_definition
+            and self._has("PartType0/MetalMassFractions")
+        ):
+            return jnp.zeros(6, jnp.float32)
+        lo, hi = self.ctx.segment("PartType0")
+        w = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
+        w = w.at[lo:hi].set(
+            self._gas_mass * self.field("PartType0/MetalMassFractions")
+        )
+        return self._flow_rate_mass(self._valid_type_mask("PartType0"), w)
 
     def _valid_type_mask(self, ptype: str) -> jnp.ndarray:
         """All VALID candidates of a type — flow-rate shells extend beyond
@@ -1432,6 +1935,180 @@ class SOSlice(HaloSlice):
         if not self.virial_definition:
             return _zero()
         return self._concentration(self.soft_radius)
+
+    # ---- DopplerB toward the lightcone observer ----
+
+    @lazy_property
+    def DopplerB(self):
+        """Doppler-B along the line of sight to the observer position
+        (``SO_properties.py:2251``): sum of sigma_T/c * n_e * v_r *
+        (V_particle / (pi R_SO^2))."""
+        if not (
+            self._has("PartType0/ElectronNumberDensities")
+            and self._has("PartType0/Densities")
+        ):
+            return _zero()
+        lo, hi = self.ctx.segment("PartType0")
+        sel = self._seg_arr(self.selection, "PartType0")
+        pos = self._seg_arr(self.parts.pos, "PartType0")
+        vel = self._seg_arr(self.parts.vel, "PartType0")
+        obs = jnp.asarray(self.ctx.observer_position, jnp.float32) * jnp.float32(
+            self.ctx.a
+        )
+        relpos = pos + self.scalars.centre * self.ctx.a - obs[None, :]
+        dist = jnp.sqrt(jnp.sum(relpos * relpos, axis=1))
+        has_d = dist > 0
+        vr = jnp.where(
+            has_d, jnp.sum(vel * relpos, axis=1) / jnp.maximum(dist, 1e-37), 0.0
+        )
+        ne = self.field("PartType0/ElectronNumberDensities")
+        volumes = self._gas_mass / jnp.maximum(
+            self.field("PartType0/Densities"), 1e-37
+        )
+        area = jnp.pi * jnp.maximum(self.r, 1e-37) ** 2
+        # sigma_T / c in (Mpc^2, km/s) internal units ~ 2.3e-79: far below
+        # the f32 range, so the reduction runs in f64 (cheap: one masked
+        # sum) and the tiny constant is applied there.
+        SIGMA_T_OVER_C = 6.6524587158e-29 / (3.0856775815e22**2) / 2.99792458e5
+        total = jnp.sum(
+            jnp.where(sel, ne * vr * volumes, 0.0).astype(jnp.float64)
+        ) / area.astype(jnp.float64)
+        out = SIGMA_T_OVER_C * total
+        return jnp.where(self.exists, out, 0.0).astype(jnp.float32)
+
+    # ---- satellite-excluded X-ray luminosities ----
+
+    @lazy_property
+    def _gas_not_satellite(self):
+        """Gas not bound to another subhalo of the same FOF group."""
+        return ~self._seg_arr(self._bound_to_satellite, "PartType0")
+
+    @lazy_property
+    def XRayLuminosityNoSat(self):
+        return self._gas_band_sum(
+            "PartType0/XrayLuminosities", self._gas_not_satellite
+        )
+
+    @lazy_property
+    def XRayLuminosityCoreExcisionNoSat(self):
+        return self._gas_band_sum(
+            "PartType0/XrayLuminosities",
+            self._gas_not_satellite & self._gas_core_excised,
+        )
+
+    # ---- core-excised variants (CoreExcisedSOProperties,
+    #      ``SO_properties.py:3745-3794``) ----
+
+    @lazy_property
+    def _gas_core_excised(self):
+        """Gas outside the excised core r < f x R_SO."""
+        f = self.core_excision_fraction or 0.0
+        r_gas = self._seg_arr(self.radius, "PartType0")
+        return r_gas > jnp.float32(f) * self.r
+
+    @lazy_property
+    def Tgas_core_excision(self):
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        return self._masked_mw_temperature(self._gas_core_excised)
+
+    @lazy_property
+    def Tgas_no_cool_core_excision(self):
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        return self._masked_mw_temperature(
+            self._gas_core_excised & (self._gas_temp >= self.T_COOL_MAX)
+        )
+
+    @lazy_property
+    def Tgas_no_agn_core_excision(self):
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        return self._masked_mw_temperature(
+            self._gas_core_excised & (~self._gas_recently_heated)
+        )
+
+    @lazy_property
+    def Tgas_no_cool_no_agn_core_excision(self):
+        if not self._has("PartType0/Temperatures"):
+            return _zero()
+        return self._masked_mw_temperature(
+            self._gas_core_excised
+            & (~self._gas_recently_heated)
+            & (self._gas_temp >= self.T_COOL_MAX)
+        )
+
+    @lazy_property
+    def Tgas_cy_weighted_core_excision(self):
+        return self._cy_weighted_T(self._gas_core_excised)
+
+    @lazy_property
+    def Tgas_cy_weighted_core_excision_no_agn(self):
+        return self._cy_weighted_T(
+            self._gas_core_excised & (~self._gas_recently_heated)
+        )
+
+    @lazy_property
+    def SpectroscopicLikeTemperature_core_excision(self):
+        return self._spectroscopic_like_T(self._gas_core_excised)
+
+    @lazy_property
+    def SpectroscopicLikeTemperature_no_agn_core_excision(self):
+        return self._spectroscopic_like_T(
+            self._gas_core_excised & (~self._gas_recently_heated)
+        )
+
+    @lazy_property
+    def Xraylum_core_excision(self):
+        return self._gas_band_sum(
+            "PartType0/XrayLuminosities", self._gas_core_excised
+        )
+
+    @lazy_property
+    def Xraylum_no_agn_core_excision(self):
+        return self._gas_band_sum(
+            "PartType0/XrayLuminosities",
+            self._gas_core_excised & (~self._gas_recently_heated),
+        )
+
+    @lazy_property
+    def Xrayphlum_core_excision(self):
+        return self._gas_band_sum(
+            "PartType0/XrayPhotonLuminosities", self._gas_core_excised
+        )
+
+    @lazy_property
+    def Xrayphlum_no_agn_core_excision(self):
+        return self._gas_band_sum(
+            "PartType0/XrayPhotonLuminosities",
+            self._gas_core_excised & (~self._gas_recently_heated),
+        )
+
+    @lazy_property
+    def Xraylum_restframe_core_excision(self):
+        return self._gas_band_sum(
+            "PartType0/XrayLuminositiesRestframe", self._gas_core_excised
+        )
+
+    @lazy_property
+    def Xraylum_restframe_no_agn_core_excision(self):
+        return self._gas_band_sum(
+            "PartType0/XrayLuminositiesRestframe",
+            self._gas_core_excised & (~self._gas_recently_heated),
+        )
+
+    @lazy_property
+    def Xrayphlum_restframe_core_excision(self):
+        return self._gas_band_sum(
+            "PartType0/XrayPhotonLuminositiesRestframe", self._gas_core_excised
+        )
+
+    @lazy_property
+    def Xrayphlum_restframe_no_agn_core_excision(self):
+        return self._gas_band_sum(
+            "PartType0/XrayPhotonLuminositiesRestframe",
+            self._gas_core_excised & (~self._gas_recently_heated),
+        )
 
     @lazy_property
     def spin_parameter(self):

@@ -121,7 +121,12 @@ def _make_slice(spec, ctx, parts, scalars, prior, dens, aux):
                 aux=aux,
             )
         return SOSlice(
-            ctx, parts, scalars, target_density=jnp.float32(dens), aux=aux
+            ctx,
+            parts,
+            scalars,
+            target_density=jnp.float32(dens),
+            aux=aux,
+            core_excision_fraction=spec.core_excision_fraction,
         )
     if spec.kind == "aperture":
         return ApertureSlice(
@@ -210,6 +215,9 @@ def _process_bucket(
 
         mass = gather_rows(pt.fields["Masses"], idx)
         if ptype == "PartType6" and "Weights" in pt.fields:
+            # SO mass profiles use delta-f weighted neutrino masses; the
+            # raw masses stay accessible as a per-type field (RawNeutrinoMass)
+            fields_concat["PartType6/Masses"] = mass
             mass = mass * gather_rows(pt.fields["Weights"], idx)
         vel = gather_rows(pt.fields["Velocities"], idx)
         groupnr = (

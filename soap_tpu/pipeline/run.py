@@ -58,8 +58,33 @@ def make_context(
     meta: swift_snapshot.SnapshotMetadata,
     ptypes: Sequence[str],
     dmo: bool,
+    parameter_file: Optional[ParameterFile] = None,
 ) -> HaloContext:
     """HaloContext from snapshot metadata (physical snapshot units)."""
+    # recently-heated AGN gas filter thresholds (reference
+    # ``recently_heated_gas_filter.py:49-152``): a_limit such that the
+    # lookback time to a_limit equals delta_time (default 15 Myr)
+    agn_a_limit, agn_Tmin, agn_Tmax = 2.0, 0.0, float("inf")
+    rh = parameter_file.recently_heated_gas_params() if parameter_file else {}
+    H0_internal = float(meta.cosmology_attrs.get("H0 [internal units]", 0.0))
+    if H0_internal > 0:
+        delta_myr = float(rh.get("delta_time_in_Myr", 15.0))
+        ut_s = meta.snap_units_cgs["Unit time in cgs (U_t)"]
+        delta_internal = delta_myr * 3.15576e13 / ut_s
+        # invert lookback(a) = delta_time with the age table
+        age_a, age_h0 = meta.cosmology.age_table()
+        ages_internal = age_h0 / H0_internal
+        t_now = np.interp(meta.a, age_a, ages_internal)
+        agn_a_limit = float(
+            np.interp(t_now - delta_internal, ages_internal, age_a)
+        )
+        if rh.get("use_AGN_delta_T", True) and meta.AGN_delta_T > 0:
+            agn_Tmin = meta.AGN_delta_T * 10.0 ** float(
+                rh.get("delta_logT_min", -1.0)
+            )
+            agn_Tmax = meta.AGN_delta_T * 10.0 ** float(
+                rh.get("delta_logT_max", 0.3)
+            )
     # Newton's G in snapshot units from the CGS constant
     ul = meta.snap_units_cgs["Unit length in cgs (U_L)"]
     um = meta.snap_units_cgs["Unit mass in cgs (U_M)"]
@@ -92,6 +117,10 @@ def make_context(
         H=float(meta.cosmology_attrs.get("H [internal units]", 0.0)),
         omega_m=float(meta.cosmology_attrs.get("Omega_m", 0.0)),
         omega_g=float(meta.cosmology_attrs.get("Omega_g", 0.0)),
+        agn_a_limit=agn_a_limit,
+        agn_Tmin=agn_Tmin,
+        agn_Tmax=agn_Tmax,
+        observer_position=tuple(float(v) for v in meta.observer_position),
         softening=tuple(soft),
         ptypes=tuple(ptypes),
         capacities=tuple(0 for _ in ptypes),
@@ -204,7 +233,7 @@ def compute_halo_properties(
     ptypes = [pt for pt in meta.ptypes if pt in meta.datasets and meta.datasets[pt]]
     if dmo:
         ptypes = [pt for pt in ptypes if pt in ("PartType1", "PartType6")]
-    ctx = make_context(meta, ptypes, dmo)
+    ctx = make_context(meta, ptypes, dmo, parameter_file)
 
     if specs is None:
         specs = build_specs(parameter_file, dmo, bn98_value=meta.virBN98)
