@@ -191,6 +191,18 @@ class SnapshotMetadata:
         else:
             self.observer_position = np.full(3, 0.5 * self.boxsize)
 
+        # Named-column metadata (SubgridScheme/NamedColumns): maps a
+        # dataset name to its column labels (reference:
+        # ``SOAP/core/snapshot_datasets.py:70-90``)
+        self.named_columns: Dict[str, list] = {}
+        with h5py.File(fname, "r") as f:
+            if "SubgridScheme" in f and "NamedColumns" in f["SubgridScheme"]:
+                for dset in f["SubgridScheme"]["NamedColumns"]:
+                    self.named_columns[dset] = [
+                        v.decode() if isinstance(v, bytes) else str(v)
+                        for v in f["SubgridScheme"]["NamedColumns"][dset][:]
+                    ]
+
         # Dataset metadata from snapshot + extra files
         self.datasets: Dict[str, Dict[str, DatasetInfo]] = {
             ptype: {} for ptype in self.ptypes

@@ -57,6 +57,35 @@ class HaloContext:
     agn_Tmax: float = float("inf")
     # lightcone observer position (comoving), for DopplerB
     observer_position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # named-column metadata (SubgridScheme/NamedColumns) as a hashable
+    # tuple of (dataset, (column names...)); reference
+    # ``SOAP/core/snapshot_datasets.py:42-198``
+    named_columns: Tuple[Tuple[str, Tuple[str, ...]], ...] = ()
+    # parameter-file defined constants (O_H_sun etc.), hashable
+    constants: Tuple[Tuple[str, float], ...] = ()
+    # cold dense gas filter thresholds (reference
+    # ``particle_filter/cold_dense_gas_filter.py:57-77``)
+    cold_dense_Tmax: float = 10.0**4.5  # K
+    cold_dense_nH_min_cm3: float = 0.1  # hydrogen atoms per cm^3
+
+    def column_index(self, dataset: str, name: str) -> int:
+        """Index of a named column; raises KeyError when unknown."""
+        for ds, names in self.named_columns:
+            if ds == dataset:
+                return names.index(name)
+        raise KeyError(f"no named columns for {dataset}")
+
+    def has_column(self, dataset: str, name: str) -> bool:
+        for ds, names in self.named_columns:
+            if ds == dataset:
+                return name in names
+        return False
+
+    def constant(self, name: str, default: float = 0.0) -> float:
+        for k, v in self.constants:
+            if k == name:
+                return v
+        return default
     # per-included-ptype physical softening lengths, aligned with `ptypes`
     softening: Tuple[float, ...] = ()
     # which particle types are present, in concatenation order

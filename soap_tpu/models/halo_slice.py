@@ -33,29 +33,14 @@ from typing import Dict, NamedTuple, Optional
 
 import jax.numpy as jnp
 
+from soap_tpu.models.chemistry import ChemistryMixin
 from soap_tpu.models.context import HaloContext
+from soap_tpu.models.lazy import lazy_property
 from soap_tpu.ops import inertia as inertia_ops
 from soap_tpu.ops import kinematics as kin
 from soap_tpu.ops import radii as radii_ops
 from soap_tpu.ops import reductions as red
 from soap_tpu.ops import so_radius as so_ops
-
-
-class lazy_property:
-    """Memoizing property; the trace-time analogue of the reference's
-    ``SOAP/core/lazy_properties.py:16-59``."""
-
-    def __init__(self, fn):
-        self.fn = fn
-        self.name = fn.__name__
-        self.__doc__ = fn.__doc__
-
-    def __get__(self, obj, objtype=None):
-        if obj is None:
-            return self
-        value = self.fn(obj)
-        obj.__dict__[self.name] = value
-        return value
 
 
 class HaloParticles(NamedTuple):
@@ -96,11 +81,12 @@ def _zero():
 GAMA_R_BAND = 2
 
 
-class HaloSlice:
+class HaloSlice(ChemistryMixin):
     """Base class: one halo's selected particles + lazy property methods.
 
     Subclasses define ``selection`` — the boolean mask of particles that
     belong to this halo type (bound / inside SO radius / inside aperture).
+    Chemistry/dust/species properties come from ``ChemistryMixin``.
     """
 
     def __init__(
@@ -1779,6 +1765,9 @@ class SOSlice(HaloSlice):
         return red.centre_of_mass_velocity(self.parts.mass, self.parts.vel, inside)
 
     def _flow_rate_mass(self, mask_species, weights, fast_outflows=False):
+        return self._flow_rate(mask_species, weights, "mass", fast_outflows)
+
+    def _flow_rate(self, mask_species, weights, flow_type, fast_outflows=False):
         """In/outflow mass rates through shells at 0.1, 0.3, 1.0 x R_SO.
 
         Shell thickness dR = 0.1 R_shell; radial velocity is measured
@@ -1812,10 +1801,19 @@ class SOSlice(HaloSlice):
                 & (r > R - 0.5 * dR)
                 & (r < R + 0.5 * dR)
             )
-            v_r = jnp.sum(
-                (self.parts.vel - vcoms[frac][None, :]) * rhat, axis=1
-            ) - frac * Rdot_base
-            fr = weights * jnp.abs(v_r)
+            dv = self.parts.vel - vcoms[frac][None, :]
+            v_r = jnp.sum(dv * rhat, axis=1) - frac * Rdot_base
+            if flow_type == "mass":
+                fr = weights * jnp.abs(v_r)
+            elif flow_type == "energy":
+                # m |v_r| (kinetic + internal); SO_properties.py:2894-2899
+                kinetic = 0.5 * jnp.sum(dv * dv, axis=1)
+                fr = weights * jnp.abs(v_r) * (kinetic + self._u_full)
+            elif flow_type == "momentum":
+                # m (v_r^2 + c_s^2/gamma), c_s^2 = gamma(gamma-1) u
+                fr = weights * (v_r**2 + (5.0 / 3.0 - 1.0) * self._u_full)
+            else:
+                raise ValueError(flow_type)
             inflow = jnp.sum(jnp.where(in_shell & (v_r < 0), fr, 0.0)) / dR
             outflow = jnp.sum(jnp.where(in_shell & (v_r > 0), fr, 0.0)) / dR
             fast = jnp.sum(
@@ -1837,8 +1835,20 @@ class SOSlice(HaloSlice):
         "Hot": (1.0e7, None),
     }
 
-    def _gas_T_flow(self, band):
+    @lazy_property
+    def _u_full(self):
+        """Specific internal energies scattered to the full concatenated
+        axis (zero outside the gas segment)."""
+        u = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
+        if self._has("PartType0/InternalEnergies"):
+            lo, hi = self.ctx.segment("PartType0")
+            u = u.at[lo:hi].set(self.field("PartType0/InternalEnergies"))
+        return u
+
+    def _gas_T_flow(self, band, flow_type="mass"):
         if not (self.virial_definition and self._has("PartType0/Temperatures")):
+            return jnp.zeros(9, jnp.float32)
+        if flow_type != "mass" and not self._has("PartType0/InternalEnergies"):
             return jnp.zeros(9, jnp.float32)
         tmin, tmax = self._GAS_T_BANDS[band]
         lo, hi = self.ctx.segment("PartType0")
@@ -1849,7 +1859,7 @@ class SOSlice(HaloSlice):
             mask = mask & (t_full > tmin)
         if tmax is not None:
             mask = mask & (t_full < tmax)
-        return self._flow_rate_mass(mask, self.parts.mass, fast_outflows=True)
+        return self._flow_rate(mask, self.parts.mass, flow_type, fast_outflows=True)
 
     @lazy_property
     def ColdGasMassFlowRate(self):
@@ -1866,6 +1876,38 @@ class SOSlice(HaloSlice):
     @lazy_property
     def HotGasMassFlowRate(self):
         return self._gas_T_flow("Hot")
+
+    @lazy_property
+    def ColdGasEnergyFlowRate(self):
+        return self._gas_T_flow("Cold", "energy")
+
+    @lazy_property
+    def CoolGasEnergyFlowRate(self):
+        return self._gas_T_flow("Cool", "energy")
+
+    @lazy_property
+    def WarmGasEnergyFlowRate(self):
+        return self._gas_T_flow("Warm", "energy")
+
+    @lazy_property
+    def HotGasEnergyFlowRate(self):
+        return self._gas_T_flow("Hot", "energy")
+
+    @lazy_property
+    def ColdGasMomentumFlowRate(self):
+        return self._gas_T_flow("Cold", "momentum")
+
+    @lazy_property
+    def CoolGasMomentumFlowRate(self):
+        return self._gas_T_flow("Cool", "momentum")
+
+    @lazy_property
+    def WarmGasMomentumFlowRate(self):
+        return self._gas_T_flow("Warm", "momentum")
+
+    @lazy_property
+    def HotGasMomentumFlowRate(self):
+        return self._gas_T_flow("Hot", "momentum")
 
     @lazy_property
     def MetalMassFlowRate(self):
@@ -1923,6 +1965,47 @@ class SOSlice(HaloSlice):
         n_sel = red.masked_count(self.selection)
         ok = self.exists & (n_sel >= 10)
         return jnp.where(ok, 10.0**logc, 0.0)
+
+    @lazy_property
+    def _dm_missed_mass(self):
+        """Interpolated mass of the first DM particle beyond R_SO
+        (``SO_properties.py:468-482``): m2 (R_SO - r1) / (r2 - r1)."""
+        dm_valid = self._valid_type_mask("PartType1")
+        inside = dm_valid & (self.radius < self.r)
+        outside = dm_valid & (self.radius >= self.r)
+        r1 = jnp.max(jnp.where(inside, self.radius, -jnp.inf))
+        r_out = jnp.where(outside, self.radius, jnp.inf)
+        i2 = jnp.argmin(r_out)
+        r2 = jnp.take(r_out, i2)
+        m2 = jnp.take(self.parts.mass, i2)
+        ok = jnp.any(inside) & jnp.any(outside) & (r2 > r1)
+        return jnp.where(
+            ok, m2 * (self.r - r1) / jnp.maximum(r2 - r1, 1e-37), 0.0
+        )
+
+    def _concentration_dmo(self, radius_arr):
+        """DM-only R1 concentration with missed-mass correction
+        (``SO_properties.py:2767-2790``)."""
+        R1 = jnp.sum(jnp.where(self.mask_dm, self.parts.mass * radius_arr, 0.0))
+        R1 = R1 + self._dm_missed_mass * self.r
+        denom = self.r * (self.Mdm + self._dm_missed_mass)
+        R1 = R1 / jnp.maximum(denom, 1e-37)
+        poly = jnp.array([-79.71, -222.46, -250.14, -140.17, -43.59, -5.07])
+        logc = jnp.clip(jnp.polyval(poly, jnp.log10(jnp.maximum(R1, 1e-10))), 0.0, 3.0)
+        ok = self.exists & (self.Ndm >= 10)
+        return jnp.where(ok, 10.0**logc, 0.0)
+
+    @lazy_property
+    def concentration_dmo_unsoft(self):
+        if not self.virial_definition:
+            return _zero()
+        return self._concentration_dmo(self.radius)
+
+    @lazy_property
+    def concentration_dmo_soft(self):
+        if not self.virial_definition:
+            return _zero()
+        return self._concentration_dmo(self.soft_radius)
 
     @lazy_property
     def concentration_unsoft(self):

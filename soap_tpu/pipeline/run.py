@@ -38,6 +38,17 @@ from soap_tpu.pipeline.specs import build_specs
 #: ``particle_properties`` lists.
 BASE_FIELDS = ["Coordinates", "Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs"]
 
+#: default solar abundance ratios (overridable via the parameter file's
+#: ``defined_constants`` section; values mirror the reference's example
+#: parameter files)
+DEFAULT_CONSTANTS = {
+    "O_H_sun": 4.9e-4,
+    "Fe_H_sun": 2.82e-5,
+    "N_O_sun": 0.138,
+    "C_O_sun": 0.549,
+    "Mg_H_sun": 3.98e-5,
+}
+
 
 def _git_hash() -> str:
     try:
@@ -121,6 +132,26 @@ def make_context(
         agn_Tmin=agn_Tmin,
         agn_Tmax=agn_Tmax,
         observer_position=tuple(float(v) for v in meta.observer_position),
+        named_columns=tuple(
+            # column metadata applies to every particle type carrying the
+            # dataset; register under each "PartTypeN/<name>" key
+            (f"{pt}/{ds}", tuple(cols))
+            for ds, cols in sorted(meta.named_columns.items())
+            for pt in meta.ptypes
+            if ds in meta.datasets.get(pt, {})
+        ),
+        constants=tuple(
+            sorted(
+                {
+                    **DEFAULT_CONSTANTS,
+                    **(
+                        parameter_file.get_defined_constants()
+                        if parameter_file
+                        else {}
+                    ),
+                }.items()
+            )
+        ),
         softening=tuple(soft),
         ptypes=tuple(ptypes),
         capacities=tuple(0 for _ in ptypes),

@@ -77,17 +77,25 @@ def build_specs(
         multiples = {
             n: c for n, c in variations.items() if c.get("radius_multiple")
         }
+        ce_keys = implemented_keys_for("CoreExcisedSO", dmo)
         for name, cfg in plain.items():
             so_type = cfg["type"]
             value = float(cfg.get("value", 0.0))
             if so_type == "BN98":
                 value = bn98_value
+            keys = so_keys
+            if cfg.get("core_excision_fraction"):
+                # CoreExcisedSOProperties = SO list + the excised extras
+                # (reference ``SO_properties.py:3745-3770``)
+                keys = tuple(so_keys) + tuple(
+                    k for k in ce_keys if k not in so_keys
+                )
             if "radius_in_kpc" in cfg:
                 specs.append(
                     HaloTypeSpec(
                         kind="SO",
                         group=_so_group_name(name, cfg),
-                        keys=so_keys,
+                        keys=keys,
                         so_type="physical",
                         so_multiple=float(cfg["radius_in_kpc"]) / 1000.0,
                         core_excision_fraction=cfg.get("core_excision_fraction"),
@@ -99,7 +107,7 @@ def build_specs(
                     HaloTypeSpec(
                         kind="SO",
                         group=_so_group_name(name, cfg),
-                        keys=so_keys,
+                        keys=keys,
                         so_type=so_type,
                         so_multiple=value,
                         core_excision_fraction=cfg.get("core_excision_fraction"),

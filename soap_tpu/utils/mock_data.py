@@ -216,7 +216,20 @@ def build_mock_universe(
                 "Masses": np.full(n, particle_mass, np.float32),
                 "ParticleIDs": pids,
             }
+            if kind in ("gas", "star"):
+                # 9-element mass fractions: H-dominated with small metals
+                elem = np.zeros((n, 9), np.float32)
+                elem[:, 0] = 0.74  # Hydrogen
+                elem[:, 1] = 0.24  # Helium
+                elem[:, 2:] = rng.uniform(0.0, 0.004, (n, 7))
+                fields["ElementMassFractions"] = elem
             if kind == "gas":
+                # species fractions relative to hydrogen: HI / HII / H2
+                sp = np.zeros((n, 5), np.float32)
+                sp[:, 1] = rng.uniform(0.0, 0.8, n)  # HI
+                sp[:, 3] = rng.uniform(0.0, 0.1, n)  # H2
+                sp[:, 2] = 1.0 - sp[:, 1] - 2.0 * sp[:, 3]  # HII
+                fields["SpeciesFractions"] = sp
                 fields["Temperatures"] = 10.0 ** rng.uniform(3.0, 8.0, n).astype(
                     np.float32
                 )
@@ -351,6 +364,22 @@ _FIELD_UNITS = {
     "BirthScaleFactors": dict(),
     "Luminosities": dict(),
     "LastAGNFeedbackScaleFactors": dict(),
+    "ElementMassFractions": dict(),
+    "SpeciesFractions": dict(),
+}
+
+#: named-column labels for the mock's multi-column datasets (mirrors
+#: SWIFT's SubgridScheme/NamedColumns metadata)
+NAMED_COLUMNS = {
+    "ElementMassFractions": [
+        "Hydrogen", "Helium", "Carbon", "Nitrogen", "Oxygen",
+        "Neon", "Magnesium", "Silicon", "Iron",
+    ],
+    "SpeciesFractions": ["elec", "HI", "HII", "H2", "H2p"],
+    "Luminosities": [
+        "GAMA_u", "GAMA_g", "GAMA_r", "GAMA_i", "GAMA_z",
+        "GAMA_Y", "GAMA_J", "GAMA_H", "GAMA_K",
+    ],
 }
 
 
@@ -476,6 +505,24 @@ def write_swift_snapshot(
             cells["Files"].create_dataset(
                 ptype, data=np.zeros(n_cells, dtype=np.int32)
             )
+
+        # named-column metadata for multi-column datasets present anywhere
+        used_cols = {
+            name
+            for fields in ptype_data.values()
+            for name in fields
+            if name in NAMED_COLUMNS
+        }
+        if used_cols:
+            nc = f.create_group("SubgridScheme").create_group("NamedColumns")
+            for name in sorted(used_cols):
+                nc.create_dataset(
+                    name,
+                    data=np.array(
+                        [s.encode() for s in NAMED_COLUMNS[name]],
+                        dtype=h5py.special_dtype(vlen=bytes),
+                    ),
+                )
 
         for ptype, fields in ptype_data.items():
             group = f.create_group(ptype)
