@@ -83,7 +83,67 @@ def main(argv=None):
     mem = sub.add_parser("membership", help="compute group membership files")
     _add_common(mem)
 
+    comp = sub.add_parser("compress", help="lossy+gzip compress a catalogue")
+    comp.add_argument("input")
+    comp.add_argument("compressed_output")
+    comp.add_argument("--gzip-level", type=int, default=4)
+
+    cmp_p = sub.add_parser("compare", help="compare two catalogues")
+    cmp_p.add_argument("catalogue_a")
+    cmp_p.add_argument("catalogue_b")
+    cmp_p.add_argument("--exact", action="store_true")
+
+    doc = sub.add_parser("property-table", help="generate documentation")
+    doc.add_argument("output", help=".rst or .tex output file")
+
+    vs = sub.add_parser("virtual-snapshot", help="snapshot+membership virtual file")
+    vs.add_argument("snapshot")
+    vs.add_argument("membership_file")
+    vs.add_argument("virtual_output")
+
+    ec = sub.add_parser("empty-catalogue", help="zero-halo catalogue")
+    ec.add_argument("snapshot")
+    ec.add_argument("catalogue_output")
+    ec.add_argument("--dmo", action="store_true")
+
     args = parser.parse_args(argv)
+
+    if args.command == "compress":
+        from soap_tpu.tools.compression import compress_catalogue
+
+        n = compress_catalogue(args.input, args.compressed_output, args.gzip_level)
+        print(f"compressed {n} datasets")
+        return 0
+    if args.command == "compare":
+        from soap_tpu.tools.compare import compare_catalogues
+
+        res = compare_catalogues(
+            args.catalogue_a, args.catalogue_b,
+            use_compression_tolerance=not args.exact,
+        )
+        print(res.report())
+        return 0 if res.identical else 1
+    if args.command == "property-table":
+        from soap_tpu.tools import docs
+
+        if args.output.endswith(".tex"):
+            docs.generate_latex(args.output)
+        else:
+            docs.generate_rst(args.output)
+        print(f"wrote {args.output}")
+        return 0
+    if args.command == "virtual-snapshot":
+        from soap_tpu.tools.virtual_snapshot import make_virtual_snapshot
+
+        make_virtual_snapshot(args.snapshot, args.membership_file, args.virtual_output)
+        print(f"wrote {args.virtual_output}")
+        return 0
+    if args.command == "empty-catalogue":
+        from soap_tpu.tools.virtual_snapshot import create_empty_catalogue
+
+        n = create_empty_catalogue(args.snapshot, args.catalogue_output, args.dmo)
+        print(f"wrote {args.catalogue_output} ({n} empty datasets)")
+        return 0
 
     if args.command == "membership":
         from soap_tpu.pipeline.membership import run_group_membership

@@ -178,6 +178,21 @@ def read_hbtplus_catalogue(
     return cat.select(keep)
 
 
-#: Finder registry (reference dispatch: ``halo_centres.py:75-96``).
+def _register_finder_readers():
+    """Finder registry (reference dispatch: ``halo_centres.py:75-96``)."""
+    from soap_tpu.io import finder_readers as fr
+
+    CATALOGUE_READERS.update(
+        {
+            "VR": fr.read_vr_catalogue,
+            "Gadget4": fr.read_gadget4_catalogue,
+            "SubfindEagle": fr.read_subfind_eagle_catalogue,
+            "Rockstar": fr.read_rockstar_catalogue,
+        }
+    )
+    GROUPNR_READERS["VR"] = fr.read_vr_groupnr
+
+
 CATALOGUE_READERS = {"HBTplus": read_hbtplus_catalogue}
 GROUPNR_READERS = {"HBTplus": read_hbtplus_groupnr}
+_register_finder_readers()

