@@ -78,6 +78,8 @@ def main(argv=None):
     )
     hp.add_argument("--chunks", type=int, default=1)
     hp.add_argument("--scratch-dir", help="chunk scratch/restart directory")
+    hp.add_argument("--host-index", type=int, help="this host's index (multi-host)")
+    hp.add_argument("--host-count", type=int, help="number of hosts (multi-host)")
     hp.add_argument("--profile", action="store_true", help="enable jax profiler trace")
 
     mem = sub.add_parser("membership", help="compute group membership files")
@@ -177,6 +179,8 @@ def main(argv=None):
             halo_indices=args.halo_indices,
             nr_chunks=args.chunks,
             scratch_dir=args.scratch_dir,
+            host_index=args.host_index,
+            host_count=args.host_count,
         )
         if args.profile:
             import jax

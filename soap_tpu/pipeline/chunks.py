@@ -130,6 +130,7 @@ def process_chunks(
     scratch_dir: Optional[str] = None,
     extra_fields: Optional[Dict[str, List[str]]] = None,
     aux: Optional[Dict[str, object]] = None,
+    chunk_subset: Optional[Sequence[int]] = None,
     t0: Optional[float] = None,
     verbose: bool = True,
 ) -> Tuple[Dict[str, Dict[str, np.ndarray]], EngineStats]:
@@ -154,7 +155,10 @@ def process_chunks(
                 if n not in fields_per_type.get(pt, []):
                     fields_per_type.setdefault(pt, []).append(n)
 
-    for chunk_nr in range(int(chunk_of.max()) + 1 if H else 0):
+    all_chunks = range(int(chunk_of.max()) + 1 if H else 0)
+    if chunk_subset is not None:
+        all_chunks = [c for c in all_chunks if c in set(chunk_subset)]
+    for chunk_nr in all_chunks:
         rows = np.flatnonzero(chunk_of == chunk_nr)
         if len(rows) == 0:
             continue

@@ -28,6 +28,7 @@ from soap_tpu.io import swift_snapshot
 from soap_tpu.io.catalogue_writer import spatial_sort_order, write_catalogue
 from soap_tpu.io.halo_catalogue import CATALOGUE_READERS, HaloCatalogue
 from soap_tpu.models.context import HaloContext
+from soap_tpu.parallel import multihost
 from soap_tpu.pipeline import derived
 from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
 from soap_tpu.pipeline.chunks import process_chunks, required_datasets
@@ -234,6 +235,8 @@ def compute_halo_properties(
     scratch_dir: Optional[str] = None,
     prev_halo_basename: Optional[str] = None,
     next_halo_basename: Optional[str] = None,
+    host_index: Optional[int] = None,
+    host_count: Optional[int] = None,
     verbose: bool = True,
 ) -> RunResult:
     """Run the full pipeline on one snapshot (single chunk).
@@ -284,7 +287,21 @@ def compute_halo_properties(
             (age_h0 / H0_internal).astype(np.float32),
         )
 
-    # --- chunked processing (Peano decomposition for nr_chunks > 1) ---
+    # --- chunked processing (Peano decomposition for nr_chunks > 1);
+    # multi-host runs take a round-robin chunk subset and hand off via
+    # the shared scratch directory (soap_tpu/parallel/multihost.py) ---
+    chunk_subset = None
+    if host_index is None and host_count is None:
+        host_index, host_count = multihost.detect_host_rank()
+    if host_count and host_count > 1:
+        assert scratch_dir, "multi-host runs require --scratch-dir"
+        chunk_subset = multihost.chunks_for_host(
+            nr_chunks, host_index or 0, host_count
+        )
+        if verbose:
+            print(
+                f"host {host_index}/{host_count}: chunks {chunk_subset}"
+            )
     results, engine_stats = process_chunks(
         meta,
         cat,
@@ -296,9 +313,25 @@ def compute_halo_properties(
         scratch_dir=scratch_dir,
         extra_fields=required_datasets(specs, meta),
         aux=aux,
+        chunk_subset=chunk_subset,
         t0=t0,
         verbose=verbose,
     )
+    if chunk_subset is not None:
+        # compute phase of a multi-host run: this host only covers its
+        # chunk subset; the combine phase (host 0 or a follow-up job)
+        # merges all scratch and writes the catalogue
+        if host_index != 0 or len(chunk_subset) < nr_chunks:
+            try:
+                results = multihost.combine_scratch(
+                    scratch_dir, specs, cat.nr_halos
+                )
+                if verbose:
+                    print("combined all hosts' scratch files")
+            except (FileNotFoundError, RuntimeError) as e:
+                if verbose:
+                    print(f"skipping combine ({e}); partial results only")
+                return RunResult(results, cat, np.arange(cat.nr_halos), engine_stats, None)
 
     # --- category filters: zero masked halos, record metadata ---
     cat_filter = CategoryFilter(
