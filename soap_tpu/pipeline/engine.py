@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -293,10 +294,43 @@ MAX_BATCH = 2048
 
 @dataclass
 class EngineStats:
+    """Scheduling/throughput observability (the analogue of the
+    reference's dead-time and per-halo timing instrumentation,
+    ``task_queue.py:196-205``, ``--record-halo-timings``)."""
+
     n_bucket_calls: int = 0
     n_retries: int = 0
     n_overflow: int = 0
     halos_done: int = 0
+    # per-bucket records: (n_halos, padded_B, capacity_K, cube, seconds)
+    bucket_records: List[Tuple[int, int, int, int, float]] = field(
+        default_factory=list
+    )
+
+    @property
+    def compute_seconds(self) -> float:
+        return sum(r[4] for r in self.bucket_records)
+
+    @property
+    def padding_efficiency(self) -> float:
+        """Fraction of padded batch lanes holding real halos."""
+        lanes = sum(r[1] for r in self.bucket_records)
+        real = sum(r[0] for r in self.bucket_records)
+        return real / lanes if lanes else 1.0
+
+    def timing_report(self) -> str:
+        lines = [
+            f"bucket calls: {self.n_bucket_calls}, halos: {self.halos_done}, "
+            f"retries: {self.n_retries}, overflow: {self.n_overflow}",
+            f"device compute: {self.compute_seconds:.2f}s, "
+            f"lane efficiency: {self.padding_efficiency:.1%}",
+        ]
+        for n, B, K, cube, dt in self.bucket_records:
+            lines.append(
+                f"  bucket n={n:5d} B={B:5d} K={K:7d} cube={cube:3d} "
+                f"{dt:7.3f}s ({n/max(dt,1e-9):9.1f} halos/s)"
+            )
+        return "\n".join(lines)
 
 
 class HaloEngine:
@@ -451,6 +485,7 @@ class HaloEngine:
                         [x, np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)]
                     )
 
+                t_bucket = time.perf_counter()
                 out, overflow = _process_bucket(
                     ctx,
                     self.specs,
@@ -471,6 +506,9 @@ class HaloEngine:
                 self.stats.n_bucket_calls += 1
 
                 overflow_h = np.asarray(overflow)[:nb]
+                self.stats.bucket_records.append(
+                    (nb, B, sum(caps), max(cubes), time.perf_counter() - t_bucket)
+                )
                 needs = np.zeros(nb, dtype=bool)
                 for spec in self.specs:
                     g = out[spec.group]

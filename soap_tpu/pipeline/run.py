@@ -235,6 +235,7 @@ def compute_halo_properties(
     scratch_dir: Optional[str] = None,
     prev_halo_basename: Optional[str] = None,
     next_halo_basename: Optional[str] = None,
+    fof_filename: Optional[str] = None,
     host_index: Optional[int] = None,
     host_count: Optional[int] = None,
     verbose: bool = True,
@@ -364,6 +365,17 @@ def compute_halo_properties(
                 host_fof_sorted, track_sorted, mass_sorted
             )
             soap_cols["SOAP/SubhaloRankByBoundMass"] = rank_sorted[inv_order]
+
+        # FOF group join for centrals (``combine_chunks.py:406-535``)
+        if fof_filename:
+            from soap_tpu.io.fof_catalogue import fof_join, read_fof_groups
+
+            fof_cols = fof_join(
+                read_fof_groups(fof_filename),
+                cat.passthrough["HBTplus/HostHaloId"],
+                cat.is_central.astype(bool),
+            )
+            soap_cols.update(fof_cols)
 
         # progenitor/descendant indices from TrackId matching against the
         # adjacent snapshots' (spatially sorted) catalogues

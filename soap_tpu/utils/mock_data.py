@@ -233,6 +233,19 @@ def build_mock_universe(
                 fields["Temperatures"] = 10.0 ** rng.uniform(3.0, 8.0, n).astype(
                     np.float32
                 )
+                # comoving mass density in internal units (1e10 Msun/Mpc^3)
+                fields["Densities"] = 10.0 ** rng.uniform(-2.0, 6.0, n).astype(
+                    np.float32
+                )
+                # specific internal energy u ~ (km/s)^2, correlated with T
+                fields["InternalEnergies"] = (
+                    fields["Temperatures"] * 1.2e-2
+                ).astype(np.float32)
+                fields["Pressures"] = (
+                    (5.0 / 3.0 - 1.0)
+                    * fields["Densities"]
+                    * fields["InternalEnergies"]
+                ).astype(np.float32)
                 sfr = rng.uniform(0.01, 5.0, n).astype(np.float32)
                 # ~70% of gas is not star-forming: SWIFT stores the last
                 # star-formation scale factor as a NEGATIVE value there
@@ -366,6 +379,9 @@ _FIELD_UNITS = {
     "LastAGNFeedbackScaleFactors": dict(),
     "ElementMassFractions": dict(),
     "SpeciesFractions": dict(),
+    "Densities": dict(m=1.0, l=-3.0, a_exp=-3.0),
+    "InternalEnergies": dict(l=2.0, t=-2.0, physical=True),
+    "Pressures": dict(m=1.0, l=-1.0, t=-2.0, physical=True),
 }
 
 #: named-column labels for the mock's multi-column datasets (mirrors

@@ -11,30 +11,18 @@ import time
 import numpy as np
 
 
-def _wait_for_device(tries=10, delay=30):
-    """The axon TPU tunnel registration is flaky under contention;
-    retry until the backend comes up."""
+def _check_device():
+    """TPU plugin registration happens at interpreter startup and is
+    exclusive — fail fast so a wrapper can retry with a NEW process
+    (in-process retries can never succeed)."""
     import jax
 
-    for i in range(tries):
-        try:
-            d = jax.devices()
-            print(f"device: {d[0]}", flush=True)
-            return
-        except RuntimeError as e:
-            print(f"device not ready ({i}): {e}", file=sys.stderr, flush=True)
-            import jax._src.xla_bridge as xb
-
-            try:
-                xb._clear_backends()
-            except Exception:
-                pass
-            time.sleep(delay)
-    raise RuntimeError("TPU backend never came up")
+    d = jax.devices()
+    print(f"device: {d[0]}", flush=True)
 
 
 def main():
-    _wait_for_device()
+    _check_device()
     from soap_tpu.core.halo_types import implemented_keys_for
     from soap_tpu.models.context import HaloContext
     from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
