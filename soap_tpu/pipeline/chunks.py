@@ -210,12 +210,17 @@ def process_chunks(
                 index=cat.index[rows],
                 is_central=cat.is_central.astype(bool)[rows],
                 fof_id=cat.fof_id[rows],
+                # upper bound on EncloseRadius for the aperture-copy
+                # optimization (HBT search radius = 1.01 x REnclose)
+                enclose_radius_phys=cat.search_radius[rows] * meta.a,
             )
             s = engine.stats
             total_stats.n_bucket_calls += s.n_bucket_calls
             total_stats.n_retries += s.n_retries
             total_stats.n_overflow += s.n_overflow
+            total_stats.n_copied_specs += s.n_copied_specs
             total_stats.halos_done += s.halos_done
+            total_stats.bucket_records.extend(s.bucket_records)
             if verbose:
                 print(
                     f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: processed "

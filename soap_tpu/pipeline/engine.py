@@ -85,6 +85,16 @@ class HaloTypeSpec:
     # halo filter: 'basic' computes for every halo; SO specs additionally
     # restrict to centrals (reference SO_properties.py:3627)
     centrals_only: bool = False
+    # aperture-copy optimization (reference
+    # ``aperture_properties.py:4082-4123``): when every halo of a bucket
+    # has EncloseRadius <= the next-smaller aperture's radius, this
+    # spec's non-radius-dependent keys are copied from that aperture
+    # instead of recomputed.  ``copy_keys`` lists the keys that must
+    # still be computed when the copy triggers (radius-dependent ones
+    # under strict_halo_copy; empty = copy everything).
+    copy_from: Optional[str] = None  # group name of the next-smaller aperture
+    copy_from_radius_mpc: Optional[float] = None
+    strict_keys: Tuple[str, ...] = ()  # keys recomputed even when copying
 
     def target_density(self, ctx: HaloContext) -> Optional[float]:
         if self.kind != "SO" or self.so_type in (None, "physical"):
@@ -301,6 +311,7 @@ class EngineStats:
     n_bucket_calls: int = 0
     n_retries: int = 0
     n_overflow: int = 0
+    n_copied_specs: int = 0  # aperture-copy optimization hits
     halos_done: int = 0
     # per-bucket records: (n_halos, padded_B, capacity_K, cube, seconds)
     bucket_records: List[Tuple[int, int, int, int, float]] = field(
@@ -371,6 +382,7 @@ class HaloEngine:
         index: np.ndarray,  # (H,) i64 catalogue indices
         is_central: np.ndarray,  # (H,) bool
         fof_id: np.ndarray,  # (H,) i64
+        enclose_radius_phys: Optional[np.ndarray] = None,  # (H,) physical
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Process all halos; returns {group: {key: (H, ...) array}}."""
         H = len(index)
@@ -485,10 +497,36 @@ class HaloEngine:
                         [x, np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)]
                     )
 
+                # aperture-copy optimization: when every halo of the
+                # bucket is fully enclosed by the next-smaller aperture,
+                # compute only the radius-dependent keys and copy the rest
+                copied: Dict[str, HaloTypeSpec] = {}
+                bucket_specs: List[HaloTypeSpec] = []
+                if enclose_radius_phys is not None:
+                    max_enclose = float(enclose_radius_phys[bucket_global].max())
+                    for spec in self.specs:
+                        if (
+                            spec.copy_from is not None
+                            and spec.copy_from_radius_mpc is not None
+                            and max_enclose <= spec.copy_from_radius_mpc
+                        ):
+                            copied[spec.group] = spec
+                            if spec.strict_keys:
+                                bucket_specs.append(
+                                    dataclasses.replace(
+                                        spec, keys=tuple(spec.strict_keys)
+                                    )
+                                )
+                        else:
+                            bucket_specs.append(spec)
+                else:
+                    bucket_specs = list(self.specs)
+                self.stats.n_copied_specs += len(copied)
+
                 t_bucket = time.perf_counter()
                 out, overflow = _process_bucket(
                     ctx,
-                    self.specs,
+                    tuple(bucket_specs),
                     cubes,
                     float(boxsize),
                     self.chunk,
@@ -509,14 +547,34 @@ class HaloEngine:
                 self.stats.bucket_records.append(
                     (nb, B, sum(caps), max(cubes), time.perf_counter() - t_bucket)
                 )
+                # resolve per-bucket outputs in spec order so copied
+                # apertures can chain off earlier (possibly also copied)
+                # apertures
                 needs = np.zeros(nb, dtype=bool)
+                bucket_out: Dict[str, Dict[str, np.ndarray]] = {}
                 for spec in self.specs:
-                    g = out[spec.group]
-                    nb_flag = np.asarray(g["__needs_bigger__"])[:nb]
-                    needs |= nb_flag
+                    g = out.get(spec.group, {})
+                    source = bucket_out.get(spec.copy_from or "", {})
+                    res: Dict[str, np.ndarray] = {}
+                    for key in spec.keys:
+                        if key in g:
+                            res[key] = np.asarray(g[key])[:nb]
+                        else:
+                            res[key] = source[key]
+                    if "__needs_bigger__" in g:
+                        res["__needs_bigger__"] = np.asarray(
+                            g["__needs_bigger__"]
+                        )[:nb]
+                    else:
+                        res["__needs_bigger__"] = source["__needs_bigger__"]
+                    bucket_out[spec.group] = res
+
+                for spec in self.specs:
+                    res = bucket_out[spec.group]
+                    needs |= res["__needs_bigger__"]
                     buf = results.setdefault(spec.group, {})
                     for key in spec.keys:
-                        arr = np.asarray(g[key])[:nb]
+                        arr = res[key]
                         if key not in buf:
                             buf[key] = np.zeros((H,) + arr.shape[1:], arr.dtype)
                         if spec.centrals_only:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-from soap_tpu.core.halo_types import implemented_keys_for
+from soap_tpu.core.halo_types import halo_type_keys, implemented_keys_for
 from soap_tpu.core.params import ParameterFile
 from soap_tpu.pipeline.engine import HaloTypeSpec
 
@@ -151,12 +151,23 @@ def build_specs(
             else dict(DEFAULT_APERTURE_VARIATIONS)
         )
         ap_keys = implemented_keys_for("Aperture", dmo)
+        strict = params.strict_halo_copy() if params else False
+        rad_dep = tuple(
+            k
+            for k in halo_type_keys()["ApertureRadiusDependent"]
+            if k in ap_keys
+        )
+        prev_by_kind: Dict[bool, Optional[Tuple[str, float]]] = {
+            True: None,
+            False: None,
+        }
         for name, cfg in sorted(
             variations.items(), key=lambda kv: float(kv[1]["radius_in_kpc"])
         ):
             r_kpc = float(cfg["radius_in_kpc"])
             inclusive = bool(cfg.get("inclusive", False))
             prefix = "InclusiveSphere" if inclusive else "ExclusiveSphere"
+            prev = prev_by_kind[inclusive]
             specs.append(
                 HaloTypeSpec(
                     kind="aperture",
@@ -164,8 +175,19 @@ def build_specs(
                     keys=ap_keys,
                     aperture_radius_mpc=r_kpc / 1000.0,
                     inclusive=inclusive,
+                    # aperture-copy: exclusive apertures can copy from the
+                    # next-smaller one when it enclosed every bound
+                    # particle (``aperture_properties.py:4082-4123``);
+                    # inclusive spheres cannot (unbound particles extend
+                    # beyond EncloseRadius)
+                    copy_from=prev[0] if (prev and not inclusive) else None,
+                    copy_from_radius_mpc=(
+                        prev[1] if (prev and not inclusive) else None
+                    ),
+                    strict_keys=rad_dep if strict else (),
                 )
             )
+            prev_by_kind[inclusive] = (f"{prefix}/{r_kpc:.0f}kpc", r_kpc / 1000.0)
 
     if projected:
         variations = (
@@ -176,11 +198,23 @@ def build_specs(
             else dict(DEFAULT_PROJECTED_VARIATIONS)
         )
         pr_keys = implemented_keys_for("ProjectedAperture", dmo)
+        strict = params.strict_halo_copy() if params else False
+        pr_rad_dep = tuple(
+            k
+            for k in halo_type_keys()["ProjectedApertureRadiusDependent"]
+            if k in pr_keys
+        )
+        prev_proj: Optional[Tuple[str, float]] = None
         for name, cfg in sorted(
             variations.items(), key=lambda kv: float(kv[1]["radius_in_kpc"])
         ):
             r_kpc = float(cfg["radius_in_kpc"])
             for axis, label in enumerate("xyz"):
+                prev = (
+                    (f"ProjectedAperture/{prev_proj[0]}kpc/proj{label}", prev_proj[1])
+                    if prev_proj
+                    else None
+                )
                 specs.append(
                     HaloTypeSpec(
                         kind="projected",
@@ -188,7 +222,11 @@ def build_specs(
                         keys=pr_keys,
                         aperture_radius_mpc=r_kpc / 1000.0,
                         axis=axis,
+                        copy_from=prev[0] if prev else None,
+                        copy_from_radius_mpc=prev[1] if prev else None,
+                        strict_keys=pr_rad_dep if strict else (),
                     )
                 )
+            prev_proj = (f"{r_kpc:.0f}", r_kpc / 1000.0)
 
     return specs
