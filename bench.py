@@ -121,6 +121,7 @@ def main():
     halos_per_sec = n_halos / dt
     log(f"[{time.time()-t0:6.1f}s] timed pass: {dt:.3f}s -> "
         f"{halos_per_sec:.1f} halos/s")
+    log(engine.stats.timing_report())
 
     print(
         json.dumps(

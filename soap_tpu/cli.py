@@ -53,7 +53,9 @@ def _resolve_paths(args):
         raw = yaml.safe_load(f)
     subs = {"sim_name": args.sim_name or "", "snap_nr": f"{args.snap_nr:04d}"}
     raw = substitute_parameters(raw, subs)
-    params = ParameterFile(parameter_dictionary=raw)
+    params = ParameterFile(
+        parameter_dictionary=raw, snipshot=getattr(args, "snipshot", False)
+    )
     snaps = raw.get("Snapshots", {})
     snap = snaps.get("filename", "")
     mem = raw.get("GroupMembership", {}).get("filename", "")
@@ -80,6 +82,16 @@ def main(argv=None):
     hp.add_argument("--scratch-dir", help="chunk scratch/restart directory")
     hp.add_argument("--host-index", type=int, help="this host's index (multi-host)")
     hp.add_argument("--host-count", type=int, help="number of hosts (multi-host)")
+    hp.add_argument(
+        "--snipshot",
+        action="store_true",
+        help="input is a reduced 'snipshot': per-property snapshot/snipshot "
+        "filter values from the parameter file apply",
+    )
+    hp.add_argument(
+        "--output-parameters",
+        help="write the fully-expanded parameter file here and exit",
+    )
     hp.add_argument("--profile", action="store_true", help="enable jax profiler trace")
 
     mem = sub.add_parser("membership", help="compute group membership files")
@@ -161,6 +173,16 @@ def main(argv=None):
         from soap_tpu.pipeline.run import compute_halo_properties
 
         snap, mem_file, halo, out, params = _resolve_paths(args)
+        if args.output_parameters:
+            # expand defaults and write the effective parameters, then
+            # exit (reference --output-parameters, soap_args.py:44-106)
+            from soap_tpu.pipeline.specs import build_specs
+
+            if params is not None:
+                build_specs(params, args.dmo, bn98_value=100.0)
+                params.write_parameters(args.output_parameters)
+                print(f"wrote {args.output_parameters}")
+            return 0
         profile_ctx = None
         if args.profile:
             import jax

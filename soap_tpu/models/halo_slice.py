@@ -369,11 +369,27 @@ class HaloSlice(ChemistryMixin):
             self.parts.mass, self.parts.vel, self.vcom_star, self.mask_star
         )
 
+    @property
+    def _uniform_softening(self) -> bool:
+        """True when every particle type shares one softening length —
+        then max(r, soft) is monotone in r and the softened profiles can
+        reuse the shared radius sort (saves one full XLA sort per kernel,
+        the dominant per-bucket cost on TPU)."""
+        return len(set(self.ctx.softening)) <= 1
+
+    def _vmax_soft_for(self, mask):
+        if self._uniform_softening:
+            soft = jnp.float32(self.ctx.softening[0] if self.ctx.softening else 0.0)
+            return kin.vmax_sorted(
+                self._m_sorted,
+                jnp.maximum(self._r_sorted, soft),
+                self._sorted(mask),
+            )
+        return kin.vmax(self.parts.mass, self.soft_radius, mask)
+
     @lazy_property
     def _vmax_soft(self):
-        # softening floors break the shared radius order for mixed
-        # particle types, so the softened profile keeps its own sort
-        return kin.vmax(self.parts.mass, self.soft_radius, self.selection)
+        return self._vmax_soft_for(self.selection)
 
     @lazy_property
     def _vmax_unsoft(self):
@@ -1559,7 +1575,7 @@ class HaloSlice(ChemistryMixin):
 
     @lazy_property
     def _vmax_dm_soft(self):
-        return kin.vmax(self.parts.mass, self.soft_radius, self.mask_dm)
+        return self._vmax_soft_for(self.mask_dm)
 
     @lazy_property
     def DM_Vmax_soft(self):

@@ -313,6 +313,8 @@ class EngineStats:
     n_overflow: int = 0
     n_copied_specs: int = 0  # aperture-copy optimization hits
     halos_done: int = 0
+    # per-spec device seconds (only with record_spec_timings)
+    spec_seconds: Dict[str, float] = field(default_factory=dict)
     # per-bucket records: (n_halos, padded_B, capacity_K, cube, seconds)
     bucket_records: List[Tuple[int, int, int, int, float]] = field(
         default_factory=list
@@ -353,7 +355,14 @@ class HaloEngine:
         chunk: ChunkData,
         specs: Sequence[HaloTypeSpec],
         aux: Optional[Dict[str, object]] = None,
+        record_spec_timings: bool = False,
     ):
+        #: when on, every spec runs in its own device program and its
+        #: wall time is accumulated in ``stats.spec_seconds`` — the
+        #: analogue of the reference's ``--record-property-timings``
+        #: (per-property `_time` datasets, README.md:203-211).  Slower
+        #: (no cross-spec fusion); for profiling only.
+        self.record_spec_timings = record_spec_timings
         self.ctx_base = ctx_base
         self.chunk = chunk
         self.specs = tuple(specs)
@@ -451,6 +460,7 @@ class HaloEngine:
 
             order = np.argsort(totals)
             next_pending: List[int] = []
+            in_flight: List[Dict] = []
 
             pos = 0
             while pos < len(order):
@@ -523,10 +533,12 @@ class HaloEngine:
                     bucket_specs = list(self.specs)
                 self.stats.n_copied_specs += len(copied)
 
-                t_bucket = time.perf_counter()
-                out, overflow = _process_bucket(
-                    ctx,
-                    tuple(bucket_specs),
+                # DISPATCH ONLY — jax execution is asynchronous; bucket
+                # programs queue back-to-back on the device and the host
+                # keeps building the next bucket.  Materializing outputs
+                # here would serialize one device round-trip per bucket
+                # (ruinous over a remote-TPU link).
+                bucket_args = (
                     cubes,
                     float(boxsize),
                     self.chunk,
@@ -541,11 +553,60 @@ class HaloEngine:
                     jnp.asarray(padded(fof_id[bucket_global], -1)),
                     self.aux,
                 )
+                t_bucket = time.perf_counter()
+                if self.record_spec_timings:
+                    # profiling mode: one device program per spec, timed
+                    # synchronously (radius-multiple specs recompute their
+                    # parent so the chain stays inside one program)
+                    out = {}
+                    overflow = None
+                    by_group = {s.group: s for s in bucket_specs}
+                    for spec in bucket_specs:
+                        tup = (spec,)
+                        if spec.radius_multiple_of in by_group:
+                            tup = (by_group[spec.radius_multiple_of], spec)
+                        t0s = time.perf_counter()
+                        o, ov = _process_bucket(ctx, tup, *bucket_args)
+                        jax.block_until_ready(o)
+                        self.stats.spec_seconds[spec.group] = (
+                            self.stats.spec_seconds.get(spec.group, 0.0)
+                            + time.perf_counter()
+                            - t0s
+                        )
+                        out[spec.group] = o[spec.group]
+                        overflow = ov
+                else:
+                    out, overflow = _process_bucket(
+                        ctx, tuple(bucket_specs), *bucket_args
+                    )
                 self.stats.n_bucket_calls += 1
+                in_flight.append(
+                    dict(
+                        bucket_global=bucket_global,
+                        nb=nb,
+                        B=B,
+                        caps=caps,
+                        cubes=cubes,
+                        out=out,
+                        overflow=overflow,
+                        t_dispatch=t_bucket,
+                    )
+                )
 
-                overflow_h = np.asarray(overflow)[:nb]
+            # ---- materialize all buckets of this round at once ----
+            for fl in in_flight:
+                bucket_global = fl["bucket_global"]
+                nb = fl["nb"]
+                out = fl["out"]
+                overflow_h = np.asarray(fl["overflow"])[:nb]
                 self.stats.bucket_records.append(
-                    (nb, B, sum(caps), max(cubes), time.perf_counter() - t_bucket)
+                    (
+                        nb,
+                        fl["B"],
+                        sum(fl["caps"]),
+                        max(fl["cubes"]),
+                        time.perf_counter() - fl["t_dispatch"],
+                    )
                 )
                 # resolve per-bucket outputs in spec order so copied
                 # apertures can chain off earlier (possibly also copied)
