@@ -80,6 +80,10 @@ class HaloTypeSpec:
     # aperture options
     aperture_radius_mpc: Optional[float] = None  # physical
     inclusive: bool = False
+    # aperture radius as a multiple of a previously computed property
+    # (reference ``aperture_properties.py:3909-3915``): (source group,
+    # source table key, multiplier)
+    radius_property: Optional[Tuple[str, str, float]] = None
     # projected options
     axis: Optional[int] = None
     # halo filter: 'basic' computes for every halo; SO specs additionally
@@ -139,23 +143,18 @@ def _make_slice(spec, ctx, parts, scalars, prior, dens, aux):
             aux=aux,
             core_excision_fraction=spec.core_excision_fraction,
         )
-    if spec.kind == "aperture":
-        return ApertureSlice(
-            ctx,
-            parts,
-            scalars,
-            jnp.float32(spec.aperture_radius_mpc),
-            spec.inclusive,
-            aux=aux,
-        )
-    if spec.kind == "projected":
+    if spec.kind in ("aperture", "projected"):
+        if spec.radius_property is not None:
+            src_group, src_key, mult = spec.radius_property
+            radius = jnp.float32(mult) * prior[src_group][src_key]
+        else:
+            radius = jnp.float32(spec.aperture_radius_mpc)
+        if spec.kind == "aperture":
+            return ApertureSlice(
+                ctx, parts, scalars, radius, spec.inclusive, aux=aux
+            )
         return ProjectedApertureSlice(
-            ctx,
-            parts,
-            scalars,
-            jnp.float32(spec.aperture_radius_mpc),
-            spec.axis,
-            aux=aux,
+            ctx, parts, scalars, radius, spec.axis, aux=aux
         )
     raise ValueError(spec.kind)
 

@@ -161,6 +161,34 @@ def build_specs(
             True: None,
             False: None,
         }
+        # apertures sized by a previously computed property
+        # (``aperture_properties.py:3977-3989``: group name N x <prop>)
+        from soap_tpu.core.registry import full_property_table
+
+        table = full_property_table()
+        prop_variations = {
+            n: c for n, c in variations.items() if "property" in c
+        }
+        fixed_variations = {
+            n: c for n, c in variations.items() if "property" not in c
+        }
+        for name, cfg in prop_variations.items():
+            src = cfg["property"]  # e.g. BoundSubhalo/HalfMassRadiusStars
+            src_group, src_output = src.rsplit("/", 1)
+            src_key = table.by_output_name(src_output).key
+            mult = float(cfg.get("radius_multiple", 1.0))
+            inclusive = bool(cfg.get("inclusive", False))
+            prefix = "InclusiveSphere" if inclusive else "ExclusiveSphere"
+            specs.append(
+                HaloTypeSpec(
+                    kind="aperture",
+                    group=f"{prefix}/{int(mult)}x{src_output}",
+                    keys=ap_keys,
+                    inclusive=inclusive,
+                    radius_property=(src_group, src_key, mult),
+                )
+            )
+        variations = fixed_variations
         for name, cfg in sorted(
             variations.items(), key=lambda kv: float(kv[1]["radius_in_kpc"])
         ):
