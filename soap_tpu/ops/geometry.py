@@ -23,7 +23,15 @@ import numpy as np
 
 
 def split_hi_lo(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Split float64 host array into (hi, lo) float32 with x == hi + lo."""
+    """Split float64 host array into (hi, lo) float32 with x == hi + lo.
+
+    Routed through the multithreaded C++ kernel when available (billions
+    of coordinates at staging time); numpy otherwise."""
+    from soap_tpu import native
+
+    out = native.split_hi_lo(np.asarray(x, dtype=np.float64))
+    if out is not None:
+        return out
     hi = x.astype(np.float32)
     lo = (x - hi.astype(np.float64)).astype(np.float32)
     return hi, lo

@@ -23,7 +23,16 @@ import numpy as np
 
 def hilbert_key_3d(ijk: np.ndarray, bits: int) -> np.ndarray:
     """Hilbert curve index of integer cells ``ijk`` (N, 3) at ``bits``
-    bits per dimension (vectorized Skilling transpose-to-axes inverse)."""
+    bits per dimension (vectorized Skilling transpose-to-axes inverse).
+
+    Uses the multithreaded C++ kernel (``soap_tpu/native``) when the
+    toolchain is available; the numpy path below is the reference
+    implementation and fallback."""
+    from soap_tpu import native
+
+    out = native.hilbert_keys_3d(ijk, bits)
+    if out is not None:
+        return out
     x = ijk.astype(np.uint64).copy()
     n = 3
     m = np.uint64(1) << np.uint64(bits - 1)
