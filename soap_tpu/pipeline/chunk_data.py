@@ -260,3 +260,28 @@ def presize_so_radius(
 
 
 _FOUR_PI_3 = 4.0 * np.pi / 3.0
+
+
+@partial(jax.jit, static_argnames=("ptypes", "do_presize"))
+def presize_and_count(
+    chunk: "ChunkData",
+    centre_hi: jnp.ndarray,  # (H, 3) comoving
+    radius0: jnp.ndarray,  # (H,) comoving
+    so_eligible: jnp.ndarray,  # (H,) bool: grow these to the SO target
+    target_density_com: jnp.ndarray,  # scalar comoving threshold
+    ptypes: Tuple[str, ...],
+    do_presize: bool = True,
+):
+    """One fused device program for the host's bucketing pre-pass:
+    optional SO gather-radius growth + exact per-type candidate counts
+    (a single round-trip instead of one per step — dispatch latency is
+    the dominant cost over a remote-TPU link)."""
+    if do_presize:
+        grown = presize_so_radius(chunk, centre_hi, radius0, target_density_com)
+        radius = jnp.where(so_eligible, jnp.maximum(radius0, grown), radius0)
+    else:
+        radius = radius0
+    counts = tuple(
+        count_candidates(chunk.ptypes[pt], centre_hi, radius) for pt in ptypes
+    )
+    return radius, counts

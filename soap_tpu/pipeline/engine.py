@@ -52,6 +52,7 @@ from soap_tpu.ops.grid import halo_cell_ranges
 from soap_tpu.pipeline.chunk_data import (
     ChunkData,
     count_candidates_jit,
+    presize_and_count,
     presize_so_radius,
 )
 
@@ -391,9 +392,57 @@ class HaloEngine:
         is_central: np.ndarray,  # (H,) bool
         fof_id: np.ndarray,  # (H,) i64
         enclose_radius_phys: Optional[np.ndarray] = None,  # (H,) physical
+        specs: Optional[Tuple[HaloTypeSpec, ...]] = None,
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Process all halos; returns {group: {key: (H, ...) array}}."""
         H = len(index)
+        if specs is None:
+            specs = self.specs
+
+        # Satellites never compute centrals-only (SO) specs — split the
+        # population so satellite buckets trace a program WITHOUT the SO
+        # DAG instead of computing-and-masking it (the batch analogue of
+        # the reference's per-halo filter skip, ``SO_properties.py:3627``).
+        co_specs = [s for s in specs if s.centrals_only]
+        central_mask = np.asarray(is_central, dtype=bool)
+        if co_specs and H and not central_mask.all():
+            non_co = tuple(s for s in specs if not s.centrals_only)
+            cen = np.flatnonzero(central_mask)
+            sat = np.flatnonzero(~central_mask)
+
+            def subset(rows, sub_specs):
+                if len(rows) == 0 or not sub_specs:
+                    return {}
+                return self.process(
+                    centres[rows],
+                    search_radius_phys[rows],
+                    index[rows],
+                    is_central[rows],
+                    fof_id[rows],
+                    None
+                    if enclose_radius_phys is None
+                    else enclose_radius_phys[rows],
+                    specs=tuple(sub_specs),
+                )
+
+            res_c = subset(cen, specs)
+            res_s = subset(sat, non_co)
+            merged: Dict[str, Dict[str, np.ndarray]] = {}
+            for spec in specs:
+                buf = merged.setdefault(spec.group, {})
+                for key in spec.keys:
+                    src_c = res_c.get(spec.group, {}).get(key)
+                    src_s = res_s.get(spec.group, {}).get(key)
+                    template = src_c if src_c is not None else src_s
+                    full = np.zeros((H,) + template.shape[1:], template.dtype)
+                    if src_c is not None:
+                        full[cen] = src_c
+                    if src_s is not None:
+                        full[sat] = src_s
+                    buf[key] = full
+            self.stats.halos_done = H
+            return merged
+
         ctx0 = self.ctx_base
         a = ctx0.a
         boxsize = self.chunk.boxsize
@@ -413,47 +462,43 @@ class HaloEngine:
         # minimum-target logic ``halo_tasks.py:302-317``).
         so_targets = [
             spec.target_density(ctx0)
-            for spec in self.specs
+            for spec in specs
             if spec.kind == "SO" and spec.target_density(ctx0) is not None
         ]
-        if so_targets and H:
-            # margin 1.5: the flow-rate shell reaches 1.05 x R_SO and the
-            # crossing interpolation needs particles past the threshold
-            # radius, so presize to a slightly lower density target
-            target_com = min(so_targets) * a**3 / 1.5  # physical -> comoving
-            grown_com = np.asarray(
-                presize_so_radius(
-                    self.chunk,
-                    jnp.asarray(c_hi),
-                    jnp.asarray((radius_phys / a).astype(np.float32)),
-                    jnp.float32(target_com),
-                )
-            )
-            grown_phys = grown_com.astype(np.float64) * a
-            so_eligible = (
-                is_central
-                if any(s.centrals_only for s in self.specs if s.kind == "SO")
-                else np.ones(H, bool)
-            )
-            radius_phys = np.where(
-                so_eligible,
-                np.minimum(np.maximum(radius_phys, grown_phys), MAX_SEARCH_RADIUS),
-                radius_phys,
-            )
+        # margin 1.5: the flow-rate shell reaches 1.05 x R_SO and the
+        # crossing interpolation needs particles past the threshold
+        # radius, so presize to a slightly lower density target
+        target_com = min(so_targets) * a**3 / 1.5 if so_targets else 0.0
+        so_eligible = (
+            is_central
+            if any(s.centrals_only for s in specs if s.kind == "SO")
+            else np.ones(H, bool)
+        )
 
+        first_round = True
         while len(pending):
+            # one fused device round-trip: (first round only) SO
+            # gather-radius presizing + exact per-type candidate counts
+            radius_dev, counts_dev = presize_and_count(
+                self.chunk,
+                jnp.asarray(c_hi[pending]),
+                jnp.asarray((radius_phys[pending] / a).astype(np.float32)),
+                jnp.asarray(so_eligible[pending]),
+                jnp.float32(target_com),
+                ctx0.ptypes,
+                do_presize=bool(so_targets) and first_round,
+            )
+            radius_com = np.asarray(radius_dev)
+            radius_phys[pending] = np.minimum(
+                np.maximum(radius_phys[pending], radius_com.astype(np.float64) * a),
+                MAX_SEARCH_RADIUS,
+            )
             radius_com = (radius_phys[pending] / a).astype(np.float32)
-            # exact candidate totals per ptype
+            first_round = False
             totals = np.zeros(len(pending), dtype=np.int64)
             per_type_counts = {}
-            for ptype in ctx0.ptypes:
-                cnt = np.asarray(
-                    count_candidates_jit(
-                        self.chunk.ptypes[ptype],
-                        jnp.asarray(c_hi[pending]),
-                        jnp.asarray(radius_com),
-                    )
-                )
+            for ptype, cnt_dev in zip(ctx0.ptypes, counts_dev):
+                cnt = np.asarray(cnt_dev)
                 per_type_counts[ptype] = cnt
                 totals = totals + cnt
 
@@ -513,7 +558,7 @@ class HaloEngine:
                 bucket_specs: List[HaloTypeSpec] = []
                 if enclose_radius_phys is not None:
                     max_enclose = float(enclose_radius_phys[bucket_global].max())
-                    for spec in self.specs:
+                    for spec in specs:
                         if (
                             spec.copy_from is not None
                             and spec.copy_from_radius_mpc is not None
@@ -529,7 +574,7 @@ class HaloEngine:
                         else:
                             bucket_specs.append(spec)
                 else:
-                    bucket_specs = list(self.specs)
+                    bucket_specs = list(specs)
                 self.stats.n_copied_specs += len(copied)
 
                 # DISPATCH ONLY — jax execution is asynchronous; bucket
@@ -612,7 +657,7 @@ class HaloEngine:
                 # apertures
                 needs = np.zeros(nb, dtype=bool)
                 bucket_out: Dict[str, Dict[str, np.ndarray]] = {}
-                for spec in self.specs:
+                for spec in specs:
                     g = out.get(spec.group, {})
                     source = bucket_out.get(spec.copy_from or "", {})
                     res: Dict[str, np.ndarray] = {}
@@ -629,7 +674,7 @@ class HaloEngine:
                         res["__needs_bigger__"] = source["__needs_bigger__"]
                     bucket_out[spec.group] = res
 
-                for spec in self.specs:
+                for spec in specs:
                     res = bucket_out[spec.group]
                     needs |= res["__needs_bigger__"]
                     buf = results.setdefault(spec.group, {})
