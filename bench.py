@@ -39,12 +39,16 @@ def main():
 
     G = mock_data.G_INTERNAL
     n_halos = 512
+    # log-uniform halo masses from ~32 to ~30000 particles: matches the
+    # production situation where the small-halo majority dominates the
+    # count (the reference envelope is per halo over the full mass
+    # function, ``scripts/FLAMINGO/...``)
     uni = mock_data.build_mock_universe(
         n_halos=n_halos,
         n_field=400_000,
         boxsize=120.0,
         seed=20260816,
-        mass_range=(20.0, 3000.0),
+        mass_range=(3.2, 3000.0),
     )
     log(f"[{time.time()-t0:6.1f}s] mock universe: {len(uni.pos)} particles, "
         f"{uni.n_halos} halos")

@@ -377,6 +377,27 @@ def compute_halo_properties(
             )
             soap_cols.update(fof_cols)
 
+        # mass-binned reduced-snapshot sampling (``combine_chunks.py:606-674``)
+        rs_params = (
+            parameter_file.get_parameters()
+            .get("calculations", {})
+            .get("reduced_snapshots")
+            if parameter_file
+            else None
+        )
+        if rs_params and "SO/200_crit" in results:
+            msun_per_unit = meta.snap_units_cgs["Unit mass in cgs (U_M)"] / 1.98841e33
+            mass_msun_sorted = (
+                results["SO/200_crit"]["Mtot"][order] * msun_per_unit
+            )
+            flag_sorted = derived.included_in_reduced_snapshot(
+                mass_msun_sorted,
+                halos_per_bin=int(rs_params["halos_per_bin"]),
+                bin_size_dex=float(rs_params["halo_bin_size_dex"]),
+                min_halo_mass_msun=float(rs_params["min_halo_mass"]),
+            )
+            soap_cols["SOAP/IncludedInReducedSnapshot"] = flag_sorted[inv_order]
+
         # progenitor/descendant indices from TrackId matching against the
         # adjacent snapshots' (spatially sorted) catalogues
         # (``combine_chunks.py:676-735``)
