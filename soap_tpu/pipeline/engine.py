@@ -296,10 +296,14 @@ def _next_pow2(n: int, floor: int = 256) -> int:
     return max(floor, 1 << int(math.ceil(math.log2(max(n, 1)))))
 
 
-#: target padded rows per bucket invocation (B * K); keeps peak HBM for
-#: gathered slices around a few hundred MB.
-TARGET_ROWS = 4 * 1024 * 1024
-MAX_BATCH = 2048
+#: target padded rows per bucket invocation (B * K).  Larger buckets mean
+#: fewer device invocations (each costs ~0.5-1 s of dispatch latency over
+#: a remote-TPU tunnel, vastly more than the compute) at the price of
+#: more padding and peak HBM (~40 bytes/row for the gathered slices).
+import os as _os
+
+TARGET_ROWS = int(_os.environ.get("SOAP_TPU_TARGET_ROWS", 16 * 1024 * 1024))
+MAX_BATCH = 4096
 
 
 @dataclass
