@@ -207,9 +207,44 @@ class SnapshotMetadata:
         self.datasets: Dict[str, Dict[str, DatasetInfo]] = {
             ptype: {} for ptype in self.ptypes
         }
+        # per-file-set cell layouts: extra-input files may distribute the
+        # same particles over files differently than the snapshot, so
+        # read planning must use each template's own Cells metadata
+        self.template_layouts: Dict[str, Dict[str, tuple]] = {
+            self.snap_filename: {
+                pt: (
+                    self.cell_counts[pt],
+                    self.cell_offsets[pt],
+                    self.cell_files[pt],
+                )
+                for pt in self.ptypes
+            }
+        }
         self._scan_datasets(self.snap_filename)
         for extra in self.extra_filenames:
             self._scan_datasets(extra)
+            self._scan_cell_layout(extra)
+
+    def _scan_cell_layout(self, file_template: str):
+        fname = file_template.format(file_nr=0)
+        layouts = {}
+        with h5py.File(fname, "r") as f:
+            if "Cells" in f and "Counts" in f["Cells"]:
+                for pt in f["Cells/Counts"]:
+                    layouts[pt] = (
+                        f["Cells/Counts"][pt][...].astype(np.int64),
+                        f["Cells/OffsetsInFile"][pt][...].astype(np.int64),
+                        f["Cells/Files"][pt][...].astype(np.int32)
+                        if "Files" in f["Cells"]
+                        else np.zeros(self.nr_cells, np.int32),
+                    )
+        if layouts:
+            self.template_layouts[file_template] = layouts
+        else:
+            # no cell metadata: assume the snapshot's layout
+            self.template_layouts[file_template] = self.template_layouts[
+                self.snap_filename
+            ]
 
     # ------------------------------------------------------------------
     def _scan_datasets(self, file_template: str):
@@ -327,47 +362,62 @@ class ReadSegment:
 
 
 def plan_masked_read(
-    meta: SnapshotMetadata, ptype: str, mask: np.ndarray
+    meta: SnapshotMetadata,
+    ptype: str,
+    mask: np.ndarray,
+    layout: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, List[ReadSegment], int]:
     """Build merged read segments for the masked cells of one ptype.
 
-    Returns (selected cell indices in read order, segments, total rows).
-    Cells are ordered by (file, offset) and adjacent ranges merged up to
-    ``MAX_MERGED_READ_BYTES`` per segment, the same merge strategy as the
-    reference's ``prepare_read`` (``swift_cells.py:477-531``).
+    Returns (selected cell indices in ascending cell order, segments,
+    total rows).  Output rows follow the CANONICAL order — ascending cell
+    index, so every file set holding the same particles in a different
+    file layout produces identically ordered arrays (extra-input files
+    may split particles across files differently than the snapshot).
+    Reads are still issued in (file, offset) order with adjacent ranges
+    merged up to ``MAX_MERGED_READ_BYTES``, the reference's strategy
+    (``swift_cells.py:477-531``); a merge additionally requires the
+    destination rows to be contiguous.
     """
+    if layout is None:
+        counts_all = meta.cell_counts[ptype]
+        offsets_all = meta.cell_offsets[ptype]
+        files_all = meta.cell_files[ptype]
+    else:
+        counts_all, offsets_all, files_all = layout
     idx = np.flatnonzero(mask)
-    counts = meta.cell_counts[ptype][idx]
+    counts = counts_all[idx]
     keep = counts > 0
     idx, counts = idx[keep], counts[keep]
-    offsets = meta.cell_offsets[ptype][idx]
-    files = meta.cell_files[ptype][idx]
+    offsets = offsets_all[idx]
+    files = files_all[idx]
+    # canonical destination rows: ascending cell index
+    mem_offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    total = int(counts.sum())
     order = np.lexsort((offsets, files))
-    idx, counts, offsets, files = (
-        idx[order],
-        counts[order],
-        offsets[order],
-        files[order],
-    )
 
     segments: List[ReadSegment] = []
-    mem = 0
     bytes_per_row = 8 * 3  # conservative (float64 vec3) for the merge cap
-    for i in range(len(idx)):
+    for i in order:
         if (
             segments
             and files[i] == segments[-1].file_nr
             and offsets[i] == segments[-1].file_offset + segments[-1].count
+            and mem_offsets[i] == segments[-1].mem_offset + segments[-1].count
             and (segments[-1].count + counts[i]) * bytes_per_row
             <= MAX_MERGED_READ_BYTES
         ):
             segments[-1].count += int(counts[i])
         else:
             segments.append(
-                ReadSegment(int(files[i]), int(offsets[i]), mem, int(counts[i]))
+                ReadSegment(
+                    int(files[i]),
+                    int(offsets[i]),
+                    int(mem_offsets[i]),
+                    int(counts[i]),
+                )
             )
-        mem += int(counts[i])
-    return idx, segments, mem
+    return idx, segments, total
 
 
 def read_masked_cells(
@@ -386,21 +436,32 @@ def read_masked_cells(
     (``swift_cells.py:548-734``) minus MPI and shared memory.
     """
     out: Dict[str, Dict[str, np.ndarray]] = {}
-    # Group segments by (file_template, file_nr) so each file is opened once.
+    # Plans are built PER FILE TEMPLATE (snapshot vs extra inputs may
+    # have different file layouts); the canonical output row order
+    # (ascending cell index) makes every template's arrays line up.
     for ptype, names in properties.items():
         if ptype not in meta.datasets:
             continue
-        cell_idx, segments, total = plan_masked_read(meta, ptype, mask)
-        out[ptype] = {}
+        plans: Dict[str, Tuple[np.ndarray, List[ReadSegment], int]] = {}
         by_file: Dict[Tuple[str, int], List[Tuple[str, ReadSegment]]] = {}
         arrays: Dict[str, np.ndarray] = {}
+        cell_idx = None
         for name in names:
             info = meta.datasets[ptype].get(name)
             if info is None:
                 raise KeyError(f"dataset {ptype}/{name} not present in inputs")
+            template = info.file_template
+            if template not in plans:
+                layout = meta.template_layouts.get(template, {}).get(ptype)
+                plans[template] = plan_masked_read(
+                    meta, ptype, mask, layout=layout
+                )
+            t_cells, segments, total = plans[template]
+            if cell_idx is None:
+                cell_idx = t_cells
             arrays[name] = np.empty((total,) + info.row_shape, dtype=info.dtype)
             for seg in segments:
-                by_file.setdefault((info.file_template, seg.file_nr), []).append(
+                by_file.setdefault((template, seg.file_nr), []).append(
                     (name, seg)
                 )
         for (template, file_nr), work in sorted(by_file.items()):

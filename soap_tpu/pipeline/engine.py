@@ -302,7 +302,7 @@ def _next_pow2(n: int, floor: int = 256) -> int:
 #: more padding and peak HBM (~40 bytes/row for the gathered slices).
 import os as _os
 
-TARGET_ROWS = int(_os.environ.get("SOAP_TPU_TARGET_ROWS", 16 * 1024 * 1024))
+TARGET_ROWS = int(_os.environ.get("SOAP_TPU_TARGET_ROWS", 8 * 1024 * 1024))
 MAX_BATCH = 4096
 
 

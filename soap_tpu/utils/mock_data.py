@@ -550,6 +550,76 @@ def write_swift_snapshot(
     return layouts["PartType1"][0]
 
 
+def split_snapshot_files(
+    single_file: str, out_template: str, n_files: int
+) -> None:
+    """Split a single-file mock snapshot into a multi-file set.
+
+    ``out_template`` must contain ``{file_nr}``.  Cells are distributed
+    in contiguous blocks; ``Cells/Files`` and ``Cells/OffsetsInFile``
+    are rewritten accordingly — exercises the reader's multi-file merged
+    read path (``io/swift_snapshot.plan_masked_read``).
+    """
+    with h5py.File(single_file, "r") as src:
+        n_cells = int(src["Cells/Meta-data"].attrs["nr_cells"])
+        ptypes = list(src["Cells/Counts"].keys())
+        counts = {pt: src[f"Cells/Counts/{pt}"][...] for pt in ptypes}
+        offsets = {pt: src[f"Cells/OffsetsInFile/{pt}"][...] for pt in ptypes}
+        # contiguous cell blocks per file
+        bounds = [(n_cells * i) // n_files for i in range(n_files + 1)]
+        cell_file = np.zeros(n_cells, np.int32)
+        new_offsets = {pt: np.zeros(n_cells, np.int64) for pt in ptypes}
+        for fi in range(n_files):
+            lo, hi = bounds[fi], bounds[fi + 1]
+            cell_file[lo:hi] = fi
+            for pt in ptypes:
+                c = counts[pt][lo:hi]
+                new_offsets[pt][lo:hi] = np.concatenate(
+                    [[0], np.cumsum(c)[:-1]]
+                )
+        os.makedirs(
+            os.path.dirname(os.path.abspath(out_template.format(file_nr=0))),
+            exist_ok=True,
+        )
+        for fi in range(n_files):
+            lo, hi = bounds[fi], bounds[fi + 1]
+            with h5py.File(out_template.format(file_nr=fi), "w") as dst:
+                for group in src:
+                    if group.startswith("PartType"):
+                        continue
+                    if group == "Cells":
+                        continue
+                    src.copy(group, dst)
+                dst["Header"].attrs["NumFilesPerSnapshot"] = np.array(
+                    [n_files], dtype=np.int32
+                )
+                cells = dst.create_group("Cells")
+                src.copy("Cells/Meta-data", cells, "Meta-data")
+                src.copy("Cells/Centres", cells, "Centres")
+                for sub in ("Counts", "OffsetsInFile", "Files"):
+                    cells.create_group(sub)
+                for pt in ptypes:
+                    cells["Counts"].create_dataset(pt, data=counts[pt])
+                    cells["OffsetsInFile"].create_dataset(
+                        pt, data=new_offsets[pt]
+                    )
+                    cells["Files"].create_dataset(pt, data=cell_file)
+                    # particle rows of this file's cells
+                    row_lo = int(offsets[pt][lo]) if hi > lo else 0
+                    row_hi = (
+                        int(offsets[pt][hi - 1] + counts[pt][hi - 1])
+                        if hi > lo
+                        else 0
+                    )
+                    g = dst.create_group(pt)
+                    for name, ds in src[pt].items():
+                        out = g.create_dataset(
+                            name, data=ds[row_lo:row_hi]
+                        )
+                        for k, v in ds.attrs.items():
+                            out.attrs[k] = v
+
+
 def write_hbt_catalogue(basename: str, uni: MockUniverse) -> None:
     """Write an HBTplus 'SubSnap' (unsorted layout, single file).
 
