@@ -22,11 +22,6 @@ import jax.numpy as jnp
 from soap_tpu.models.context import HaloContext
 from soap_tpu.models.lazy import lazy_property as _lazy
 
-#: proton mass in snapshot internal units (1e10 Msun): m_H[g] / 1e10 Msun
-M_H_INTERNAL = 1.67262192369e-24 / (1.98841e33 * 1.0e10)
-#: cm^-3 -> internal (Mpc^-3) number density conversion
-CM3_TO_MPC3 = (3.08567758149e24) ** 3
-
 
 class ChemistryMixin:
     """Gas/star chemistry lazy properties (see module docstring)."""
@@ -165,16 +160,21 @@ class ChemistryMixin:
 
     @_lazy
     def _gas_cold_dense(self):
-        """T < Tmax and n_H > n_min (``cold_dense_gas_filter.py:57-77``)."""
+        """T < Tmax and n_H > n_min (``cold_dense_gas_filter.py:57-77``);
+        the number-density cut is evaluated as a physical mass-density
+        threshold (f32-safe, see ``HaloContext.cold_dense_rho_threshold``).
+        The snapshot stores comoving densities (a exponent -3)."""
         if not (
             self._has("PartType0/Temperatures")
             and self._has("PartType0/Densities")
         ):
             lo, hi = self.ctx.segment("PartType0")
             return jnp.zeros(hi - lo, bool)
-        nH = self.field("PartType0/Densities") / M_H_INTERNAL
-        n_min = self.ctx.cold_dense_nH_min_cm3 * CM3_TO_MPC3
-        return (self._gas_temp < self.ctx.cold_dense_Tmax) & (nH > n_min)
+        rho_com = self.field("PartType0/Densities")
+        rho_thresh_comoving = self.ctx.cold_dense_rho_threshold * self.ctx.a**3
+        return (self._gas_temp < self.ctx.cold_dense_Tmax) & (
+            rho_com > jnp.float32(rho_thresh_comoving)
+        )
 
     @_lazy
     def GasMassInColdDenseGas(self):

@@ -64,9 +64,13 @@ class HaloContext:
     # parameter-file defined constants (O_H_sun etc.), hashable
     constants: Tuple[Tuple[str, float], ...] = ()
     # cold dense gas filter thresholds (reference
-    # ``particle_filter/cold_dense_gas_filter.py:57-77``)
+    # ``particle_filter/cold_dense_gas_filter.py:57-77``).  The number
+    # density cut n_H > n_min is pre-folded into a PHYSICAL mass-density
+    # threshold rho > n_min * m_H in snapshot units (the raw n_min in
+    # Mpc^-3 overflows float32); default corresponds to 0.1 cm^-3 in
+    # (Mpc, 1e10 Msun) units.
     cold_dense_Tmax: float = 10.0**4.5  # K
-    cold_dense_nH_min_cm3: float = 0.1  # hydrogen atoms per cm^3
+    cold_dense_rho_threshold: float = 2.4715e5
 
     def column_index(self, dataset: str, name: str) -> int:
         """Index of a named column; raises KeyError when unknown."""

@@ -989,128 +989,140 @@ class HaloSlice(ChemistryMixin):
         return self._star_lum_L.reshape(-1)
 
     @lazy_property
+    def _kappa_star_lw_bands(self):
+        """Per-band luminosity-weighted kappa/counter-rotation results."""
+        out = []
+        for b in range(9):
+            vel_rel = self._star_vel_local - self._star_vlum_coms[b][None, :]
+            out.append(
+                kin.angular_momentum_and_kappa(
+                    self._star_lum[:, b],
+                    self._star_pos_local,
+                    vel_rel,
+                    self._star_sel,
+                )
+            )
+        return out
+
+    @lazy_property
     def kappa_corot_star_luminosity_weighted(self):
+        """(9,) kappa_corot per GAMA band, luminosity weighted."""
         if not self._has("PartType4/Luminosities"):
-            return _zero()
-        b = GAMA_R_BAND
-        vel_rel = self._star_vel_local - self._star_vlum_coms[b][None, :]
-        res = kin.angular_momentum_and_kappa(
-            self._star_lum[:, b], self._star_pos_local, vel_rel, self._star_sel
-        )
-        return res.kappa_corot
+            return jnp.zeros(9, jnp.float32)
+        return jnp.stack([r.kappa_corot for r in self._kappa_star_lw_bands])
 
     @lazy_property
     def Lstar_lw_r(self):
         return self._star_lum_L[GAMA_R_BAND]
 
     @lazy_property
-    def StellarRotationalVelocityLuminosityWeighted(self):
-        if not self._has("PartType4/Luminosities"):
-            return _zero()
-        vel = jnp.where(
-            self._star_sel[:, None],
-            self._star_vel_local - self._star_vlum_coms[GAMA_R_BAND][None, :],
-            0.0,
-        )
-        pos = jnp.where(self._star_sel[:, None], self._star_pos_local, 0.0)
-        vcyl = kin.cylindrical_velocities(pos, vel, self.Lstar_lw_r)
-        v = kin.weighted_rotation_velocity(
-            self._star_lum[:, GAMA_R_BAND], vcyl[:, 1], self._star_sel
-        )
-        ok = (self.Nstar >= 2) & (jnp.sum(self.Lstar_lw_r**2) > 0)
-        return jnp.where(ok, v, 0.0)
+    def _star_vcyl_lw_bands(self):
+        """Per-band cylindrical velocities about the band's luminosity-
+        weighted frame; list of ((K4, 3) vcyl, ok flag)."""
+        out = []
+        for b in range(9):
+            L = self._star_lum_L[b]
+            vel = jnp.where(
+                self._star_sel[:, None],
+                self._star_vel_local - self._star_vlum_coms[b][None, :],
+                0.0,
+            )
+            pos = jnp.where(self._star_sel[:, None], self._star_pos_local, 0.0)
+            vcyl = kin.cylindrical_velocities(pos, vel, L)
+            ok = (self.Nstar >= 2) & (jnp.sum(L * L) > 0)
+            out.append((vcyl, ok))
+        return out
 
     @lazy_property
-    def _star_cyl_disp_lw(self):
-        vel = jnp.where(
-            self._star_sel[:, None],
-            self._star_vel_local - self._star_vlum_coms[GAMA_R_BAND][None, :],
-            0.0,
-        )
-        pos = jnp.where(self._star_sel[:, None], self._star_pos_local, 0.0)
-        vcyl = kin.cylindrical_velocities(pos, vel, self.Lstar_lw_r)
-        return kin.weighted_cylindrical_dispersion(
-            self._star_lum[:, GAMA_R_BAND], vcyl, self._star_sel
-        )
+    def StellarRotationalVelocityLuminosityWeighted(self):
+        """(9,) per-band luminosity-weighted rotational velocity."""
+        if not self._has("PartType4/Luminosities"):
+            return jnp.zeros(9, jnp.float32)
+        vals = []
+        for b, (vcyl, ok) in enumerate(self._star_vcyl_lw_bands):
+            v = kin.weighted_rotation_velocity(
+                self._star_lum[:, b], vcyl[:, 1], self._star_sel
+            )
+            vals.append(jnp.where(ok, v, 0.0))
+        return jnp.stack(vals)
+
+    @lazy_property
+    def _star_cyl_disp_lw_bands(self):
+        """(9, 3) per-band luminosity-weighted cylindrical dispersions."""
+        rows = []
+        for b, (vcyl, ok) in enumerate(self._star_vcyl_lw_bands):
+            d = kin.weighted_cylindrical_dispersion(
+                self._star_lum[:, b], vcyl, self._star_sel
+            )
+            rows.append(jnp.where(ok, d, 0.0))
+        return jnp.stack(rows)
 
     @lazy_property
     def StellarCylindricalVelocityDispersionLuminosityWeighted(self):
         if not self._has("PartType4/Luminosities"):
-            return _zero()
-        ok = (self.Nstar >= 2) & (jnp.sum(self.Lstar_lw_r**2) > 0)
-        return jnp.where(
-            ok, jnp.sqrt(jnp.sum(self._star_cyl_disp_lw**2) / 3.0), 0.0
-        )
+            return jnp.zeros(9, jnp.float32)
+        d = self._star_cyl_disp_lw_bands
+        return jnp.sqrt(jnp.sum(d**2, axis=1) / 3.0)
 
     @lazy_property
     def StellarCylindricalVelocityDispersionVerticalLuminosityWeighted(self):
         if not self._has("PartType4/Luminosities"):
-            return _zero()
-        ok = (self.Nstar >= 2) & (jnp.sum(self.Lstar_lw_r**2) > 0)
-        return jnp.where(ok, self._star_cyl_disp_lw[2], 0.0)
+            return jnp.zeros(9, jnp.float32)
+        return self._star_cyl_disp_lw_bands[:, 2]
 
     @lazy_property
     def StellarCylindricalVelocityDispersionDiscPlaneLuminosityWeighted(self):
         if not self._has("PartType4/Luminosities"):
-            return _zero()
-        ok = (self.Nstar >= 2) & (jnp.sum(self.Lstar_lw_r**2) > 0)
-        return jnp.where(
-            ok,
-            jnp.sqrt(
-                (self._star_cyl_disp_lw[0] ** 2 + self._star_cyl_disp_lw[1] ** 2)
-                / 2.0
-            ),
-            0.0,
-        )
+            return jnp.zeros(9, jnp.float32)
+        d = self._star_cyl_disp_lw_bands
+        return jnp.sqrt((d[:, 0] ** 2 + d[:, 1] ** 2) / 2.0)
 
-    # ---- DtoT luminosity-weighted variants ----
-
-    @lazy_property
-    def _kappa_star_lw(self):
-        b = GAMA_R_BAND
-        vel_rel = self._star_vel_local - self._star_vlum_coms[b][None, :]
-        return kin.angular_momentum_and_kappa(
-            self._star_lum[:, b], self._star_pos_local, vel_rel, self._star_sel
-        )
+    # ---- DtoT luminosity-weighted variants (per band, shape 9) ----
 
     @lazy_property
     def DtoTstar_luminosity_weighted_luminosity_ratio(self):
-        """1 - 2 x (counter-rotating r-band luminosity) / (total)."""
+        """(9,) 1 - 2 x (counter-rotating band luminosity) / (total)."""
         if not self._has("PartType4/Luminosities"):
-            return _zero()
-        Ltot = jnp.sum(
-            jnp.where(self._star_sel, self._star_lum[:, GAMA_R_BAND], 0.0)
-        )
-        return jnp.where(
-            Ltot > 0,
-            1.0 - 2.0 * self._kappa_star_lw.m_counterrot / jnp.maximum(Ltot, 1e-37),
-            0.0,
-        )
+            return jnp.zeros(9, jnp.float32)
+        vals = []
+        for b, res in enumerate(self._kappa_star_lw_bands):
+            Ltot = jnp.sum(jnp.where(self._star_sel, self._star_lum[:, b], 0.0))
+            vals.append(
+                jnp.where(
+                    Ltot > 0,
+                    1.0 - 2.0 * res.m_counterrot / jnp.maximum(Ltot, 1e-37),
+                    0.0,
+                )
+            )
+        return jnp.stack(vals)
 
     @lazy_property
     def DtoTstar_luminosity_weighted_mass_ratio(self):
-        """1 - 2 x (mass counter-rotating wrt the luminosity-weighted L)
-        / (total stellar mass)."""
+        """(9,) 1 - 2 x (mass counter-rotating wrt each band's
+        luminosity-weighted L) / (total stellar mass)."""
         if not self._has("PartType4/Luminosities"):
-            return _zero()
-        b = GAMA_R_BAND
-        vel_rel = self._star_vel_local - self._star_vlum_coms[b][None, :]
-        # counter-rotating mass about the luminosity-weighted L direction
-        L = self.Lstar_lw_r
-        Ldir = L / jnp.sqrt(jnp.maximum(jnp.sum(L * L), 1e-37))
-        Li = jnp.sum(
-            self._star_mass[:, None]
-            * jnp.cross(self._star_pos_local, vel_rel)
-            * Ldir[None, :],
-            axis=1,
-        )
-        counter = self._star_sel & (Li < 0.0)
-        m_counter = jnp.sum(jnp.where(counter, self._star_mass, 0.0))
-        return jnp.where(
-            self.Mstar > 0,
-            1.0 - 2.0 * m_counter / jnp.maximum(self.Mstar, 1e-37),
-            0.0,
-        )
+            return jnp.zeros(9, jnp.float32)
+        vals = []
+        for b in range(9):
+            vel_rel = self._star_vel_local - self._star_vlum_coms[b][None, :]
+            L = self._star_lum_L[b]
+            Ldir = L / jnp.sqrt(jnp.maximum(jnp.sum(L * L), 1e-37))
+            Li = jnp.sum(
+                self._star_mass[:, None]
+                * jnp.cross(self._star_pos_local, vel_rel)
+                * Ldir[None, :],
+                axis=1,
+            )
+            counter = self._star_sel & (Li < 0.0)
+            m_counter = jnp.sum(jnp.where(counter, self._star_mass, 0.0))
+            vals.append(
+                jnp.where(
+                    self.Mstar > 0,
+                    1.0 - 2.0 * m_counter / jnp.maximum(self.Mstar, 1e-37),
+                    0.0,
+                )
+            )
+        return jnp.stack(vals)
 
     # ---- black holes ----
 

@@ -134,6 +134,29 @@ def make_context(
         agn_Tmin=agn_Tmin,
         agn_Tmax=agn_Tmax,
         observer_position=tuple(float(v) for v in meta.observer_position),
+        # cold dense filter: n_H > n_min folded into a physical mass
+        # density threshold in SNAPSHOT units (f32-safe)
+        cold_dense_rho_threshold=(
+            (
+                parameter_file.get_parameters()
+                .get("calculations", {})
+                .get("cold_dense_gas_filter", {})
+                .get("minimum_hydrogen_number_density_cm3", 0.1)
+                if parameter_file
+                else 0.1
+            )
+            * 1.67262192369e-24  # m_H in g
+            * meta.snap_units_cgs["Unit length in cgs (U_L)"] ** 3
+            / meta.snap_units_cgs["Unit mass in cgs (U_M)"]
+        ),
+        cold_dense_Tmax=(
+            parameter_file.get_parameters()
+            .get("calculations", {})
+            .get("cold_dense_gas_filter", {})
+            .get("maximum_temperature_K", 10.0**4.5)
+            if parameter_file
+            else 10.0**4.5
+        ),
         named_columns=tuple(
             # column metadata applies to every particle type carrying the
             # dataset; register under each "PartTypeN/<name>" key
