@@ -56,23 +56,58 @@ def compute_membership(
     return grnr, rank
 
 
+def _snapshot_files(snap_filename: str):
+    """All files of a (possibly multi-file) snapshot template."""
+    first = snap_filename.format(file_nr=0)
+    with h5py.File(first, "r") as f:
+        n_files = int(np.asarray(f["Header"].attrs["NumFilesPerSnapshot"]).reshape(-1)[0])
+    if "{file_nr}" not in snap_filename:
+        return [snap_filename]
+    return [snap_filename.format(file_nr=i) for i in range(n_files)]
+
+
 def write_membership_file(
     snap_filename: str,
     output_filename: str,
     grnr_by_type: Dict[str, np.ndarray],
     rank_by_type: Dict[str, np.ndarray],
 ) -> None:
-    """Write membership datasets with the snapshot's layout and unit-style
-    attributes (reference ``group_membership.py:137-159``)."""
+    """Write membership datasets as ONE file whose rows follow the
+    snapshot's global cell order, carrying the global cell metadata so
+    the pipeline can use it as extra input regardless of how the
+    snapshot itself is split over files (reference
+    ``group_membership.py:137-159`` mirrors the snapshot's layout
+    instead)."""
     os.makedirs(os.path.dirname(os.path.abspath(output_filename)), exist_ok=True)
-    with h5py.File(snap_filename, "r") as snap, h5py.File(
+    with h5py.File(snap_filename.format(file_nr=0), "r") as snap, h5py.File(
         output_filename, "w"
     ) as out:
-        # copy cell metadata so membership files can serve as extra input
-        if "Cells" in snap:
-            snap.copy("Cells", out)
         if "Header" in snap:
             snap.copy("Header", out)
+            out["Header"].attrs["NumFilesPerSnapshot"] = np.array(
+                [1], dtype=np.int32
+            )
+        # single-file cell metadata in CANONICAL (ascending cell) order:
+        # the membership rows follow it regardless of how the snapshot
+        # splits cells across files
+        if "Cells" in snap:
+            cells = out.create_group("Cells")
+            snap.copy("Cells/Meta-data", cells, "Meta-data")
+            snap.copy("Cells/Centres", cells, "Centres")
+            for sub in ("Counts", "OffsetsInFile", "Files"):
+                cells.create_group(sub)
+            for pt in snap["Cells/Counts"]:
+                counts = snap["Cells/Counts"][pt][...].astype(np.int64)
+                cells["Counts"].create_dataset(pt, data=counts)
+                cells["OffsetsInFile"].create_dataset(
+                    pt,
+                    data=np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+                        np.int64
+                    ),
+                )
+                cells["Files"].create_dataset(
+                    pt, data=np.zeros(len(counts), np.int32)
+                )
         for ptype, grnr in grnr_by_type.items():
             g = out.create_group(ptype)
             ds = g.create_dataset("GroupNr_bound", data=grnr)
@@ -98,20 +133,26 @@ def run_group_membership(
 
     Returns {ptype: GroupNr_bound} for convenience/testing.
     """
+    from soap_tpu.io.swift_snapshot import SnapshotMetadata, read_masked_cells
+
     nr_halos, ids_bound, grnr_bound, rank_bound = GROUPNR_READERS[halo_format](
         halo_basename
     )
+    meta = SnapshotMetadata(snap_filename)
     grnr_by_type, rank_by_type = {}, {}
-    with h5py.File(snap_filename, "r") as snap:
-        for ptype in ptypes:
-            if ptype not in snap or "ParticleIDs" not in snap[ptype]:
-                continue
-            snap_ids = np.asarray(snap[ptype]["ParticleIDs"])
-            grnr, rank = compute_membership(
-                snap_ids, ids_bound, grnr_bound, rank_bound
-            )
-            grnr_by_type[ptype] = grnr
-            rank_by_type[ptype] = rank
+    for ptype in ptypes:
+        if ptype not in meta.datasets or "ParticleIDs" not in meta.datasets[ptype]:
+            continue
+        # canonical (ascending cell) order, any number of snapshot files
+        mask = np.ones(meta.nr_cells, bool)
+        snap_ids = read_masked_cells(meta, mask, {ptype: ["ParticleIDs"]})[
+            ptype
+        ]["ParticleIDs"]
+        grnr, rank = compute_membership(
+            snap_ids, ids_bound, grnr_bound, rank_bound
+        )
+        grnr_by_type[ptype] = grnr
+        rank_by_type[ptype] = rank
     write_membership_file(
         snap_filename, output_filename, grnr_by_type, rank_by_type
     )

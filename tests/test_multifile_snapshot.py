@@ -21,11 +21,20 @@ def test_multifile_matches_single(tmp_path):
     sim = mock_data.make_mock_simulation(
         str(tmp_path), n_halos=6, n_field=4000, boxsize=20.0, seed=55
     )
-    mem = str(tmp_path / "mem.hdf5")
-    run_group_membership(sim["snapshot"], sim["hbt_basename"], mem)
-
     template = str(tmp_path / "multi" / "snap_0077.{file_nr}.hdf5")
     mock_data.split_snapshot_files(sim["snapshot"], template, n_files=3)
+
+    # the membership program itself must handle multi-file snapshots
+    mem = str(tmp_path / "mem.hdf5")
+    run_group_membership(template, sim["hbt_basename"], mem)
+    mem_single = str(tmp_path / "mem_single.hdf5")
+    run_group_membership(sim["snapshot"], sim["hbt_basename"], mem_single)
+    import h5py
+
+    with h5py.File(mem, "r") as a, h5py.File(mem_single, "r") as b:
+        np.testing.assert_array_equal(
+            a["PartType1/GroupNr_bound"][...], b["PartType1/GroupNr_bound"][...]
+        )
 
     single = compute_halo_properties(
         sim["snapshot"], mem, sim["hbt_basename"], None,
