@@ -38,15 +38,16 @@ def main():
     from soap_tpu.utils import mock_data
 
     G = mock_data.G_INTERNAL
-    n_halos = 512
+    n_halos = 2048
     # log-uniform halo masses from ~32 to ~30000 particles: matches the
     # production situation where the small-halo majority dominates the
     # count (the reference envelope is per halo over the full mass
-    # function, ``scripts/FLAMINGO/...``)
+    # function, ``scripts/FLAMINGO/...``); enough halos that fixed
+    # dispatch latency amortizes as it would in a production run
     uni = mock_data.build_mock_universe(
         n_halos=n_halos,
         n_field=400_000,
-        boxsize=120.0,
+        boxsize=170.0,
         seed=20260816,
         mass_range=(3.2, 3000.0),
     )

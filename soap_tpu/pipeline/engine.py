@@ -49,12 +49,7 @@ from soap_tpu.models.halo_slice import (
 from soap_tpu.ops import geometry
 from soap_tpu.ops.gather import expand_ranges, gather_rows
 from soap_tpu.ops.grid import halo_cell_ranges
-from soap_tpu.pipeline.chunk_data import (
-    ChunkData,
-    count_candidates_jit,
-    presize_and_count,
-    presize_so_radius,
-)
+from soap_tpu.pipeline.chunk_data import ChunkData, presize_and_count
 
 SEARCH_RADIUS_FACTOR = 1.2  # reference halo_tasks.py:14
 READ_RADIUS_FACTOR = 1.5  # reference halo_tasks.py:16

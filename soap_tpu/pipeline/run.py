@@ -30,9 +30,8 @@ from soap_tpu.io.halo_catalogue import CATALOGUE_READERS, HaloCatalogue
 from soap_tpu.models.context import HaloContext
 from soap_tpu.parallel import multihost
 from soap_tpu.pipeline import derived
-from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
 from soap_tpu.pipeline.chunks import process_chunks, required_datasets
-from soap_tpu.pipeline.engine import HaloEngine, HaloTypeSpec
+from soap_tpu.pipeline.engine import HaloTypeSpec
 from soap_tpu.pipeline.specs import build_specs
 
 #: particle datasets every run needs per ptype (DMO tier);
