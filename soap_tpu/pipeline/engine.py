@@ -175,11 +175,7 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
     return fn
 
 
-@partial(
-    jax.jit,
-    static_argnames=("ctx", "specs", "cubes", "boxsize"),
-)
-def _process_bucket(
+def _process_bucket_impl(
     ctx: HaloContext,
     specs: Tuple[HaloTypeSpec, ...],
     cubes: Tuple[int, ...],  # per-ptype search-cube sizes (static)
@@ -285,6 +281,14 @@ def _process_bucket(
         out[group]["__needs_bigger__"] = nb
     # SO for satellites: computed but masked at assembly (centrals_only)
     return out, overflow
+
+
+#: jitted single-chunk entry point; the sharded multi-chip path vmaps
+#: ``_process_bucket_impl`` over a stacked chunk axis instead
+#: (``soap_tpu/parallel/sharded.py``).
+_process_bucket = partial(
+    jax.jit, static_argnames=("ctx", "specs", "cubes", "boxsize")
+)(_process_bucket_impl)
 
 
 def _next_pow2(n: int, floor: int = 256) -> int:
