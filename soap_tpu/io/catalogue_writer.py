@@ -90,22 +90,48 @@ def write_catalogue(
     git_hash: str = "unknown",
     table: Optional[PropertyTable] = None,
     dataset_extra_attrs: Optional[Mapping[str, Mapping[str, object]]] = None,
+    group_attrs: Optional[Mapping[str, Mapping[str, object]]] = None,
+    run_parameters: Optional[Mapping[str, object]] = None,
 ):
     """Write the final catalogue file."""
     if table is None:
         table = full_property_table()
     a = reg.a
+    n_halos = len(order)
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
     with h5py.File(output_path, "w") as f:
-        # --- metadata groups (reference combine_chunks.py:206-248) ---
+        # --- metadata groups (reference combine_chunks.py:206-316) ---
         hdr = f.create_group("Header")
         for k, v in snapshot_meta.header.items():
             try:
                 hdr.attrs[k] = v
             except TypeError:
                 pass
-        hdr.attrs["Code"] = np.bytes_("SOAP-TPU")
+        hdr.attrs["Code"] = np.bytes_("SOAP")
         hdr.attrs["OutputType"] = np.bytes_("SOAP")
+        hdr.attrs["NumFilesPerSnapshot"] = np.array([1], dtype="int32")
+        hdr.attrs["ThisFile"] = np.array([0], dtype="int32")
+        hdr.attrs["NumSubhalos_ThisFile"] = np.array([n_halos], dtype="int32")
+        hdr.attrs["NumSubhalos_Total"] = np.array([n_halos], dtype="int32")
+        n_part_type = int(np.asarray(snapshot_meta.header.get(
+            "NumPartTypes", [7])).ravel()[0])
+        hdr.attrs["NumPart_ThisFile"] = np.zeros(n_part_type, dtype="int32")
+        hdr.attrs["NumPart_Total"] = np.zeros(n_part_type, dtype="uint32")
+        hdr.attrs["NumPart_Total_HighWord"] = np.zeros(
+            n_part_type, dtype="uint32"
+        )
+        hdr.attrs["SnapshotDate"] = np.bytes_(
+            time.strftime("%H:%M:%S %Y-%m-%d GMT", time.gmtime())
+        )
+        hdr.attrs["SubhaloTypes"] = sorted(
+            {"InputHalos"}
+            | {g for g in results}
+            | {
+                "/".join((table[k].name if k in table else f"InputHalos/{k}")
+                         .split("/")[:-1]) or "InputHalos"
+                for k in input_halos
+            }
+        )
         hdr.attrs["SOAP git hash"] = np.bytes_(git_hash)
         hdr.attrs["SOAP date"] = np.bytes_(time.strftime("%Y-%m-%d %H:%M:%S"))
         cos = f.create_group("Cosmology")
@@ -117,9 +143,66 @@ def write_catalogue(
         code_units = f.create_group("InternalCodeUnits")
         for k, v in snapshot_meta.code_units_cgs.items():
             code_units.attrs[k] = [v]
+        const_g = f.create_group("PhysicalConstants").create_group("CGS")
+        for k, v in snapshot_meta.constants_cgs.items():
+            const_g.attrs[k] = [v]
+
+        # run provenance (reference combine_chunks.py:216-248)
+        code_g = f.create_group("Code")
+        code_g.attrs["Code"] = np.bytes_("SOAP")
+        code_g.attrs["git_hash"] = np.bytes_(git_hash)
+        code_g.attrs["Date"] = np.bytes_(time.strftime("%Y-%m-%d %H:%M:%S"))
+        params_g = f.create_group("Parameters")
+        for k, v in (run_parameters or {}).items():
+            try:
+                params_g.attrs[k] = v
+            except TypeError:
+                params_g.attrs[k] = np.bytes_(str(v))
         if parameters_yaml is not None:
-            pg = f.create_group("SOAPParameters")
-            pg.attrs["used_parameters"] = np.bytes_(parameters_yaml)
+            params_g.attrs["used_parameters"] = np.bytes_(parameters_yaml)
+
+        # full SWIFT metadata copy (reference swift_cells.py:736-751)
+        swift_g = f.create_group("SWIFT")
+        swift_hdr = swift_g.create_group("Header")
+        for k, v in snapshot_meta.header.items():
+            try:
+                swift_hdr.attrs[k] = v
+            except TypeError:
+                pass
+        swift_par = swift_g.create_group("Parameters")
+        for k, v in snapshot_meta.parameters.items():
+            try:
+                swift_par.attrs[k] = v
+            except TypeError:
+                pass
+
+        # Cells group: make the catalogue spatially indexable by the
+        # snapshot's top-level cells (reference combine_chunks.py:302-316)
+        dims = np.asarray(snapshot_meta.dimension, dtype=np.int64)
+        nr_cells = int(np.prod(dims))
+        cell_size = np.asarray(snapshot_meta.boxsize, dtype=np.float64) / dims
+        cofp_sorted = np.mod(
+            np.asarray(input_halos["cofp"])[order], snapshot_meta.boxsize
+        )
+        ijk = np.clip(
+            np.floor(cofp_sorted / cell_size).astype(np.int64), 0, dims - 1
+        )
+        halo_cell = (ijk[:, 0] * dims[1] + ijk[:, 1]) * dims[2] + ijk[:, 2]
+        cell_counts = np.bincount(halo_cell, minlength=nr_cells)
+        cells = f.create_group("Cells")
+        cmeta = cells.create_group("Meta-data")
+        cmeta.attrs["dimension"] = dims
+        cmeta.attrs["nr_cells"] = np.array([nr_cells])
+        cmeta.attrs["size"] = cell_size * np.ones(3)
+        cells.create_dataset("Centres", data=snapshot_meta.cell_centres)
+        cells.create_dataset("Counts/Subhalos", data=cell_counts)
+        cells.create_dataset(
+            "Files/Subhalos", data=np.zeros(nr_cells, dtype="int32")
+        )
+        cells.create_dataset(
+            "OffsetsInFile/Subhalos",
+            data=np.cumsum(cell_counts) - cell_counts,
+        )
 
         # --- InputHalos passthrough (keys present in the property table) ---
         for key, raw in input_halos.items():
@@ -144,3 +227,7 @@ def write_catalogue(
                 write_property(
                     f, full_name, data, prop, reg, extra_attrs=extra.get(full_name)
                 )
+            # per-variation mask metadata on the group itself
+            # (reference combine_chunks.py:365-368)
+            for k, v in (group_attrs or {}).get(group, {}).items():
+                f[group].attrs[k] = v

@@ -85,6 +85,11 @@ class HaloTypeSpec:
     # halo filter: 'basic' computes for every halo; SO specs additionally
     # restrict to centrals (reference SO_properties.py:3627)
     centrals_only: bool = False
+    # variation-level category filter (reference
+    # ``compute_halo_properties.py:278-502``: ``variations: {filter: ...}``):
+    # halos failing this category get every key of this spec zeroed, and
+    # the group's mask metadata records the category
+    halo_filter: str = "basic"
     # aperture-copy optimization (reference
     # ``aperture_properties.py:4082-4123``): when every halo of a bucket
     # has EncloseRadius <= the next-smaller aperture's radius, this

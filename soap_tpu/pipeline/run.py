@@ -199,36 +199,70 @@ def apply_category_filters(
     cat_filter: CategoryFilter,
     parameter_file: Optional[ParameterFile],
     n_halos: int,
-) -> Dict[str, Dict[str, object]]:
-    """Zero out masked halos in-place; return per-dataset filter attrs.
+    specs: Optional[Sequence[HaloTypeSpec]] = None,
+) -> tuple:
+    """Zero out masked halos in-place; return (dataset_attrs, group_attrs).
 
-    The per-property category comes from the parameter file
-    (``parameter_file.py:120-154``); without one, every property is
-    'basic' (never masked).
+    Two masking levels, both from BoundSubhalo particle counts:
+     - per-property category from the parameter file (listed by OUTPUT
+       name, ``parameter_file.py:120-154``) — recorded in each dataset's
+       ``Masked``/``Mask Datasets`` attrs
+       (``combine_chunks.py:341-351``);
+     - per-variation ``halo_filter`` (``compute_halo_properties.py:278-502``)
+       — halos failing it are zeroed for the whole group, and the group's
+       attrs record the category (``combine_chunks.py:365-368``).
     """
     sub = results.get("BoundSubhalo", {})
     masks = cat_filter.category_masks(sub, n_halos)
     attrs: Dict[str, Dict[str, object]] = {}
+    group_attrs: Dict[str, Dict[str, object]] = {}
     table = full_property_table()
+    halo_filters = {s.group: s.halo_filter for s in (specs or ())}
     for group, props in results.items():
         base = GROUP_TO_BASE.get(group.split("/")[0])
         categories: Dict[str, object] = {}
         if parameter_file is not None and base is not None:
             categories = parameter_file.get_property_filters(
-                base, list(props.keys())
+                base, [table[k].name for k in props.keys()]
             )
+        halo_filter = halo_filters.get(group, "basic")
+        group_attrs[group] = cat_filter.filter_metadata(
+            halo_filter if halo_filter != "basic" else None
+        )
+        halo_mask = masks.get(halo_filter)
         for key, arr in props.items():
-            category = categories.get(key, "basic")
-            if category is False:
+            name = table[key].name
+            category = categories.get(name, "basic")
+            if category is False or not isinstance(category, str):
                 category = "basic"
-            attrs[f"{group}/{table[key].name}"] = cat_filter.filter_metadata(
-                category if isinstance(category, str) else None
-            )
-            mask = masks.get(category if isinstance(category, str) else "basic")
-            if mask is not None and not mask.all():
+            attrs[f"{group}/{name}"] = cat_filter.filter_metadata(category)
+            mask = masks.get(category, masks["basic"])
+            if halo_mask is not None:
+                mask = mask & halo_mask
+            if not mask.all():
                 keep = mask.reshape((-1,) + (1,) * (arr.ndim - 1))
                 props[key] = np.where(keep, arr, 0)
-    return attrs
+    return attrs, group_attrs
+
+
+def drop_disabled_keys(
+    results: Dict[str, Dict[str, np.ndarray]],
+    parameter_file: Optional[ParameterFile],
+) -> None:
+    """Remove properties disabled in the parameter file from the output.
+
+    ``build_specs`` keeps the BoundSubhalo particle counts computed even
+    when disabled (the category filters need them); the reference never
+    writes disabled properties (``parameter_file.py:120-154``).
+    """
+    if parameter_file is None:
+        return
+    table = full_property_table()
+    for group, props in results.items():
+        base = GROUP_TO_BASE.get(group.split("/")[0])
+        chosen = parameter_file.property_filters.get(base or "", {})
+        for key in [k for k in props if chosen.get(table[k].name) is False]:
+            del props[key]
 
 
 @dataclass
@@ -285,7 +319,17 @@ def compute_halo_properties(
         cat = cat.select(keep)
 
     # search radius floor (reference halo_centres.py:166-227 applies
-    # per-type floors; physical radius here)
+    # per-type floors; physical radius here).  The parameter file's
+    # ``calculations.min_read_radius_cmpc`` (comoving Mpc,
+    # ``soap_args.py:144``) overrides the keyword default.
+    if parameter_file is not None:
+        cmpc = (
+            parameter_file.get_parameters()
+            .get("calculations", {})
+            .get("min_read_radius_cmpc")
+        )
+        if cmpc is not None:
+            min_read_radius_mpc = float(cmpc) * meta.a
     search_radius_phys = np.maximum(
         cat.search_radius * meta.a, min_read_radius_mpc
     )
@@ -361,9 +405,10 @@ def compute_halo_properties(
         parameter_file.get_filters(DEFAULT_FILTERS) if parameter_file else None,
         dmo=dmo,
     )
-    filter_attrs = apply_category_filters(
-        results, cat_filter, parameter_file, cat.nr_halos
+    filter_attrs, group_attrs = apply_category_filters(
+        results, cat_filter, parameter_file, cat.nr_halos, specs
     )
+    drop_disabled_keys(results, parameter_file)
 
     order = spatial_sort_order(
         cat.cofp, cat.index, meta.boxsize, int(meta.dimension[0])
@@ -472,6 +517,20 @@ def compute_halo_properties(
             order,
             git_hash=_git_hash(),
             dataset_extra_attrs=filter_attrs,
+            group_attrs=group_attrs,
+            run_parameters={
+                "swift_filename": snapshot_file,
+                "membership_filename": membership_file or "",
+                "halo_basename": halo_basename,
+                "halo_format": halo_format,
+                "centrals_only": int(centrals_only),
+                "calculations": sorted(s.group for s in specs),
+                "halo_indices": (
+                    np.asarray(halo_indices, dtype=np.int64)
+                    if halo_indices is not None
+                    else np.zeros(0, dtype=np.int64)
+                ),
+            },
         )
         if verbose:
             print(f"[{time.time()-t0:6.1f}s] wrote {output_file}")

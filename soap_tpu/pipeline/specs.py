@@ -43,6 +43,26 @@ def _so_group_name(name: str, cfg: Dict) -> str:
     return f"SO/{name}"
 
 
+def _enabled_keys(
+    params: Optional[ParameterFile], base_halo_type: str, keys: Tuple[str, ...]
+) -> Tuple[str, ...]:
+    """Drop properties disabled in the parameter file.
+
+    Reference semantics (``SOAP/core/parameter_file.py:120-154``): a
+    property listed as ``false`` is not computed and not written;
+    unlisted properties follow ``calculate_missing_properties``.  The
+    parameter file lists properties by OUTPUT name (e.g. ``TotalMass``).
+    """
+    if params is None:
+        return tuple(keys)
+    from soap_tpu.core.registry import full_property_table
+
+    table = full_property_table()
+    names = [table[k].name for k in keys]
+    filters = params.get_property_filters(base_halo_type, names)
+    return tuple(k for k, n in zip(keys, names) if filters[n] is not False)
+
+
 def build_specs(
     params: Optional[ParameterFile],
     dmo: bool,
@@ -56,11 +76,24 @@ def build_specs(
     specs: List[HaloTypeSpec] = []
 
     if subhalo:
+        sub_keys = _enabled_keys(
+            params, "SubhaloProperties", implemented_keys_for("BoundSubhalo", dmo)
+        )
+        # the category filters derive from BoundSubhalo particle counts
+        # (reference ``category_filter.py:1-106``); keep the counts
+        # computed even when disabled in the parameter file — the writer
+        # drops disabled keys afterwards (``run.drop_disabled_keys``)
+        count_keys = tuple(
+            k
+            for k in ("Ngas", "Ndm", "Nstar", "Nbh")
+            if k in implemented_keys_for("BoundSubhalo", dmo)
+            and k not in sub_keys
+        )
         specs.append(
             HaloTypeSpec(
                 kind="bound",
                 group="BoundSubhalo",
-                keys=implemented_keys_for("BoundSubhalo", dmo),
+                keys=sub_keys + count_keys,
             )
         )
 
@@ -70,14 +103,18 @@ def build_specs(
             if params
             else dict(DEFAULT_SO_VARIATIONS)
         )
-        so_keys = implemented_keys_for("SO", dmo)
+        so_keys = _enabled_keys(
+            params, "SOProperties", implemented_keys_for("SO", dmo)
+        )
         plain = {
             n: c for n, c in variations.items() if not c.get("radius_multiple")
         }
         multiples = {
             n: c for n, c in variations.items() if c.get("radius_multiple")
         }
-        ce_keys = implemented_keys_for("CoreExcisedSO", dmo)
+        ce_keys = _enabled_keys(
+            params, "SOProperties", implemented_keys_for("CoreExcisedSO", dmo)
+        )
         for name, cfg in plain.items():
             so_type = cfg["type"]
             value = float(cfg.get("value", 0.0))
@@ -100,6 +137,7 @@ def build_specs(
                         so_multiple=float(cfg["radius_in_kpc"]) / 1000.0,
                         core_excision_fraction=cfg.get("core_excision_fraction"),
                         centrals_only=True,
+                        halo_filter=cfg.get("filter", "basic"),
                     )
                 )
             else:
@@ -112,6 +150,7 @@ def build_specs(
                         so_multiple=value,
                         core_excision_fraction=cfg.get("core_excision_fraction"),
                         centrals_only=True,
+                        halo_filter=cfg.get("filter", "basic"),
                     )
                 )
         for name, cfg in multiples.items():
@@ -139,6 +178,7 @@ def build_specs(
                     radius_multiple_of=parent,
                     radius_multiple=mult,
                     centrals_only=True,
+                    halo_filter=cfg.get("filter", "basic"),
                 )
             )
 
@@ -150,7 +190,9 @@ def build_specs(
             if params
             else dict(DEFAULT_APERTURE_VARIATIONS)
         )
-        ap_keys = implemented_keys_for("Aperture", dmo)
+        ap_keys = _enabled_keys(
+            params, "ApertureProperties", implemented_keys_for("Aperture", dmo)
+        )
         strict = params.strict_halo_copy() if params else False
         rad_dep = tuple(
             k
@@ -186,6 +228,7 @@ def build_specs(
                     keys=ap_keys,
                     inclusive=inclusive,
                     radius_property=(src_group, src_key, mult),
+                    halo_filter=cfg.get("filter", "basic"),
                 )
             )
         variations = fixed_variations
@@ -213,6 +256,7 @@ def build_specs(
                         prev[1] if (prev and not inclusive) else None
                     ),
                     strict_keys=rad_dep if strict else (),
+                    halo_filter=cfg.get("filter", "basic"),
                 )
             )
             prev_by_kind[inclusive] = (f"{prefix}/{r_kpc:.0f}kpc", r_kpc / 1000.0)
@@ -225,7 +269,11 @@ def build_specs(
             if params
             else dict(DEFAULT_PROJECTED_VARIATIONS)
         )
-        pr_keys = implemented_keys_for("ProjectedAperture", dmo)
+        pr_keys = _enabled_keys(
+            params,
+            "ProjectedApertureProperties",
+            implemented_keys_for("ProjectedAperture", dmo),
+        )
         strict = params.strict_halo_copy() if params else False
         pr_rad_dep = tuple(
             k
@@ -253,6 +301,7 @@ def build_specs(
                         copy_from=prev[0] if prev else None,
                         copy_from_radius_mpc=prev[1] if prev else None,
                         strict_keys=pr_rad_dep if strict else (),
+                        halo_filter=cfg.get("filter", "basic"),
                     )
                 )
             prev_proj = (f"{r_kpc:.0f}", r_kpc / 1000.0)
