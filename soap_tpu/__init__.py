@@ -17,3 +17,11 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
+
+# Numeric-sanitization parity with the reference
+# (``SOAP/compute_halo_properties.py:44``, README.md:169-181): host-side
+# numpy overflow / invalid / divide errors raise instead of warning, so a
+# silent unit/overflow bug cannot survive into the catalogue.
+import numpy as _np
+
+_np.seterr(divide="raise", over="raise", invalid="raise")

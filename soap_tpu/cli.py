@@ -93,6 +93,11 @@ def main(argv=None):
         help="write the fully-expanded parameter file here and exit",
     )
     hp.add_argument("--profile", action="store_true", help="enable jax profiler trace")
+    hp.add_argument(
+        "--reference-snapshot",
+        help="lower-z snapshot supplying dataset dtypes/shapes for particle "
+        "types absent at high z (reference swift_cells.py:374-404)",
+    )
 
     mem = sub.add_parser("membership", help="compute group membership files")
     _add_common(mem)
@@ -203,6 +208,7 @@ def main(argv=None):
             scratch_dir=args.scratch_dir,
             host_index=args.host_index,
             host_count=args.host_count,
+            reference_snapshot=args.reference_snapshot,
         )
         if args.profile:
             import jax

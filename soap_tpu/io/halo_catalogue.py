@@ -57,63 +57,132 @@ class HaloCatalogue:
         )
 
 
-def _hbt_filenames(basename: str) -> List[str]:
-    """All SubSnap files for a basename (multi-file unsorted layout)."""
+def _hbt_layout(basename: str) -> Tuple[str, List[str]]:
+    """('unsorted', SubSnap files) or ('sorted', [single file]).
+
+    The sorted single-file layout (subhalos ordered by TrackId, flat
+    ``Particles/ParticleIDs``) is detected by the basename existing as a
+    file with a ``Particles`` group (``read_hbtplus.py:32-55``).
+    """
     first = f"{basename}.0.hdf5"
     if os.path.exists(first):
         with h5py.File(first, "r") as f:
             nr_files = int(np.asarray(f["NumberOfFiles"])[0])
-        return [f"{basename}.{i}.hdf5" for i in range(nr_files)]
-    single = f"{basename}.hdf5"
-    if os.path.exists(single):
-        return [single]
+        return "unsorted", [f"{basename}.{i}.hdf5" for i in range(nr_files)]
+    for cand in (basename, f"{basename}.hdf5"):
+        if os.path.exists(cand):
+            with h5py.File(cand, "r") as f:
+                if "Particles" in f:
+                    return "sorted", [cand]
+            return "unsorted", [cand]
     raise FileNotFoundError(f"No HBTplus catalogue at {basename}")
 
 
-def _hbt_units(f: h5py.File) -> Tuple[float, float]:
-    """(length in Mpc/h, mass in Msun/h) conversion factors."""
-    if "Units" in f:
-        length = float(np.asarray(f["Units/LengthInMpch"])[0])
-        mass = float(np.asarray(f["Units/MassInMsunh"])[0])
-        return length, mass
-    return 1.0, 1.0
+def _hbt_units(basename: str) -> Tuple[float, float, float]:
+    """(length in Mpc/h, mass in Msun/h, velocity in km/s) factors.
+
+    Falls back to the run's ``Parameters.log`` two levels up when the
+    catalogue lacks a Units group (``read_hbtplus.py:240-261``).
+    """
+    _, filenames = _hbt_layout(basename)
+    with h5py.File(filenames[0], "r") as f:
+        if "Units" in f:
+            return (
+                float(np.asarray(f["Units/LengthInMpch"]).ravel()[0]),
+                float(np.asarray(f["Units/MassInMsunh"]).ravel()[0]),
+                float(np.asarray(f["Units/VelInKmS"]).ravel()[0])
+                if "VelInKmS" in f["Units"]
+                else 1.0,
+            )
+    length, mass, vel = 1.0, 1.0, 1.0
+    log_path = os.path.join(
+        os.path.dirname(os.path.dirname(filenames[0])), "Parameters.log"
+    )
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            for line in f:
+                fields = line.split()
+                if len(fields) == 2:
+                    if fields[0] == "LengthInMpch":
+                        length = float(fields[1])
+                    elif fields[0] == "MassInMsunh":
+                        mass = float(fields[1])
+                    elif fields[0] == "VelInKmS":
+                        vel = float(fields[1])
+    return length, mass, vel
 
 
-def read_hbtplus_groupnr(basename: str):
-    """(nr_halos, ids_bound, grnr_bound, rank_bound) for membership.
+def _expand_vlen(vlen: np.ndarray, dtype) -> Tuple[np.ndarray, np.ndarray]:
+    """(concatenated values, per-halo lengths) from a vlen object array."""
+    lengths = np.fromiter(
+        (len(v) for v in vlen), dtype=np.int64, count=len(vlen)
+    )
+    if len(vlen):
+        flat = np.concatenate([np.asarray(v, dtype=dtype) for v in vlen]) \
+            if lengths.sum() else np.zeros(0, dtype)
+    else:
+        flat = np.zeros(0, dtype)
+    return flat, lengths
+
+
+def read_hbtplus_groupnr(basename: str, read_potential_energies: bool = False):
+    """(nr_halos, ids_bound, grnr_bound, rank_bound[, potentials]).
 
     Group numbers follow the reference convention: the subhalo's global
     row index across all files; rank is the position within the bound
-    list (0 = most bound).  Reference: ``read_hbtplus.py:70-148``.
+    list (0 = most bound).  Both the unsorted multi-file and the sorted
+    single-file layouts are supported; vlen datasets are read whole and
+    expanded vectorized (``read_hbtplus.py:70-148``).  Potential energies
+    are returned in (km/s)^2.
     """
-    filenames = _hbt_filenames(basename)
-    ids, grnr, rank = [], [], []
-    halo_offset = 0
-    for fname in filenames:
-        with h5py.File(fname, "r") as f:
-            subs = f["Subhalos"]
-            nbound = np.asarray(subs["Nbound"], dtype=np.int64)
-            parts = f["SubhaloParticles"]
-            for local_i in range(len(nbound)):
-                pids = np.asarray(parts[local_i], dtype=np.uint64)
-                n = len(pids)
-                ids.append(pids)
-                grnr.append(np.full(n, halo_offset + local_i, dtype=np.int64))
-                rank.append(np.arange(n, dtype=np.int32))
-            halo_offset += len(nbound)
-    if not ids:
-        return 0, np.zeros(0, np.uint64), np.zeros(0, np.int64), np.zeros(0, np.int32)
-    return (
-        halo_offset,
-        np.concatenate(ids),
-        np.concatenate(grnr),
-        np.concatenate(rank),
+    layout, filenames = _hbt_layout(basename)
+    ids_list, len_list, pot_list = [], [], []
+    if layout == "sorted":
+        with h5py.File(filenames[0], "r") as f:
+            ids = np.asarray(f["Particles/ParticleIDs"], dtype=np.uint64)
+            lengths = np.asarray(f["Subhalos/Nbound"], dtype=np.int64)
+            pots = (
+                np.asarray(f["Particles/PotentialEnergies"], dtype=np.float64)
+                if read_potential_energies and "PotentialEnergies" in f["Particles"]
+                else None
+            )
+    else:
+        for fname in filenames:
+            with h5py.File(fname, "r") as f:
+                flat, lengths_f = _expand_vlen(
+                    f["SubhaloParticles"][...], np.uint64
+                )
+                ids_list.append(flat)
+                len_list.append(lengths_f)
+                if read_potential_energies and "PotentialEnergies" in f:
+                    pot_flat, _ = _expand_vlen(
+                        f["PotentialEnergies"][...], np.float64
+                    )
+                    pot_list.append(pot_flat)
+        ids = (
+            np.concatenate(ids_list) if ids_list else np.zeros(0, np.uint64)
+        )
+        lengths = (
+            np.concatenate(len_list) if len_list else np.zeros(0, np.int64)
+        )
+        pots = np.concatenate(pot_list) if pot_list else None
+    n = len(lengths)
+    grnr = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    ends = np.cumsum(lengths)
+    rank = (np.arange(len(ids)) - np.repeat(ends - lengths, lengths)).astype(
+        np.int32
     )
+    out = (n, ids, grnr, rank)
+    if read_potential_energies:
+        vel = _hbt_units(basename)[2]
+        out = out + ((pots * vel**2) if pots is not None else None,)
+    return out
 
 
 def read_hbtplus_catalogue(
     basename: str,
     h: float,
+    a: float = 1.0,  # unused: HBT columns are comoving already
     keep_orphans: bool = False,
 ) -> HaloCatalogue:
     """Read an HBTplus SubSnap into a `HaloCatalogue`.
@@ -123,14 +192,26 @@ def read_hbtplus_catalogue(
     search radius is 1.01 x REncloseComoving (``read_hbtplus.py:317-321``);
     orphans (Nbound == 0) are dropped by default (``:296-298``).
     """
-    filenames = _hbt_filenames(basename)
-    rows = []
-    for fname in filenames:
-        with h5py.File(fname, "r") as f:
-            length_unit, mass_unit = _hbt_units(f)
-            rows.append(np.asarray(f["Subhalos"]))
-    subs = np.concatenate(rows)
-    H = len(subs)
+    layout, filenames = _hbt_layout(basename)
+    length_unit, mass_unit, _vel = _hbt_units(basename)
+    if layout == "sorted":
+        # sorted single-file layout: one dataset per Subhalos field
+        # (``read_hbtplus.py:278-292``)
+        subs: Dict[str, np.ndarray] = {}
+        with h5py.File(filenames[0], "r") as f:
+            for name in f["Subhalos"]:
+                subs[name] = np.asarray(f["Subhalos"][name])
+        fields = set(subs)
+        H = len(subs["Nbound"])
+    else:
+        rows = []
+        for fname in filenames:
+            with h5py.File(fname, "r") as f:
+                rows.append(np.asarray(f["Subhalos"]))
+        packed = np.concatenate(rows)
+        fields = set(packed.dtype.names)
+        subs = {name: packed[name] for name in fields}
+        H = len(packed)
     index = np.arange(H, dtype=np.int64)
 
     nbound = subs["Nbound"].astype(np.int64)
@@ -143,7 +224,7 @@ def read_hbtplus_catalogue(
     is_central = subs["Rank"].astype(np.int64) == 0
     track = subs["TrackId"].astype(np.int64)
     host = subs["HostHaloId"].astype(np.int64)
-    depth = subs["Depth"].astype(np.int64) if "Depth" in subs.dtype.names else np.zeros(H, np.int64)
+    depth = subs["Depth"].astype(np.int64) if "Depth" in fields else np.zeros(H, np.int64)
 
     to_1e10msun = mass_unit / h / 1.0e10
     passthrough = {
@@ -161,7 +242,7 @@ def read_hbtplus_catalogue(
         ("SnapshotOfLastMaxVmax", "HBTplus/SnapshotOfLastMaxVmax", None),
         ("SnapshotOfLastIsolation", "HBTplus/SnapshotOfLastIsolation", None),
     ):
-        if src in subs.dtype.names:
+        if src in fields:
             col = subs[src]
             passthrough[dst] = col * conv if conv else np.asarray(col)
 
@@ -195,4 +276,9 @@ def _register_finder_readers():
 
 CATALOGUE_READERS = {"HBTplus": read_hbtplus_catalogue}
 GROUPNR_READERS = {"HBTplus": read_hbtplus_groupnr}
-_register_finder_readers()
+try:
+    _register_finder_readers()
+except AttributeError:
+    # circular import (finder_readers imported first, mid-initialization):
+    # finder_readers registers itself at the end of its own module body
+    pass

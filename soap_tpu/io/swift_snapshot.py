@@ -65,9 +65,15 @@ class SnapshotMetadata:
     reference (``SOAP/core/swift_cells.py:145-344``).
     """
 
-    def __init__(self, snap_filename: str, extra_filenames: Sequence[str] = ()):
+    def __init__(
+        self,
+        snap_filename: str,
+        extra_filenames: Sequence[str] = (),
+        ref_filename: Optional[str] = None,
+    ):
         self.snap_filename = snap_filename
         self.extra_filenames = list(extra_filenames)
+        self.ref_filename = ref_filename
         fname = snap_filename.format(file_nr=0)
         with h5py.File(fname, "r") as f:
             self.snap_units_cgs = {
@@ -224,6 +230,77 @@ class SnapshotMetadata:
         for extra in self.extra_filenames:
             self._scan_datasets(extra)
             self._scan_cell_layout(extra)
+
+        # reference-snapshot mechanism for particle types absent at high z
+        # (reference ``swift_cells.py:374-404,705-722``): dataset
+        # names/dtypes/shapes/units come from a lower-z snapshot of the
+        # same run; reads of these types return empty arrays
+        self.ref_ptypes: List[str] = []
+        if ref_filename is not None:
+            self._register_reference_snapshot(ref_filename)
+
+    def _register_reference_snapshot(self, ref_template: str):
+        fname = ref_template.format(file_nr=0)
+        with h5py.File(fname, "r") as f:
+            ref_pts = list(f["Cells/Counts"].keys())
+        missing = [
+            pt
+            for pt in ref_pts
+            if pt not in self.ptypes or not self.datasets.get(pt)
+        ]
+        if not missing:
+            return
+        for pt in missing:
+            if pt not in self.ptypes:
+                self.ptypes.append(pt)
+            self.cell_counts[pt] = np.zeros(self.nr_cells, np.int64)
+            self.cell_offsets[pt] = np.zeros(self.nr_cells, np.int64)
+            self.cell_files[pt] = np.zeros(self.nr_cells, np.int32)
+            self.template_layouts[self.snap_filename][pt] = (
+                self.cell_counts[pt],
+                self.cell_offsets[pt],
+                self.cell_files[pt],
+            )
+            self.datasets.setdefault(pt, {})
+            self.ref_ptypes.append(pt)
+        # dataset metadata from the reference file; file_template=None
+        # marks the dataset as absent (reads yield empty arrays)
+        with h5py.File(fname, "r") as f:
+            for pt in missing:
+                if pt not in f:
+                    continue
+                for name, ds in f[pt].items():
+                    if not isinstance(ds, h5py.Dataset):
+                        continue
+                    attrs = dict(ds.attrs)
+                    try:
+                        unit = unit_from_attributes(attrs, self.units)
+                        a_exp = float(_scalar(attrs["a-scale exponent"]))
+                    except KeyError:
+                        unit = Unit((0.0,) * 5, 1.0, 0.0)
+                        a_exp = 0.0
+                    self.datasets[pt].setdefault(
+                        name,
+                        DatasetInfo(
+                            name=name,
+                            dtype=ds.dtype,
+                            row_shape=tuple(ds.shape[1:]),
+                            unit=unit,
+                            a_exponent=a_exp,
+                            attrs=attrs,
+                            file_template=None,
+                        ),
+                    )
+            # named columns may also only exist in the reference snapshot
+            if "SubgridScheme" in f and "NamedColumns" in f["SubgridScheme"]:
+                for dset in f["SubgridScheme"]["NamedColumns"]:
+                    self.named_columns.setdefault(
+                        dset,
+                        [
+                            v.decode() if isinstance(v, bytes) else str(v)
+                            for v in f["SubgridScheme"]["NamedColumns"][dset][:]
+                        ],
+                    )
 
     def _scan_cell_layout(self, file_template: str):
         fname = file_template.format(file_nr=0)
@@ -451,7 +528,11 @@ def read_masked_cells(
             if info is None:
                 raise KeyError(f"dataset {ptype}/{name} not present in inputs")
             template = info.file_template
-            if template not in plans:
+            if template is None:
+                # absent ptype registered from the reference snapshot:
+                # empty array with the right dtype/shape, no file access
+                plans.setdefault(None, (np.zeros(0, np.int64), [], 0))
+            elif template not in plans:
                 layout = meta.template_layouts.get(template, {}).get(ptype)
                 plans[template] = plan_masked_read(
                     meta, ptype, mask, layout=layout

@@ -103,6 +103,16 @@ def stage_ptype(
     subset of cells but halo queries still wrap around the box edges).
     """
     n = len(pos)
+    empty = n == 0
+    if empty:
+        # absent particle type (reference-snapshot mechanism,
+        # ``swift_cells.py:705-722``): keep one unreachable padding row so
+        # device gathers have a valid source; all cell counts stay zero
+        pos = np.zeros((1, 3), np.float64)
+        fields = {
+            k: np.zeros((1,) + np.asarray(v).shape[1:], np.asarray(v).dtype)
+            for k, v in fields.items()
+        }
     if resolution is None:
         resolution = choose_resolution(n)
     spec = GridSpec(
@@ -135,6 +145,11 @@ def stage_ptype(
         cell_mass = (
             jnp.zeros(spec.n_cells, jnp.float32).at[keys[order]].add(mass)
         )
+    if empty:
+        counts = jnp.zeros_like(counts)
+        offsets = jnp.zeros_like(offsets)
+        cell_mass = jnp.zeros_like(cell_mass)
+        sat = _summed_area_table(counts, spec.dims, jnp.int32)
     mass_sat = _summed_area_table(cell_mass, spec.dims, jnp.float32)
     return PTypeChunk(
         spec=spec,

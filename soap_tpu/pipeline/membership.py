@@ -34,17 +34,24 @@ def compute_membership(
     snap_ids: np.ndarray,
     ids_bound: np.ndarray,
     grnr_bound: np.ndarray,
-    rank_bound: np.ndarray,
+    rank_bound: Optional[np.ndarray] = None,
+    pot_bound: Optional[np.ndarray] = None,
 ):
-    """(GroupNr_bound, Rank_bound) for every snapshot particle."""
+    """(GroupNr_bound, Rank_bound[, PotentialEnergies]) per particle.
+
+    ``rank_bound``/``pot_bound`` are optional per-bound-particle payloads
+    (some finders provide no rank; potentials only with
+    ``read_potential_energies``, reference ``group_membership.py:67-94``).
+    """
     n = len(snap_ids)
     grnr = np.full(n, -1, dtype=np.int64)
     rank = np.full(n, -1, dtype=np.int32)
+    pot = np.zeros(n, dtype=np.float64) if pot_bound is not None else None
     if len(ids_bound) == 0:
-        return grnr, rank
+        return (grnr, rank) if pot is None else (grnr, rank, pot)
     hay = jnp.asarray(ids_bound)
     g = jnp.asarray(grnr_bound)
-    r = jnp.asarray(rank_bound)
+    r = jnp.asarray(rank_bound) if rank_bound is not None else None
     for start in range(0, n, BATCH):
         stop = min(start + BATCH, n)
         idx = match_index(jnp.asarray(snap_ids[start:stop]), hay)
@@ -52,8 +59,11 @@ def compute_membership(
         hit = idx_np >= 0
         safe = np.maximum(idx_np, 0)
         grnr[start:stop] = np.where(hit, np.asarray(g)[safe], -1)
-        rank[start:stop] = np.where(hit, np.asarray(r)[safe], -1)
-    return grnr, rank
+        if r is not None:
+            rank[start:stop] = np.where(hit, np.asarray(r)[safe], -1)
+        if pot is not None:
+            pot[start:stop] = np.where(hit, pot_bound[safe], 0.0)
+    return (grnr, rank) if pot is None else (grnr, rank, pot)
 
 
 def _snapshot_files(snap_filename: str):
@@ -71,6 +81,7 @@ def write_membership_file(
     output_filename: str,
     grnr_by_type: Dict[str, np.ndarray],
     rank_by_type: Dict[str, np.ndarray],
+    pot_by_type: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
     """Write membership datasets as ONE file whose rows follow the
     snapshot's global cell order, carrying the global cell metadata so
@@ -120,6 +131,14 @@ def write_membership_file(
                 "Ranking by binding energy of the bound particles (first "
                 "in mass order = most bound), or -1 if not bound"
             )
+            if pot_by_type and ptype in pot_by_type:
+                ds = g.create_dataset(
+                    "PotentialEnergies", data=pot_by_type[ptype]
+                )
+                ds.attrs["Description"] = np.bytes_(
+                    "Binding potential energy from the halo finder, "
+                    "(km/s)^2; 0 for unbound particles"
+                )
 
 
 def run_group_membership(
@@ -128,18 +147,30 @@ def run_group_membership(
     output_filename: str,
     halo_format: str = "HBTplus",
     ptypes=("PartType0", "PartType1", "PartType4", "PartType5", "PartType6"),
+    with_potentials: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Full membership pipeline for a single-file snapshot.
+
+    ``with_potentials`` passes per-particle binding potential energies
+    through from the halo finder when available (HBTplus; reference
+    ``group_membership.py:98-134``, units (km/s)^2).
 
     Returns {ptype: GroupNr_bound} for convenience/testing.
     """
     from soap_tpu.io.swift_snapshot import SnapshotMetadata, read_masked_cells
 
-    nr_halos, ids_bound, grnr_bound, rank_bound = GROUPNR_READERS[halo_format](
-        halo_basename
-    )
+    pot_bound = None
+    if with_potentials and halo_format == "HBTplus":
+        res = GROUPNR_READERS[halo_format](
+            halo_basename, read_potential_energies=True
+        )
+        nr_halos, ids_bound, grnr_bound, rank_bound, pot_bound = res
+    else:
+        res = GROUPNR_READERS[halo_format](halo_basename)
+        nr_halos, ids_bound, grnr_bound = res[:3]
+        rank_bound = res[3] if len(res) > 3 else None
     meta = SnapshotMetadata(snap_filename)
-    grnr_by_type, rank_by_type = {}, {}
+    grnr_by_type, rank_by_type, pot_by_type = {}, {}, {}
     for ptype in ptypes:
         if ptype not in meta.datasets or "ParticleIDs" not in meta.datasets[ptype]:
             continue
@@ -148,12 +179,18 @@ def run_group_membership(
         snap_ids = read_masked_cells(meta, mask, {ptype: ["ParticleIDs"]})[
             ptype
         ]["ParticleIDs"]
-        grnr, rank = compute_membership(
-            snap_ids, ids_bound, grnr_bound, rank_bound
+        out = compute_membership(
+            snap_ids, ids_bound, grnr_bound, rank_bound, pot_bound
         )
-        grnr_by_type[ptype] = grnr
-        rank_by_type[ptype] = rank
+        grnr_by_type[ptype] = out[0]
+        rank_by_type[ptype] = out[1]
+        if pot_bound is not None:
+            pot_by_type[ptype] = out[2]
     write_membership_file(
-        snap_filename, output_filename, grnr_by_type, rank_by_type
+        snap_filename,
+        output_filename,
+        grnr_by_type,
+        rank_by_type,
+        pot_by_type if pot_bound is not None else None,
     )
     return grnr_by_type

@@ -294,6 +294,7 @@ def compute_halo_properties(
     fof_filename: Optional[str] = None,
     host_index: Optional[int] = None,
     host_count: Optional[int] = None,
+    reference_snapshot: Optional[str] = None,
     verbose: bool = True,
 ) -> RunResult:
     """Run the full pipeline on one snapshot (single chunk).
@@ -304,10 +305,12 @@ def compute_halo_properties(
     """
     t0 = time.time()
     meta = swift_snapshot.SnapshotMetadata(
-        snapshot_file, [membership_file] if membership_file else []
+        snapshot_file,
+        [membership_file] if membership_file else [],
+        ref_filename=reference_snapshot,
     )
 
-    cat = CATALOGUE_READERS[halo_format](halo_basename, h=meta.h)
+    cat = CATALOGUE_READERS[halo_format](halo_basename, h=meta.h, a=meta.a)
     if halo_indices is not None:
         keep = np.isin(cat.index, np.asarray(halo_indices))
         cat = cat.select(keep)
@@ -476,7 +479,9 @@ def compute_halo_properties(
             other_sorted = None
             if basename:
                 try:
-                    other = CATALOGUE_READERS[halo_format](basename, h=meta.h)
+                    other = CATALOGUE_READERS[halo_format](
+                        basename, h=meta.h, a=meta.a
+                    )
                     o_order = spatial_sort_order(
                         other.cofp, other.index, meta.boxsize, int(meta.dimension[0])
                     )

@@ -64,7 +64,9 @@ def compare_catalogues(
 ) -> ComparisonResult:
     """Compare every dataset of two catalogue files."""
     result = ComparisonResult()
-    with h5py.File(path_a, "r") as fa, h5py.File(path_b, "r") as fb:
+    from soap_tpu.tools.compression import open_relaxed
+
+    with open_relaxed(path_a) as fa, open_relaxed(path_b) as fb:
         names_a: List[str] = []
         fa.visit(
             lambda n: names_a.append(n)

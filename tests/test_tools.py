@@ -86,3 +86,47 @@ def test_virtual_snapshot_and_empty_catalogue(tmp_path):
     with h5py.File(empty, "r") as f:
         assert f["BoundSubhalo/TotalMass"].shape == (0,)
         assert f["Header"].attrs["NumberOfHalos"] == 0
+
+
+def test_real_hdf5_filter_pipelines(tmp_path):
+    """SWIFT-compatible native pipelines: nbit over reduced-precision
+    types, DScale via scaleoffset, Nbit40 on int64 — filter ids match the
+    reference's extracted pipelines (nbit=5/scaleoffset=6, fletcher32=3,
+    deflate=1; ``SOAP/compression/filters.yml``)."""
+    rng = np.random.default_rng(5)
+    src = str(tmp_path / "cat.hdf5")
+    f32 = (rng.normal(size=2000) * 1e4).astype(np.float32)
+    f64 = rng.normal(size=2000) * 1e-3
+    i64 = rng.integers(0, 2**38, size=2000)
+    with h5py.File(src, "w") as f:
+        for name, data, filt in (
+            ("A/F9", f32, "FMantissa9"),
+            ("A/D9", f64, "DMantissa9"),
+            ("A/S5", f64, "DScale5"),
+            ("A/N40", i64, "Nbit40"),
+        ):
+            d = f.create_dataset(name, data=data)
+            d.attrs["Lossy compression filter"] = np.bytes_(filt)
+    dst = str(tmp_path / "cat_c.hdf5")
+    compression.compress_catalogue(src, dst)
+    with compression.open_relaxed(dst) as f:
+        def filter_ids(name):
+            ds = h5py.h5d.open(f.id, name.encode())
+            pl = ds.get_create_plist()
+            return [pl.get_filter(i)[0] for i in range(pl.get_nfilters())]
+
+        assert filter_ids("A/F9") == [5, 3, 1]  # nbit, fletcher, deflate
+        assert filter_ids("A/D9") == [5, 3, 1]
+        assert filter_ids("A/S5") == [6, 3, 1]  # scaleoffset
+        assert filter_ids("A/N40") == [5, 3, 1]
+
+        back = f["A/F9"][...]
+        assert back.dtype == np.float32
+        np.testing.assert_allclose(back, f32, rtol=2.0**-9)
+        np.testing.assert_allclose(f["A/D9"][...], f64, rtol=2.0**-9)
+        np.testing.assert_allclose(f["A/S5"][...], f64, atol=1e-5)
+        # Nbit40 is lossless for IDs below 2^39
+        np.testing.assert_array_equal(f["A/N40"][...], i64)
+        assert f["A/N40"].dtype == np.int64
+        for n in ("A/F9", "A/D9", "A/S5", "A/N40"):
+            assert bool(f[n].attrs["Is Compressed"]) is True
