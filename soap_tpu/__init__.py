@@ -16,6 +16,27 @@ import jax as _jax
 # unaffected — dtypes are preserved, and all device compute is f32.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the pipeline's device programs are
+# large (hundreds of fused property kernels) and first-compile costs
+# 20-40 s per bucket shape on TPU; caching them across processes turns
+# warm starts, restarts and repeated benches into cache hits.  Opt out
+# with SOAP_TPU_COMPILATION_CACHE=0, redirect with =<dir>.
+import os as _os
+
+_cache = _os.environ.get("SOAP_TPU_COMPILATION_CACHE", "")
+if _cache != "0":
+    if not _cache:
+        _cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "soap_tpu_xla"
+        )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
 __version__ = "0.1.0"
 
 # Numeric-sanitization parity with the reference

@@ -125,7 +125,31 @@ def main(argv=None):
     ec.add_argument("catalogue_output")
     ec.add_argument("--dmo", action="store_true")
 
+    xr = sub.add_parser(
+        "recalculate-xrays",
+        help="per-particle X-ray luminosities from an emissivity table "
+        "(reference misc/recalculate_xrays.py)",
+    )
+    xr.add_argument("snapshot")
+    xr.add_argument("xray_table")
+    xr.add_argument("extra_input_output")
+    xr.add_argument(
+        "--bands", help="comma-separated band names (default: erosita+ROSAT)"
+    )
+
     args = parser.parse_args(argv)
+
+    if args.command == "recalculate-xrays":
+        from soap_tpu.tools.xray_calculator import compute_xray_luminosities
+
+        out = compute_xray_luminosities(
+            args.snapshot,
+            args.xray_table,
+            args.extra_input_output,
+            bands=args.bands.split(",") if args.bands else None,
+        )
+        print(f"wrote {args.extra_input_output} ({', '.join(out)})")
+        return 0
 
     if args.command == "compress":
         from soap_tpu.tools.compression import compress_catalogue

@@ -158,30 +158,68 @@ def process_chunks(
     all_chunks = range(int(chunk_of.max()) + 1 if H else 0)
     if chunk_subset is not None:
         all_chunks = [c for c in all_chunks if c in set(chunk_subset)]
-    for chunk_nr in all_chunks:
-        rows = np.flatnonzero(chunk_of == chunk_nr)
-        if len(rows) == 0:
-            continue
+    chunk_list = [
+        (c, rows)
+        for c in all_chunks
+        for rows in [np.flatnonzero(chunk_of == c)]
+        if len(rows)
+    ]
 
-        chunk_results = None
-        if scratch_dir:
-            chunk_results = _try_load_scratch(
+    # depth-1 read-ahead: a background reader stages chunk N+1 while the
+    # device computes chunk N (reference overlap: parallel reader ranks +
+    # task queue, ``swift_cells.py:548-734``); SOAP_TPU_PREFETCH=0 disables
+    from soap_tpu.io.reader_pool import (
+        ChunkPrefetcher,
+        read_masked_cells_parallel,
+    )
+
+    prefetch_on = (
+        os.environ.get("SOAP_TPU_PREFETCH", "1") != "0" and len(chunk_list) > 1
+    )
+    prefetcher = ChunkPrefetcher(enabled=prefetch_on)
+    scratch_cache: Dict[int, Optional[Dict]] = {}
+
+    def _scratch_for(chunk_nr: int, rows: np.ndarray):
+        if not scratch_dir:
+            return None
+        if chunk_nr not in scratch_cache:
+            scratch_cache[chunk_nr] = _try_load_scratch(
                 _scratch_path(scratch_dir, chunk_nr), specs, rows
             )
-            if chunk_results is not None and verbose:
-                print(
-                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: restart — "
-                    f"reusing scratch for {len(rows)} halos"
-                )
+        return scratch_cache[chunk_nr]
 
-        if chunk_results is None:
+    def _make_read_fn(rows: np.ndarray):
+        def _read():
             centres = np.mod(cat.cofp[rows], meta.boxsize)
             mask = meta.mask_cells_for_spheres(
                 centres,
                 cat.search_radius[rows] * READ_MARGIN
                 + 0.5 * float(np.max(meta.cell_size)),
             )
-            data = swift_snapshot.read_masked_cells(meta, mask, fields_per_type)
+            data = read_masked_cells_parallel(meta, mask, fields_per_type)
+            return mask, data
+
+        return _read
+
+    for i, (chunk_nr, rows) in enumerate(chunk_list):
+        chunk_results = _scratch_for(chunk_nr, rows)
+        scratch_cache.pop(chunk_nr, None)
+        if chunk_results is not None and verbose:
+            print(
+                f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: restart — "
+                f"reusing scratch for {len(rows)} halos"
+            )
+
+        # queue this chunk's read (no-op if already prefetched) and the
+        # next unfinished chunk's read before blocking on this one
+        if chunk_results is None:
+            prefetcher.submit(chunk_nr, _make_read_fn(rows))
+        for nxt_nr, nxt_rows in chunk_list[i + 1 : i + 2]:
+            if _scratch_for(nxt_nr, nxt_rows) is None:
+                prefetcher.submit(nxt_nr, _make_read_fn(nxt_rows))
+
+        if chunk_results is None:
+            mask, data = prefetcher.take(chunk_nr, _make_read_fn(rows))
             if verbose:
                 n_read = sum(len(d["Coordinates"]) for d in data.values())
                 print(
@@ -238,4 +276,5 @@ def process_chunks(
                 if key not in buf:
                     buf[key] = np.zeros((H,) + arr.shape[1:], arr.dtype)
                 buf[key][rows] = arr
+    prefetcher.close()
     return merged, total_stats

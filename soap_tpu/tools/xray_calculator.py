@@ -2,34 +2,262 @@
 extra-input datasets.
 
 Equivalent of the reference's ``misc/recalculate_xrays.py`` +
-``misc/xray_calculator.py`` (numba): interpolate band emissivities from a
-cooling-table-style HDF5 file in (log T, log n_H) at the snapshot
-redshift, scale to each gas particle, and write an "extra input" file
-with the snapshot's cell layout so the pipeline can read
-``PartType0/XrayLuminosities`` (etc.) alongside the snapshot
-(``SOAP/core/swift_cells.py:350-372`` extra-input mechanism).
+``misc/xray_calculator.py`` (numba), reimplemented as vectorized jnp
+device programs (the reference JIT-compiles scalar numba loops).
 
-Table layout (HDF5):
-  Bins/Temperature   (nT,)  log10 T [K]
-  Bins/Density       (nn,)  log10 n_H [cm^-3]
-  Bins/Redshift      (nz,)
-  Emissivities/<band>  (nz, nT, nn)  log10 emissivity per unit n_H^2
-Bands default to the reference's three (erosita-low, erosita-high,
-ROSAT), with *_photons and *_restframe variants when present.
+Full-fidelity path (reference ``misc/xray_calculator.py:50-396``):
+the table is 5-dimensional per band/observing type,
+``(redshift, helium fraction, element, temperature, density)`` holding
+log10 per-element emissivities with the *last* element slot being the
+zero-metal background.  Per particle we
 
-The interpolation is a vectorized bilinear lookup in jnp — one fused
-device program over all gas particles (the reference JIT-compiles a
-scalar loop with numba).
+  1. compute ``n_H`` from the hydrogen mass fraction and density,
+  2. compute per-element abundances relative to hydrogen by number and
+     divide by solar (``find_indices``), inserting the Ca/S proxy
+     columns (copies of Si) and moving Fe to the end,
+  3. locate (z, He, T, n) bin indices — regular grids for T/n/z,
+     irregular ``searchsorted`` for the He axis,
+  4. quadrilinearly interpolate each element's log-emissivity over the
+     16 (z, He, T, n) corners (``get_table_interp``),
+  5. sum ``10^background + sum_j 10^f_j * (Z_j/Z_sun,j)`` over metals,
+  6. add ``2 log10 n_H`` and multiply by the particle volume to get a
+     luminosity; particles outside the (T, n) table bounds get
+     ``fill_value`` (reference ``find_indices`` joint mask).
+
+Table layout (HDF5), matching the reference tables:
+  Bins/Redshift_bins     (nz,)
+  Bins/He_bins           (nHe,)   log10 n_He/n_H — may be irregular
+  Bins/Temperature_bins  (nT,)    log10 T [K]
+  Bins/Density_bins      (nn,)    log10 n_H [cm^-3]
+  Bins/Element_masses    (9,)     atomic masses, H first
+  Bins/Solar_metallicities (11,)  log10 solar abundance (H..Fe + Ca,S)
+  Bins/Missing_element   informational
+  <band>/<observing_type>  (nz, nHe, nElem, nT, nn) log10 emissivity,
+                           last element slot = no-metal background
+
+A simplified 3D layout (``Emissivities/<band>`` over (z, T, n)) is kept
+as a fallback for quick-look tables.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+import os
+from typing import Dict, List, Optional, Sequence
 
 import h5py
 import numpy as np
 
-DEFAULT_BANDS = ("erosita_low", "erosita_high", "ROSAT")
+DEFAULT_BANDS = ("erosita-low", "erosita-high", "ROSAT")
+DEFAULT_OBSERVING_TYPES = (
+    "energies_intrinsic",
+    "photons_intrinsic",
+    "energies_observed",
+    "photons_observed",
+)
+#: output dataset name per observing type (reference
+#: ``misc/recalculate_xrays.py:59-154``)
+OUTPUT_DATASETS = {
+    "energies_intrinsic": "XrayLuminositiesRestframe",
+    "photons_intrinsic": "XrayPhotonLuminositiesRestframe",
+    "energies_observed": "XrayLuminosities",
+    "photons_observed": "XrayPhotonLuminosities",
+}
+
+#: proton mass in grams
+M_H_G = 1.67262192369e-24
+
+
+def _index_regular(bins: np.ndarray, x):
+    """Bin index + fractional offset on a *regular* grid, with the
+    reference's clamping semantics (``get_index_1d``)."""
+    import jax.numpy as jnp
+
+    bins = np.asarray(bins, np.float64)
+    delta = (len(bins) - 1) / (bins[-1] - bins[0])
+    t = (jnp.asarray(x) - bins[0]) * delta
+    idx = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, len(bins) - 2)
+    dx = jnp.clip(t - idx, 0.0, 1.0)
+    return idx, dx
+
+
+def _index_irregular(bins: np.ndarray, x):
+    """Bin index + fractional offset for irregular bin edges
+    (``get_index_1d_irregular``), clamped at both ends."""
+    import jax.numpy as jnp
+
+    bins = np.asarray(bins, np.float64)
+    xc = jnp.clip(jnp.asarray(x), bins[0], bins[-1])
+    idx = jnp.clip(
+        jnp.searchsorted(jnp.asarray(bins), xc, side="right") - 1,
+        0,
+        len(bins) - 2,
+    )
+    widths = np.diff(bins)
+    dx = (xc - jnp.asarray(bins)[idx]) / jnp.asarray(widths)[idx]
+    return idx, jnp.clip(dx, 0.0, 1.0)
+
+
+class XrayCalculator:
+    """Full-fidelity X-ray emissivity interpolator.
+
+    Mirrors the reference ``XrayCalculator``: tables are sliced to the
+    two redshift bins bracketing the snapshot redshift at load time;
+    ``interpolate`` then runs one fused device program per band.
+    """
+
+    def __init__(
+        self,
+        redshift: float,
+        table_path: str,
+        bands: Sequence[str],
+        observing_types: Sequence[str],
+    ):
+        self.z_now = float(redshift)
+        with h5py.File(table_path, "r") as f:
+            self.z_bins = np.asarray(f["Bins/Redshift_bins"], np.float64)
+            self.he_bins = np.asarray(f["Bins/He_bins"], np.float64)
+            self.t_bins = np.asarray(f["Bins/Temperature_bins"], np.float64)
+            self.n_bins = np.asarray(f["Bins/Density_bins"], np.float64)
+            self.element_masses = np.asarray(
+                f["Bins/Element_masses"], np.float64
+            )
+            self.solar_metallicity = 10.0 ** np.asarray(
+                f["Bins/Solar_metallicities"], np.float64
+            )
+            # two bracketing redshift slices only (reference
+            # ``load_all_tables``): the z interpolation weight is fixed
+            delta = (len(self.z_bins) - 1) / (self.z_bins[-1] - self.z_bins[0])
+            t = np.clip((self.z_now - self.z_bins[0]) * delta, 0.0,
+                        len(self.z_bins) - 1)
+            iz = int(np.clip(np.floor(t), 0, len(self.z_bins) - 2))
+            self.dx_z = float(np.clip(t - iz, 0.0, 1.0))
+            self.tables: Dict[str, Dict[str, np.ndarray]] = {}
+            for band, otype in zip(bands, observing_types):
+                tbl = self.tables.setdefault(band, {})
+                if otype not in tbl:
+                    tbl[otype] = np.asarray(
+                        f[band][otype][iz : iz + 2], np.float32
+                    )
+
+    # -- per-particle preparation (reference ``find_indices``) ---------
+
+    def abundance_to_solar(self, element_mass_fractions: np.ndarray):
+        """(N, 9) smoothed element mass fractions (H..Fe) ->
+        (N, 9) metal abundance/solar columns (C,N,O,Ne,Mg,Si,Ca,S,Fe)
+        plus the log10 He/H number abundance used for the He axis."""
+        mf = np.asarray(element_mass_fractions, np.float64)
+        # number abundance relative to hydrogen
+        abundances = (mf / mf[:, :1]) * (
+            self.element_masses[0] / self.element_masses
+        )
+        # Ca and S proxied by Si; Fe moved to the end (reference
+        # ``find_indices`` np.c_ block); divide by solar after padding
+        padded = np.concatenate(
+            [
+                abundances[:, :-1],
+                abundances[:, -2:-1],
+                abundances[:, -2:-1],
+                abundances[:, -1:],
+            ],
+            axis=1,
+        )
+        ats = padded / self.solar_metallicity
+        with np.errstate(divide="ignore"):
+            log_he = np.log10(np.maximum(abundances[:, 1], 1e-30))
+        return ats[:, 2:], log_he
+
+    def interpolate(
+        self,
+        densities_cgs: np.ndarray,
+        temperatures_K: np.ndarray,
+        element_mass_fractions: np.ndarray,
+        masses_g: np.ndarray,
+        bands: Sequence[str],
+        observing_types: Sequence[str],
+        fill_value: float = 0.0,
+    ) -> np.ndarray:
+        """Luminosities (erg/s or photons/s), shape (N, len(bands))."""
+        import jax.numpy as jnp
+
+        rho = np.asarray(densities_cgs, np.float64)
+        T = np.asarray(temperatures_K, np.float64)
+        mf = np.asarray(element_mass_fractions, np.float64)
+        m = np.asarray(masses_g, np.float64)
+
+        with np.errstate(divide="ignore"):
+            data_n = np.log10(np.maximum(mf[:, 0] * rho / M_H_G, 1e-300))
+            data_t = np.log10(np.maximum(T, 1e-300))
+        volumes = m / np.maximum(rho, 1e-300)  # cm^3
+
+        # reference bounds mask, rounded to one decimal
+        joint = (
+            (data_n >= np.round(self.n_bins.min(), 1))
+            & (data_n <= np.round(self.n_bins.max(), 1))
+            & (data_t >= np.round(self.t_bins.min(), 1))
+            & (data_t <= np.round(self.t_bins.max(), 1))
+        )
+        ats, log_he = self.abundance_to_solar(mf)
+
+        idx_n, dx_n = _index_regular(self.n_bins, data_n)
+        idx_t, dx_t = _index_regular(self.t_bins, data_t)
+        idx_he, dx_he = _index_irregular(self.he_bins, log_he)
+        ats_j = jnp.asarray(ats)
+        dn = jnp.asarray(data_n)
+        vol = jnp.asarray(volumes)
+        w_z = (1.0 - self.dx_z, self.dx_z)
+        w_t = (1.0 - dx_t, dx_t)
+        w_n = (1.0 - dx_n, dx_n)
+        w_he = (1.0 - dx_he, dx_he)
+
+        out = np.full((len(rho), len(bands)), float(fill_value), np.float64)
+        for col, (band, otype) in enumerate(zip(bands, observing_types)):
+            tbl = jnp.asarray(self.tables[band][otype])  # (2,nHe,nE,nT,nn)
+            n_elem = tbl.shape[2]
+            elem_ix = jnp.arange(n_elem)[None, :]
+            f = jnp.zeros((len(rho), n_elem), jnp.float64)
+            for bz in (0, 1):
+                for bh in (0, 1):
+                    for bt in (0, 1):
+                        for bn in (0, 1):
+                            w = w_z[bz] * w_he[bh] * w_t[bt] * w_n[bn]
+                            corner = tbl[bz][
+                                (idx_he + bh)[:, None],
+                                elem_ix,
+                                (idx_t + bt)[:, None],
+                                (idx_n + bn)[:, None],
+                            ]
+                            f = f + w[:, None] * corner
+            total = 10.0 ** f[:, -1] + jnp.sum(
+                10.0 ** f[:, :-1] * ats_j, axis=1
+            )
+            lum = total * 10.0 ** (2.0 * dn) * vol
+            out[:, col] = np.where(joint, np.asarray(lum), fill_value)
+        return out
+
+
+class XrayTable:
+    """Simplified (z, T, nH) emissivity table — quick-look fallback."""
+
+    def __init__(self, filename: str):
+        with h5py.File(filename, "r") as f:
+            self.log_t = np.asarray(f["Bins/Temperature"], dtype=np.float64)
+            self.log_n = np.asarray(f["Bins/Density"], dtype=np.float64)
+            self.z_grid = np.asarray(f["Bins/Redshift"], dtype=np.float64)
+            self.bands: Dict[str, np.ndarray] = {}
+            for band in f["Emissivities"]:
+                self.bands[band] = np.asarray(
+                    f["Emissivities"][band], dtype=np.float64
+                )
+
+    def at_redshift(self, z: float) -> Dict[str, np.ndarray]:
+        zg = self.z_grid
+        z = float(np.clip(z, zg[0], zg[-1]))
+        i = int(np.clip(np.searchsorted(zg, z) - 1, 0, len(zg) - 2))
+        f = (z - zg[i]) / (zg[i + 1] - zg[i]) if len(zg) > 1 else 0.0
+        return {
+            band: (1 - f) * tbl[i] + f * tbl[min(i + 1, len(zg) - 1)]
+            for band, tbl in self.bands.items()
+        }
 
 
 def bilinear_interp(
@@ -61,35 +289,9 @@ def bilinear_interp(
     )
 
 
-class XrayTable:
-    """Emissivity table with redshift slicing."""
-
-    def __init__(self, filename: str):
-        with h5py.File(filename, "r") as f:
-            self.log_t = np.asarray(f["Bins/Temperature"], dtype=np.float64)
-            self.log_n = np.asarray(f["Bins/Density"], dtype=np.float64)
-            self.z_grid = np.asarray(f["Bins/Redshift"], dtype=np.float64)
-            self.bands: Dict[str, np.ndarray] = {}
-            for band in f["Emissivities"]:
-                self.bands[band] = np.asarray(
-                    f["Emissivities"][band], dtype=np.float64
-                )
-
-    def at_redshift(self, z: float) -> Dict[str, np.ndarray]:
-        """Linearly interpolate each band's table to redshift z."""
-        zg = self.z_grid
-        z = float(np.clip(z, zg[0], zg[-1]))
-        i = int(np.clip(np.searchsorted(zg, z) - 1, 0, len(zg) - 2))
-        f = (z - zg[i]) / (zg[i + 1] - zg[i]) if len(zg) > 1 else 0.0
-        return {
-            band: (1 - f) * tbl[i] + f * tbl[min(i + 1, len(zg) - 1)]
-            for band, tbl in self.bands.items()
-        }
-
-
-#: proton mass in grams; number density from mass density assumes
-#: a hydrogen mass fraction column when available, else 0.74
-M_H_G = 1.67262192369e-24
+def _is_full_table(table_file: str) -> bool:
+    with h5py.File(table_file, "r") as f:
+        return "Bins/Redshift_bins" in f
 
 
 def compute_xray_luminosities(
@@ -97,52 +299,81 @@ def compute_xray_luminosities(
     table_file: str,
     output_file: str,
     bands: Optional[List[str]] = None,
+    observing_types: Optional[List[str]] = None,
 ) -> Dict[str, np.ndarray]:
     """Write an extra-input file with per-particle X-ray luminosities.
 
-    Luminosity per particle: 10^emissivity(T, n_H) * n_H^2 * V where
-    V = m / rho — the standard emission-measure scaling.
+    With a full 5D table every available observing type is written as
+    its own dataset (XrayLuminosities / XrayPhotonLuminosities /
+    *Restframe — reference ``misc/recalculate_xrays.py:59-154``); with
+    the simple 3D table only XrayLuminosities is produced.
     """
-    import os
-
     from soap_tpu.io.swift_snapshot import SnapshotMetadata
 
     meta = SnapshotMetadata(snapshot_file)
-    table = XrayTable(table_file)
-    tables_z = table.at_redshift(meta.z)
-    if bands is None:
-        bands = list(tables_z.keys())
-
     with h5py.File(snapshot_file, "r") as snap:
         gas = snap["PartType0"]
         T = np.asarray(gas["Temperatures"], dtype=np.float64)
         rho = np.asarray(gas["Densities"], dtype=np.float64)
         m = np.asarray(gas["Masses"], dtype=np.float64)
-        if "ElementMassFractions" in gas:
-            xh = np.asarray(gas["ElementMassFractions"][:, 0], dtype=np.float64)
+        if "SmoothedElementMassFractions" in gas:
+            mf = np.asarray(gas["SmoothedElementMassFractions"], np.float64)
+        elif "ElementMassFractions" in gas:
+            mf = np.asarray(gas["ElementMassFractions"], np.float64)
         else:
-            xh = np.full(len(T), 0.74)
+            mf = None
 
-    # unit conversions to cgs for the table lookup
     ul = meta.snap_units_cgs["Unit length in cgs (U_L)"]
     um = meta.snap_units_cgs["Unit mass in cgs (U_M)"]
-    rho_cgs = rho * um / ul**3 / meta.a**3  # physical g/cm^3
-    n_h = rho_cgs * xh / M_H_G  # hydrogen number density, cm^-3
-    log_t = np.log10(np.maximum(T, 1.0))
-    log_n = np.log10(np.maximum(n_h, 1e-30))
-    volume_cgs = (m * um) / np.maximum(rho_cgs, 1e-60)  # cm^3
-
-    out: Dict[str, np.ndarray] = {}
-    lum = np.zeros((len(T), len(bands)), np.float64)
-    for i, band in enumerate(bands):
-        log_eps = bilinear_interp(
-            tables_z[band], table.log_t, table.log_n, log_t, log_n
-        )
-        lum[:, i] = 10.0**log_eps * n_h**2 * volume_cgs  # erg/s
-    # convert to snapshot luminosity units (U_M U_L^2 / U_t^3)
     ut = meta.snap_units_cgs["Unit time in cgs (U_t)"]
-    lum_snap = lum / (um * ul**2 / ut**3)
-    out["XrayLuminosities"] = lum_snap.astype(np.float32)
+    rho_cgs = rho * um / ul**3 / meta.a**3  # physical g/cm^3
+    lum_unit = um * ul**2 / ut**3  # snapshot power unit in erg/s
+    out: Dict[str, np.ndarray] = {}
+
+    if _is_full_table(table_file):
+        if bands is None:
+            bands = list(DEFAULT_BANDS)
+        if observing_types is None:
+            with h5py.File(table_file, "r") as f:
+                observing_types = [
+                    t for t in DEFAULT_OBSERVING_TYPES if t in f[bands[0]]
+                ]
+        if mf is None:
+            raise ValueError(
+                "full X-ray tables need ElementMassFractions in the snapshot"
+            )
+        for otype in observing_types:
+            calc = XrayCalculator(
+                meta.z, table_file, bands, [otype] * len(bands)
+            )
+            lum = calc.interpolate(
+                rho_cgs, T, mf, m * um, bands, [otype] * len(bands)
+            )
+            if "energies" in otype:
+                lum = lum / lum_unit  # erg/s -> snapshot power units
+            else:
+                lum = lum * (ut / 1.0)  # photons/s -> photons per U_t
+            f32max = np.finfo(np.float32).max
+            out[OUTPUT_DATASETS[otype]] = np.clip(
+                lum, -f32max, f32max
+            ).astype(np.float32)
+    else:
+        table = XrayTable(table_file)
+        tables_z = table.at_redshift(meta.z)
+        if bands is None:
+            bands = list(tables_z.keys())
+        xh = mf[:, 0] if mf is not None else np.full(len(T), 0.74)
+        n_h = rho_cgs * xh / M_H_G
+        log_t = np.log10(np.maximum(T, 1.0))
+        log_n = np.log10(np.maximum(n_h, 1e-30))
+        volume_cgs = (m * um) / np.maximum(rho_cgs, 1e-60)
+        lum = np.zeros((len(T), len(bands)), np.float64)
+        for i, band in enumerate(bands):
+            log_eps = bilinear_interp(
+                tables_z[band], table.log_t, table.log_n, log_t, log_n
+            )
+            lum[:, i] = 10.0**log_eps * n_h**2 * volume_cgs  # erg/s
+        out["XrayLuminosities"] = (lum / lum_unit).astype(np.float32)
 
     os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
     with h5py.File(snapshot_file, "r") as snap, h5py.File(
@@ -151,10 +382,11 @@ def compute_xray_luminosities(
         if "Cells" in snap:
             snap.copy("Cells", f)
         g = f.create_group("PartType0")
-        ds = g.create_dataset("XrayLuminosities", data=out["XrayLuminosities"])
-        ds.attrs["Description"] = np.bytes_(
-            f"Observer-frame X-ray luminosities in bands {bands}"
-        )
+        for name, data in out.items():
+            ds = g.create_dataset(name, data=data)
+            ds.attrs["Description"] = np.bytes_(
+                f"{name} in bands {list(bands)}"
+            )
     return out
 
 
@@ -165,9 +397,7 @@ def write_mock_table(
     nn: int = 24,
     bands=DEFAULT_BANDS,
 ) -> None:
-    """Synthetic emissivity table for tests: log eps ~ rising in T."""
-    import os
-
+    """Synthetic simplified emissivity table for tests."""
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     log_t = np.linspace(4.0, 9.0, nt)
     log_n = np.linspace(-8.0, 2.0, nn)
@@ -179,7 +409,6 @@ def write_mock_table(
         b["Redshift"] = z
         e = f.create_group("Emissivities")
         for k, band in enumerate(bands):
-            # smooth analytic shape: bremsstrahlung-ish sqrt(T) scaling
             eps = (
                 -24.0
                 + 0.5 * (log_t[None, :, None] - 7.0)
@@ -188,3 +417,60 @@ def write_mock_table(
                 + 0.0 * log_n[None, None, :]
             )
             e[band] = np.broadcast_to(eps, (nz, nt, nn)).copy()
+
+
+#: element masses (H, He, C, N, O, Ne, Mg, Si, Fe) used by the mock
+MOCK_ELEMENT_MASSES = np.array(
+    [1.008, 4.003, 12.011, 14.007, 15.999, 20.18, 24.305, 28.086, 55.845]
+)
+#: log10 solar abundances by number for the 11 padded columns
+MOCK_SOLAR = np.array(
+    [0.0, -1.07, -3.57, -4.17, -3.31, -4.07, -4.4, -4.49, -5.66, -4.88, -4.5]
+)
+
+
+def write_mock_table_5d(
+    filename: str,
+    nz: int = 3,
+    nhe: int = 5,
+    nt: int = 16,
+    nn: int = 12,
+    bands=DEFAULT_BANDS,
+    observing_types=DEFAULT_OBSERVING_TYPES,
+    seed: int = 0,
+) -> None:
+    """Synthetic full-layout (5D) table for tests: smooth analytic
+    per-element emissivity shapes in the reference file layout."""
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    n_elem = 10  # 9 metals + no-metal background
+    log_t = np.linspace(5.0, 9.5, nt)
+    log_n = np.linspace(-8.0, 6.0, nn)
+    z = np.linspace(0.0, 2.0, nz)
+    he = np.array([-2.0, -1.5, -1.2, -1.0, -0.7])[:nhe]
+    rng = np.random.default_rng(seed)
+    with h5py.File(filename, "w") as f:
+        b = f.create_group("Bins")
+        b["Redshift_bins"] = z
+        b["He_bins"] = he
+        b["Temperature_bins"] = log_t
+        b["Density_bins"] = log_n
+        b["Element_masses"] = MOCK_ELEMENT_MASSES
+        b["Solar_metallicities"] = MOCK_SOLAR
+        b["Missing_element"] = np.bytes_("none")
+        for bi, band in enumerate(dict.fromkeys(bands)):
+            g = f.create_group(band)
+            for oi, otype in enumerate(dict.fromkeys(observing_types)):
+                amp = rng.uniform(0.3, 0.7, n_elem)
+                eps = (
+                    -26.0
+                    - 0.1 * bi
+                    - 0.05 * oi
+                    + amp[None, None, :, None, None]
+                    * (log_t[None, None, None, :, None] - 7.0)
+                    + 0.1 * z[:, None, None, None, None]
+                    + 0.2 * (he[None, :, None, None, None] + 1.0)
+                    + 0.01 * log_n[None, None, None, None, :]
+                )
+                g[otype] = np.broadcast_to(
+                    eps, (nz, nhe, n_elem, nt, nn)
+                ).astype(np.float32)

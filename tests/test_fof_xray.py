@@ -44,6 +44,119 @@ def test_bilinear_interp_exact_on_grid():
     np.testing.assert_allclose(got, [5.0 * 2 - 2.0, 6.5 * 2 - 1.5], rtol=1e-6)
 
 
+def _oracle_xray(table_file, z_now, rho_cgs, T, mf, m_g, band, otype):
+    """Independent float64 reference implementation of the full 5D
+    interpolation (literal transcription of the reference algorithm,
+    per-particle Python loop — ``misc/xray_calculator.py:50-396``)."""
+    with h5py.File(table_file, "r") as f:
+        zb = np.asarray(f["Bins/Redshift_bins"], np.float64)
+        heb = np.asarray(f["Bins/He_bins"], np.float64)
+        tb = np.asarray(f["Bins/Temperature_bins"], np.float64)
+        nb = np.asarray(f["Bins/Density_bins"], np.float64)
+        emass = np.asarray(f["Bins/Element_masses"], np.float64)
+        solar = 10.0 ** np.asarray(f["Bins/Solar_metallicities"], np.float64)
+        tbl = np.asarray(f[band][otype], np.float64)
+
+    def reg_index(bins, x):
+        delta = (len(bins) - 1) / (bins[-1] - bins[0])
+        if x < bins[0]:
+            return 0, 0.0
+        if x >= bins[-1]:
+            return len(bins) - 2, 1.0
+        i = int((x - bins[0]) * delta)
+        i = min(i, len(bins) - 2)
+        return i, (x - bins[i]) * delta
+
+    def irr_index(bins, x):
+        if x < bins[0]:
+            return 0, 0.0
+        if x >= bins[-1]:
+            return len(bins) - 2, 1.0
+        j = int(np.searchsorted(bins, x, side="right")) - 1
+        j = min(max(j, 0), len(bins) - 2)
+        return j, (x - bins[j]) / (bins[j + 1] - bins[j])
+
+    iz, dz = reg_index(zb, z_now)
+    mp_g = 1.67262192369e-24
+    out = np.zeros(len(T))
+    for p in range(len(T)):
+        n_h = mf[p, 0] * rho_cgs[p] / mp_g
+        dn_log = np.log10(n_h)
+        dt_log = np.log10(T[p])
+        if not (
+            np.round(nb.min(), 1) <= dn_log <= np.round(nb.max(), 1)
+            and np.round(tb.min(), 1) <= dt_log <= np.round(tb.max(), 1)
+        ):
+            continue
+        ab = (mf[p] / mf[p, 0]) * (emass[0] / emass)
+        padded = np.concatenate([ab[:-1], [ab[-2], ab[-2], ab[-1]]])
+        ats = (padded / solar)[2:]
+        ihe, dhe = irr_index(heb, np.log10(ab[1]))
+        it, dt = reg_index(tb, dt_log)
+        inn, dnn = reg_index(nb, dn_log)
+        n_elem = tbl.shape[2]
+        fvec = np.zeros(n_elem)
+        for bz, wz in ((iz, 1 - dz), (iz + 1, dz)):
+            for bh, wh in ((ihe, 1 - dhe), (ihe + 1, dhe)):
+                for bt, wt in ((it, 1 - dt), (it + 1, dt)):
+                    for bn, wn in ((inn, 1 - dnn), (inn + 1, dnn)):
+                        fvec += wz * wh * wt * wn * tbl[bz, bh, :, bt, bn]
+        total = 10.0 ** fvec[-1] + np.sum(10.0 ** fvec[:-1] * ats)
+        vol = m_g[p] / rho_cgs[p]
+        out[p] = total * n_h**2 * vol
+    return out
+
+
+def test_xray_calculator_5d_matches_oracle(tmp_path):
+    table = str(tmp_path / "xray_table_5d.hdf5")
+    xc.write_mock_table_5d(table)
+    rng = np.random.default_rng(11)
+    n = 64
+    z_now = 0.35
+    T = 10.0 ** rng.uniform(4.5, 10.0, n)  # some outside [5, 9.5]
+    rho = 10.0 ** rng.uniform(-30.0, -20.0, n)
+    m = 10.0 ** rng.uniform(38.0, 40.0, n)
+    mf = np.zeros((n, 9))
+    mf[:, 0] = rng.uniform(0.7, 0.76, n)
+    mf[:, 1] = rng.uniform(0.23, 0.29, n)
+    mf[:, 2:] = rng.uniform(1e-5, 0.01, (n, 7))
+    for band, otype in [
+        ("erosita-low", "energies_intrinsic"),
+        ("ROSAT", "photons_observed"),
+    ]:
+        calc = xc.XrayCalculator(z_now, table, [band], [otype])
+        got = calc.interpolate(rho, T, mf, m, [band], [otype])[:, 0]
+        want = _oracle_xray(table, z_now, rho, T, mf, m, band, otype)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=0)
+        assert (want == 0).any(), "oracle should mask some out-of-bounds"
+        assert (want > 0).any()
+
+
+def test_xray_recalculate_full_table(tmp_path):
+    from soap_tpu.utils.mock_data import make_mock_simulation
+
+    sim = make_mock_simulation(
+        str(tmp_path), n_halos=3, n_field=1200, boxsize=12.0, seed=4, hydro=True
+    )
+    table = str(tmp_path / "xray_table_5d.hdf5")
+    xc.write_mock_table_5d(table)
+    out_file = str(tmp_path / "xray_extra_full.hdf5")
+    out = xc.compute_xray_luminosities(sim["snapshot"], table, out_file)
+    assert set(out) == {
+        "XrayLuminosities",
+        "XrayPhotonLuminosities",
+        "XrayLuminositiesRestframe",
+        "XrayPhotonLuminositiesRestframe",
+    }
+    for v in out.values():
+        assert v.shape[1] == 3
+        assert np.isfinite(v).all()
+        assert (v >= 0).all()
+    with h5py.File(out_file, "r") as f:
+        assert f["PartType0/XrayLuminosities"].shape == out["XrayLuminosities"].shape
+        assert "Cells" in f
+
+
 def test_xray_calculator_end_to_end(tmp_path):
     from soap_tpu.utils.mock_data import make_mock_simulation
 
