@@ -1,10 +1,15 @@
 """Benchmark: halos/sec through the full property engine on one chip.
 
 Workload: a synthetic DMO volume (NFW halos + uniform background, same
-generator as the tests), processed with the core DMO spec set
-(BoundSubhalo + SO/200_crit — the dominant production cost centres).
-The first pass compiles; the second pass measures steady-state
-throughput, which is what a production run over millions of halos sees.
+generator as the tests), processed with the FULL production default
+spec set — BoundSubhalo + all 9 SO variations (incl. BN98 and the
+5xR500_crit radius multiple) + all 16 exclusive/inclusive 3D apertures
++ 4 projected apertures x 3 axes = 38 calculations, exactly the
+reference's default ``halo_prop_list``
+(``compute_halo_properties.py:224-511``), DMO-filtered keys.  The first
+pass compiles (cached persistently across runs); the second pass
+measures steady-state throughput, which is what a production run over
+millions of halos sees.
 
 Baseline: the reference publishes no benchmark numbers (BASELINE.md);
 the only quantitative envelope is FLAMINGO L1000N0900 — ~2.5e6 halos,
@@ -31,7 +36,6 @@ def log(*a):
 
 def main():
     t0 = time.time()
-    from soap_tpu.core.halo_types import implemented_keys_for
     from soap_tpu.models.context import HaloContext
     from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
     from soap_tpu.pipeline.engine import HaloEngine, HaloTypeSpec
@@ -89,27 +93,24 @@ def main():
         capacities=(0,),
         dmo=True,
     )
-    specs = [
-        HaloTypeSpec(
-            kind="bound",
-            group="BoundSubhalo",
-            keys=implemented_keys_for("BoundSubhalo", True),
-        ),
-        HaloTypeSpec(
-            kind="SO",
-            group="SO/200_crit",
-            keys=implemented_keys_for("SO", True),
-            so_type="crit",
-            so_multiple=200.0,
-            centrals_only=True,
-        ),
-    ]
+    # full production default calculation list (38 specs); BN98 bracket
+    # density at z=0 for this cosmology: x = Omega_m(z) - 1,
+    # Delta = 18 pi^2 + 82x - 39x^2 (Bryan & Norman 1998)
+    from soap_tpu.pipeline.specs import build_specs
+
+    x = uni.omega_m / E2 - 1.0
+    bn98 = 18.0 * np.pi**2 + 82.0 * x - 39.0 * x * x
+    specs = build_specs(None, dmo=True, bn98_value=bn98)
+    log(f"spec set: {len(specs)} calculations "
+        f"({sum(len(s.keys) for s in specs)} property keys)")
     args = dict(
         centres=uni.halo_pos,
         search_radius_phys=uni.halo_renclose * uni.a * 1.01,
         index=np.arange(uni.n_halos, dtype=np.int64),
         is_central=np.ones(uni.n_halos, dtype=bool),
         fof_id=np.arange(1, uni.n_halos + 1, dtype=np.int64),
+        # enables the production aperture-copy optimization
+        enclose_radius_phys=uni.halo_renclose * uni.a,
     )
 
     log(f"[{time.time()-t0:6.1f}s] warmup (compile) pass...")

@@ -98,6 +98,12 @@ def main(argv=None):
         help="lower-z snapshot supplying dataset dtypes/shapes for particle "
         "types absent at high z (reference swift_cells.py:374-404)",
     )
+    hp.add_argument(
+        "--record-halo-timings",
+        action="store_true",
+        help="write per-halo process_time/n_loop/n_process datasets into "
+        "InputHalos (reference --record-halo-timings)",
+    )
 
     mem = sub.add_parser("membership", help="compute group membership files")
     _add_common(mem)
@@ -233,6 +239,7 @@ def main(argv=None):
             host_index=args.host_index,
             host_count=args.host_count,
             reference_snapshot=args.reference_snapshot,
+            record_halo_timings=args.record_halo_timings,
         )
         if args.profile:
             import jax

@@ -19,7 +19,8 @@ arguments or the SLURM environment.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from collections.abc import MutableMapping
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -45,20 +46,104 @@ def chunks_for_host(
     return [c for c in range(nr_chunks) if c % host_count == host_index]
 
 
+class LazyScratchColumns(MutableMapping):
+    """One output group's columns, assembled from chunk scratch files
+    column-by-column ON ACCESS and never retained.
+
+    The eager combine materializes the whole catalogue — ~10^7 halos x
+    ~600 columns is tens of GB.  The reference instead combines in
+    <= 100-property batches (``combine_chunks.py:376-404``); this is the
+    TPU-native sharpening of that idea: the writer iterates columns one
+    at a time, so peak memory is ONE full column plus the per-chunk
+    pieces.  Category masks are registered via ``set_mask`` and applied
+    at load time instead of forcing materialization.
+    """
+
+    def __init__(self, scratch_dir, chunk_rows, group, keys, n_halos):
+        self._dir = scratch_dir
+        self._chunk_rows = chunk_rows  # {filename: halo rows}
+        self._group = group
+        self._base_keys = list(keys)
+        self._n = n_halos
+        self._overlay: Dict[str, np.ndarray] = {}
+        self._deleted: set = set()
+        self._masks: Dict[str, np.ndarray] = {}
+
+    def set_mask(self, key: str, mask: np.ndarray) -> None:
+        """Zero halos failing ``mask`` for this column (applied lazily)."""
+        if key in self._masks:
+            self._masks[key] = self._masks[key] & mask
+        else:
+            self._masks[key] = mask
+
+    def _load(self, key: str) -> np.ndarray:
+        import h5py
+
+        out = None
+        for fname, rows in self._chunk_rows.items():
+            with h5py.File(os.path.join(self._dir, fname), "r") as f:
+                arr = f[f"{self._group}/{key}"][...]
+            if out is None:
+                out = np.zeros((self._n,) + arr.shape[1:], arr.dtype)
+            out[rows] = arr
+        return out
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        if key in self._overlay:
+            arr = self._overlay[key]
+        elif key in self._deleted or key not in self._base_keys:
+            raise KeyError(key)
+        else:
+            arr = self._load(key)
+        mask = self._masks.get(key)
+        if mask is not None and not mask.all():
+            keep = mask.reshape((-1,) + (1,) * (arr.ndim - 1))
+            arr = np.where(keep, arr, 0)
+        return arr
+
+    def __setitem__(self, key: str, value) -> None:
+        self._deleted.discard(key)
+        self._overlay[key] = value
+
+    def __delitem__(self, key: str) -> None:
+        existed = key in self._overlay or (
+            key in self._base_keys and key not in self._deleted
+        )
+        self._overlay.pop(key, None)
+        if not existed:
+            raise KeyError(key)
+        if key in self._base_keys:
+            self._deleted.add(key)
+
+    def __iter__(self):
+        for key in self._base_keys:
+            if key not in self._deleted and key not in self._overlay:
+                yield key
+        yield from self._overlay
+
+    def __len__(self) -> int:
+        return sum(1 for _ in self)
+
+
 def combine_scratch(
     scratch_dir: str,
     specs,
     n_halos: int,
+    lazy: bool = False,
 ) -> dict:
     """Merge all finished chunk scratch files into full result arrays.
 
     Raises if any chunk is missing or incomplete — the combine phase runs
     only after every host finished its share (reference analogue:
     ``combine_chunks.py`` requires all chunk files present).
+
+    ``lazy=True`` returns ``{group: LazyScratchColumns}``: validation
+    (completeness + halo coverage) happens up front, but column data is
+    read per access — the memory-bounded path for production-scale
+    catalogues.
     """
     import h5py
 
-    merged: dict = {}
     chunk_files = sorted(
         f for f in os.listdir(scratch_dir)
         if f.startswith("chunk_") and f.endswith(".hdf5")
@@ -66,12 +151,32 @@ def combine_scratch(
     if not chunk_files:
         raise FileNotFoundError(f"no chunk scratch files in {scratch_dir}")
     covered = np.zeros(n_halos, dtype=bool)
+    chunk_rows: Dict[str, np.ndarray] = {}
     for fname in chunk_files:
         with h5py.File(os.path.join(scratch_dir, fname), "r") as f:
             if not f.attrs.get("Write complete", False):
                 raise RuntimeError(f"incomplete scratch file {fname}")
             rows = f["rows"][...]
-            covered[rows] = True
+        chunk_rows[fname] = rows
+        covered[rows] = True
+    if not covered.all():
+        missing = int((~covered).sum())
+        raise RuntimeError(
+            f"{missing} halos not covered by scratch files — "
+            "some hosts have not finished"
+        )
+
+    if lazy:
+        return {
+            spec.group: LazyScratchColumns(
+                scratch_dir, chunk_rows, spec.group, spec.keys, n_halos
+            )
+            for spec in specs
+        }
+
+    merged: dict = {}
+    for fname, rows in chunk_rows.items():
+        with h5py.File(os.path.join(scratch_dir, fname), "r") as f:
             for spec in specs:
                 grp = merged.setdefault(spec.group, {})
                 for key in spec.keys:
@@ -79,10 +184,4 @@ def combine_scratch(
                     if key not in grp:
                         grp[key] = np.zeros((n_halos,) + arr.shape[1:], arr.dtype)
                     grp[key][rows] = arr
-    if not covered.all():
-        missing = int((~covered).sum())
-        raise RuntimeError(
-            f"{missing} halos not covered by scratch files — "
-            "some hosts have not finished"
-        )
     return merged

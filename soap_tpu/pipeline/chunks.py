@@ -133,6 +133,7 @@ def process_chunks(
     chunk_subset: Optional[Sequence[int]] = None,
     t0: Optional[float] = None,
     verbose: bool = True,
+    record_halo_timings: bool = False,
 ) -> Tuple[Dict[str, Dict[str, np.ndarray]], EngineStats]:
     """Process all halos chunk by chunk; returns merged {group: {key: (H,...)}}."""
     if t0 is None:
@@ -241,7 +242,10 @@ def process_chunks(
                 )
             chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
 
-            engine = HaloEngine(ctx, chunk, specs, aux=aux)
+            engine = HaloEngine(
+                ctx, chunk, specs, aux=aux,
+                record_halo_timings=record_halo_timings,
+            )
             chunk_results = engine.process(
                 centres=cat.cofp[rows],
                 search_radius_phys=search_radius_phys[rows],
@@ -259,6 +263,7 @@ def process_chunks(
             total_stats.n_copied_specs += s.n_copied_specs
             total_stats.halos_done += s.halos_done
             total_stats.bucket_records.extend(s.bucket_records)
+            total_stats.halo_timing_chunks.extend(s.halo_timing_chunks)
             if verbose:
                 print(
                     f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: processed "

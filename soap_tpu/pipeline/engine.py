@@ -327,6 +327,32 @@ class EngineStats:
     bucket_records: List[Tuple[int, int, int, int, float]] = field(
         default_factory=list
     )
+    # per-halo timing chunks (record_halo_timings): tuples of
+    # (catalogue index, attributed seconds, n_loop) — the analogue of the
+    # reference's ``--record-halo-timings`` datasets
+    # (``halo_centres.py:183-218``, ``halo_tasks.py:70-194``).  Bucket
+    # wall time is attributed to halos proportional to their candidate
+    # counts; with async dispatch the split is approximate (queue time
+    # lands on the bucket that materializes it).
+    halo_timing_chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = field(
+        default_factory=list
+    )
+
+    def halo_timings(self) -> Optional[Dict[str, np.ndarray]]:
+        """Merged per-halo timings keyed by catalogue index, or None."""
+        if not self.halo_timing_chunks:
+            return None
+        idx = np.concatenate([c[0] for c in self.halo_timing_chunks])
+        sec = np.concatenate([c[1] for c in self.halo_timing_chunks])
+        loops = np.concatenate([c[2] for c in self.halo_timing_chunks])
+        # a halo appears once per engine invocation that covered it;
+        # accumulate (satellite/central split runs disjoint subsets)
+        uniq, inv = np.unique(idx, return_inverse=True)
+        sec_m = np.zeros(len(uniq))
+        loop_m = np.zeros(len(uniq), np.int32)
+        np.add.at(sec_m, inv, sec)
+        np.add.at(loop_m, inv, loops)
+        return {"index": uniq, "process_time": sec_m, "n_loop": loop_m}
 
     @property
     def compute_seconds(self) -> float:
@@ -364,6 +390,7 @@ class HaloEngine:
         specs: Sequence[HaloTypeSpec],
         aux: Optional[Dict[str, object]] = None,
         record_spec_timings: bool = False,
+        record_halo_timings: bool = False,
     ):
         #: when on, every spec runs in its own device program and its
         #: wall time is accumulated in ``stats.spec_seconds`` — the
@@ -371,6 +398,9 @@ class HaloEngine:
         #: (per-property `_time` datasets, README.md:203-211).  Slower
         #: (no cross-spec fusion); for profiling only.
         self.record_spec_timings = record_spec_timings
+        #: per-halo process_time / n_loop recording (the analogue of the
+        #: reference's ``--record-halo-timings``)
+        self.record_halo_timings = record_halo_timings
         self.ctx_base = ctx_base
         self.chunk = chunk
         self.specs = tuple(specs)
@@ -460,6 +490,8 @@ class HaloEngine:
 
         radius_phys = search_radius_phys.astype(np.float64).copy()
         pending = np.arange(H)
+        halo_seconds = np.zeros(H) if self.record_halo_timings else None
+        halo_nloop = np.zeros(H, np.int32) if self.record_halo_timings else None
 
         c_hi, c_lo = geometry.split_hi_lo(centres)
 
@@ -642,6 +674,7 @@ class HaloEngine:
                         out=out,
                         overflow=overflow,
                         t_dispatch=t_bucket,
+                        halo_counts=totals[sel],
                     )
                 )
 
@@ -651,15 +684,15 @@ class HaloEngine:
                 nb = fl["nb"]
                 out = fl["out"]
                 overflow_h = np.asarray(fl["overflow"])[:nb]
+                dt_bucket = time.perf_counter() - fl["t_dispatch"]
                 self.stats.bucket_records.append(
-                    (
-                        nb,
-                        fl["B"],
-                        sum(fl["caps"]),
-                        max(fl["cubes"]),
-                        time.perf_counter() - fl["t_dispatch"],
-                    )
+                    (nb, fl["B"], sum(fl["caps"]), max(fl["cubes"]), dt_bucket)
                 )
+                if halo_seconds is not None:
+                    # attribute bucket wall time ~ candidate-count share
+                    w = fl["halo_counts"].astype(np.float64) + 1.0
+                    halo_seconds[bucket_global] += dt_bucket * w / w.sum()
+                    halo_nloop[bucket_global] += 1
                 # resolve per-bucket outputs in spec order so copied
                 # apertures can chain off earlier (possibly also copied)
                 # apertures
@@ -712,6 +745,10 @@ class HaloEngine:
 
             pending = np.array(sorted(next_pending), dtype=np.int64)
 
+        if halo_seconds is not None:
+            self.stats.halo_timing_chunks.append(
+                (np.asarray(index, np.int64).copy(), halo_seconds, halo_nloop)
+            )
         self.stats.halos_done = H
         return results
 

@@ -230,7 +230,7 @@ def apply_category_filters(
             halo_filter if halo_filter != "basic" else None
         )
         halo_mask = masks.get(halo_filter)
-        for key, arr in props.items():
+        for key in list(props):
             name = table[key].name
             category = categories.get(name, "basic")
             if category is False or not isinstance(category, str):
@@ -240,8 +240,14 @@ def apply_category_filters(
             if halo_mask is not None:
                 mask = mask & halo_mask
             if not mask.all():
-                keep = mask.reshape((-1,) + (1,) * (arr.ndim - 1))
-                props[key] = np.where(keep, arr, 0)
+                if hasattr(props, "set_mask"):
+                    # lazy combined results: register the mask, applied at
+                    # column load time (keeps the combine memory-bounded)
+                    props.set_mask(key, mask)
+                else:
+                    arr = props[key]
+                    keep = mask.reshape((-1,) + (1,) * (arr.ndim - 1))
+                    props[key] = np.where(keep, arr, 0)
     return attrs, group_attrs
 
 
@@ -272,6 +278,9 @@ class RunResult:
     order: np.ndarray
     stats: object
     output_path: Optional[str]
+    #: the HaloContext the engine ran with (filter thresholds, cosmology
+    #: constants) — lets tests/oracles recompute properties independently
+    ctx: Optional[object] = None
 
 
 def compute_halo_properties(
@@ -295,6 +304,7 @@ def compute_halo_properties(
     host_index: Optional[int] = None,
     host_count: Optional[int] = None,
     reference_snapshot: Optional[str] = None,
+    record_halo_timings: bool = False,
     verbose: bool = True,
 ) -> RunResult:
     """Run the full pipeline on one snapshot (single chunk).
@@ -386,6 +396,7 @@ def compute_halo_properties(
         chunk_subset=chunk_subset,
         t0=t0,
         verbose=verbose,
+        record_halo_timings=record_halo_timings,
     )
     if chunk_subset is not None:
         # compute phase of a multi-host run: this host only covers its
@@ -394,14 +405,14 @@ def compute_halo_properties(
         if host_index != 0 or len(chunk_subset) < nr_chunks:
             try:
                 results = multihost.combine_scratch(
-                    scratch_dir, specs, cat.nr_halos
+                    scratch_dir, specs, cat.nr_halos, lazy=True
                 )
                 if verbose:
                     print("combined all hosts' scratch files")
             except (FileNotFoundError, RuntimeError) as e:
                 if verbose:
                     print(f"skipping combine ({e}); partial results only")
-                return RunResult(results, cat, np.arange(cat.nr_halos), engine_stats, None)
+                return RunResult(results, cat, np.arange(cat.nr_halos), engine_stats, None, ctx)
 
     # --- category filters: zero masked halos, record metadata ---
     cat_filter = CategoryFilter(
@@ -502,6 +513,23 @@ def compute_halo_properties(
         **cat.passthrough,
         **soap_cols,
     }
+    if record_halo_timings:
+        # per-halo timing datasets, the analogue of the reference's
+        # ``--record-halo-timings`` (``halo_centres.py:183-218``):
+        # process_time [s], n_loop (retry rounds), n_process (chunk
+        # passes; always 1 — each halo belongs to exactly one chunk)
+        timings = engine_stats.halo_timings()
+        if timings is not None:
+            pos = {int(i): p for p, i in enumerate(timings["index"])}
+            rows = np.array([pos.get(int(i), -1) for i in cat.index])
+            ok = rows >= 0
+            pt = np.zeros(cat.nr_halos, np.float32)
+            nl = np.zeros(cat.nr_halos, np.int32)
+            pt[ok] = timings["process_time"][rows[ok]].astype(np.float32)
+            nl[ok] = timings["n_loop"][rows[ok]]
+            input_halos["process_time"] = pt
+            input_halos["n_loop"] = nl
+            input_halos["n_process"] = ok.astype(np.int32)
 
     if output_file and parameter_file is not None:
         # mirror of SWIFT's .used_parameters output
@@ -540,4 +568,4 @@ def compute_halo_properties(
         if verbose:
             print(f"[{time.time()-t0:6.1f}s] wrote {output_file}")
 
-    return RunResult(results, cat, order, engine_stats, output_file)
+    return RunResult(results, cat, order, engine_stats, output_file, ctx)

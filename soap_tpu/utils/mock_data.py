@@ -258,6 +258,26 @@ def build_mock_universe(
                 fields["TotalDustMassFractions"] = (
                     0.1 * fields["MetalMassFractions"]
                 ).astype(np.float32)
+                fields["ComptonYParameters"] = 10.0 ** rng.uniform(
+                    -10.0, -6.0, n
+                ).astype(np.float32)
+                # ~25% of gas was recently AGN-heated (scale factors near
+                # a); the rest long ago — exercises the no_agn exclusions
+                last_agn = rng.uniform(0.1, 0.5, n)
+                recent = rng.uniform(size=n) < 0.25
+                last_agn[recent] = rng.uniform(0.98 * a, a, recent.sum())
+                fields["LastAGNFeedbackScaleFactors"] = last_agn.astype(
+                    np.float32
+                )
+                for xk in (
+                    "XrayLuminosities",
+                    "XrayPhotonLuminosities",
+                    "XrayLuminositiesRestframe",
+                    "XrayPhotonLuminositiesRestframe",
+                ):
+                    fields[xk] = 10.0 ** rng.uniform(
+                        2.0, 8.0, (n, 3)
+                    ).astype(np.float32)
             if kind == "star":
                 fields["InitialMasses"] = np.full(
                     n, particle_mass * 1.1, np.float32
@@ -505,6 +525,9 @@ def write_swift_snapshot(
         par.attrs["Gravity:max_physical_DM_softening"] = np.bytes_("0.01")
         par.attrs["Gravity:comoving_baryon_softening"] = np.bytes_("0.01")
         par.attrs["Gravity:max_physical_baryon_softening"] = np.bytes_("0.005")
+        # AGN feedback heating temperature: activates the recently-heated
+        # filter's [dT*10^-1, dT*10^0.3] temperature window
+        par.attrs["EAGLEAGN:AGN_delta_T_K"] = np.bytes_("3.16228e7")
 
         cells = f.create_group("Cells")
         md = cells.create_group("Meta-data")

@@ -129,3 +129,40 @@ def test_projected_apertures(e2e):
     assert np.all(mx >= m100 - 1e-3)
     assert np.all(my >= m100 - 1e-3)
     assert np.all(mz >= m100 - 1e-3)
+
+
+def test_record_halo_timings(tmp_path):
+    """--record-halo-timings analogue: per-halo process_time / n_loop /
+    n_process datasets in InputHalos (reference halo_centres.py:183-218)."""
+    from soap_tpu.pipeline.engine import HaloTypeSpec
+    from soap_tpu.utils import mock_data
+
+    sim = mock_data.make_mock_simulation(
+        str(tmp_path), n_halos=6, n_field=4000, boxsize=18.0, seed=31
+    )
+    membership = str(tmp_path / "mem.hdf5")
+    run_group_membership(sim["snapshot"], sim["hbt_basename"], membership)
+    cat_file = str(tmp_path / "cat.hdf5")
+    specs = [
+        HaloTypeSpec(kind="bound", group="BoundSubhalo", keys=("Mtot", "Ndm")),
+        HaloTypeSpec(
+            kind="SO", group="SO/200_crit", keys=("r", "Mtot"),
+            so_type="crit", so_multiple=200.0, centrals_only=True,
+        ),
+    ]
+    run = compute_halo_properties(
+        snapshot_file=sim["snapshot"], membership_file=membership,
+        halo_basename=sim["hbt_basename"], output_file=cat_file,
+        dmo=True, specs=specs, record_halo_timings=True, verbose=False,
+    )
+    t = run.stats.halo_timings()
+    assert t is not None and len(t["index"]) == 6
+    assert (t["n_loop"] >= 1).all()
+    assert (t["process_time"] > 0).all()
+    with h5py.File(cat_file, "r") as f:
+        n = f["InputHalos/HaloCatalogueIndex"].shape[0]
+        for name in ("process_time", "n_loop", "n_process"):
+            assert f[f"InputHalos/{name}"].shape[0] == n, name
+        assert (np.asarray(f["InputHalos/n_process"]) == 1).all()
+        assert (np.asarray(f["InputHalos/n_loop"]) >= 1).all()
+        assert np.asarray(f["InputHalos/process_time"]).sum() > 0

@@ -1,0 +1,298 @@
+"""Independent float64 value oracles for the hydro property tail.
+
+These are the properties VERDICT r1 flagged as shape-tested only:
+temperatures with AGN/cooling exclusions, Compton-y, X-ray band sums,
+spectroscopic-like temperature and the shell flow rates.  Each oracle is
+a direct float64 numpy recomputation from the raw mock snapshot arrays +
+the pipeline's own SO radius — a completely separate path from the
+engine (no gathers, buckets, padding, f32 device kernels), following the
+reference formulas (``SO_properties.py:1472-3057``).
+"""
+
+import numpy as np
+import pytest
+
+from soap_tpu.pipeline.engine import HaloTypeSpec
+from soap_tpu.pipeline.membership import run_group_membership
+from soap_tpu.pipeline.run import compute_halo_properties
+from soap_tpu.utils import mock_data
+
+SO_KEYS = (
+    "r", "Mtot", "Vmax_soft",
+    "Tgas", "Tgas_no_agn", "Tgas_no_cool", "Tgas_no_cool_no_agn",
+    "compY", "compY_no_agn",
+    "Tgas_cy_weighted", "Tgas_cy_weighted_no_agn",
+    "SpectroscopicLikeTemperature", "SpectroscopicLikeTemperature_no_agn",
+    "Xraylum", "Xraylum_no_agn", "Xrayphlum",
+    "Xraylum_restframe", "Xrayphlum_restframe_no_agn",
+    "DarkMatterMassFlowRate", "StellarMassFlowRate",
+    "HotGasMassFlowRate", "WarmGasEnergyFlowRate",
+    "CoolGasMomentumFlowRate", "MetalMassFlowRate",
+    "HIMassFlowRate", "H2MassFlowRate",
+)
+
+T_XRAY_MIN = 1.16e6
+T_COOL_MAX = 1.0e5
+
+
+@pytest.fixture(scope="module")
+def so_run(tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("hydro_oracles"))
+    sim = mock_data.make_mock_simulation(
+        tmpdir, n_halos=5, n_field=4000, boxsize=22.0, seed=1234, hydro=True
+    )
+    membership = f"{tmpdir}/membership.hdf5"
+    run_group_membership(sim["snapshot"], sim["hbt_basename"], membership)
+    specs = [
+        HaloTypeSpec(
+            kind="SO", group="SO/200_crit", keys=SO_KEYS,
+            so_type="crit", so_multiple=200.0, centrals_only=True,
+        )
+    ]
+    run = compute_halo_properties(
+        snapshot_file=sim["snapshot"], membership_file=membership,
+        halo_basename=sim["hbt_basename"], output_file=None,
+        dmo=False, specs=specs, verbose=False,
+    )
+    return sim, run
+
+
+def _dist(pos, centre, boxsize):
+    d = pos - centre
+    d -= boxsize * np.round(d / boxsize)
+    return d, np.sqrt((d * d).sum(axis=1))
+
+
+def _all_particles(uni):
+    """Concatenated (pos, mass, vel, is_type) arrays over every ptype."""
+    pos = [uni.pos]
+    mass = [uni.mass.astype(np.float64)]
+    vel = [uni.vel.astype(np.float64)]
+    kinds = [np.full(len(uni.pos), 1)]
+    for code, pt in ((0, "PartType0"), (4, "PartType4"), (5, "PartType5")):
+        f = uni.extra_ptypes.get(pt)
+        if f is None:
+            continue
+        pos.append(f["Coordinates"])
+        mass.append(f["Masses"].astype(np.float64))
+        vel.append(f["Velocities"].astype(np.float64))
+        kinds.append(np.full(len(f["Coordinates"]), code))
+    return (
+        np.concatenate(pos),
+        np.concatenate(mass),
+        np.concatenate(vel),
+        np.concatenate(kinds),
+    )
+
+
+def _gas_masks(uni, ctx):
+    """Per-gas-particle helper arrays incl. the recently-heated filter."""
+    g = uni.extra_ptypes["PartType0"]
+    T = g["Temperatures"].astype(np.float64)
+    last_a = g["LastAGNFeedbackScaleFactors"].astype(np.float64)
+    heated = (
+        (last_a >= np.float32(ctx.agn_a_limit))
+        & (T >= np.float32(ctx.agn_Tmin))
+        & (T <= np.float32(ctx.agn_Tmax))
+    )
+    return g, T, heated
+
+
+def _assert_close(got, want, rtol, name, atol_scale=1e-6):
+    atol = atol_scale * max(1.0, float(np.max(np.abs(np.atleast_1d(want)))))
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol, err_msg=name)
+
+
+def test_temperatures_compY_xray_oracles(so_run):
+    sim, run = so_run
+    uni = sim["universe"]
+    so = run.results["SO/200_crit"]
+    ctx = run.ctx
+    checked = 0
+    n_excluded = 0
+    for hi in range(uni.n_halos):
+        r_so = float(so["r"][hi])
+        if r_so <= 0:
+            continue
+        centre = uni.halo_pos[hi]
+        g, T, heated = _gas_masks(uni, ctx)
+        _, gr = _dist(g["Coordinates"], centre, uni.boxsize)
+        sel = gr < r_so
+        m = g["Masses"].astype(np.float64)
+        y = g["ComptonYParameters"].astype(np.float64)
+        rho = g["Densities"].astype(np.float64)
+
+        def mwT(mask):
+            mm = m * mask
+            return (mm * T).sum() / mm.sum() if mm.sum() > 0 else 0.0
+
+        _assert_close(so["Tgas"][hi], mwT(sel), 2e-4, "Tgas")
+        _assert_close(so["Tgas_no_agn"][hi], mwT(sel & ~heated), 2e-4,
+                      "Tgas_no_agn")
+        _assert_close(so["Tgas_no_cool"][hi], mwT(sel & (T >= T_COOL_MAX)),
+                      2e-4, "Tgas_no_cool")
+        _assert_close(
+            so["Tgas_no_cool_no_agn"][hi],
+            mwT(sel & ~heated & (T >= T_COOL_MAX)), 2e-4,
+            "Tgas_no_cool_no_agn",
+        )
+        n_excluded += int((sel & heated).sum())
+
+        _assert_close(so["compY"][hi], y[sel].sum(), 2e-4, "compY")
+        _assert_close(so["compY_no_agn"][hi], y[sel & ~heated].sum(), 2e-4,
+                      "compY_no_agn")
+
+        def cyT(mask):
+            ys = y * mask
+            return (ys * T).sum() / ys.sum() if ys.sum() > 0 else 0.0
+
+        _assert_close(so["Tgas_cy_weighted"][hi], cyT(sel), 2e-4,
+                      "Tgas_cy_weighted")
+        _assert_close(so["Tgas_cy_weighted_no_agn"][hi], cyT(sel & ~heated),
+                      2e-4, "Tgas_cy_weighted_no_agn")
+
+        def slT(mask):
+            msk = mask & (T > T_XRAY_MIN)
+            w = rho * m * msk
+            den = (w * T**-0.75).sum()
+            return (w * T**0.25).sum() / den if den > 0 else 0.0
+
+        _assert_close(so["SpectroscopicLikeTemperature"][hi], slT(sel),
+                      5e-4, "SpectroscopicLikeTemperature")
+        _assert_close(
+            so["SpectroscopicLikeTemperature_no_agn"][hi],
+            slT(sel & ~heated), 5e-4, "SpectroscopicLikeTemperature_no_agn",
+        )
+
+        for key, ds, mask in (
+            ("Xraylum", "XrayLuminosities", sel),
+            ("Xraylum_no_agn", "XrayLuminosities", sel & ~heated),
+            ("Xrayphlum", "XrayPhotonLuminosities", sel),
+            ("Xraylum_restframe", "XrayLuminositiesRestframe", sel),
+            (
+                "Xrayphlum_restframe_no_agn",
+                "XrayPhotonLuminositiesRestframe",
+                sel & ~heated,
+            ),
+        ):
+            want = g[ds].astype(np.float64)[mask].sum(axis=0)
+            _assert_close(so[key][hi], want, 3e-4, key)
+        checked += 1
+    assert checked >= 3
+    # the AGN exclusion must bite somewhere in this mock, or the no_agn
+    # oracles degenerate into the plain ones
+    assert n_excluded > 0
+
+
+def _oracle_flow(uni, ctx, centre, r_so, vmax_soft, species_mask_gas,
+                 weights_gas, flow_type, fast):
+    """Literal reference transcription of ``calculate_flow_rate``
+    (``SO_properties.py:2815-2916``) in float64.
+
+    ``species_mask_gas``/``weights_gas``: either per-gas arrays (gas
+    flows) or (kind_code, None) for DM/stellar flows.
+    """
+    pos, mass, vel, kinds = _all_particles(uni)
+    d, r = _dist(pos, centre, uni.boxsize)
+
+    if isinstance(species_mask_gas, tuple):
+        code = species_mask_gas[0]
+        species = kinds == code
+        weights = mass
+        u = np.zeros(len(mass))
+    else:
+        species = np.zeros(len(mass), bool)
+        ngas = len(uni.extra_ptypes["PartType0"]["Coordinates"])
+        ndm = len(uni.pos)
+        species[ndm : ndm + ngas] = species_mask_gas
+        weights = np.zeros(len(mass))
+        weights[ndm : ndm + ngas] = weights_gas
+        u = np.zeros(len(mass))
+        u[ndm : ndm + ngas] = uni.extra_ptypes["PartType0"][
+            "InternalEnergies"
+        ].astype(np.float64)
+
+    # vcom of ALL particles within frac * r_so
+    out = []
+    M_so = None
+    for frac in (0.1, 0.3, 1.0):
+        R = frac * r_so
+        dR = 0.1 * R
+        inside = r < R
+        mins = mass[inside].sum()
+        vcom = (mass[inside, None] * vel[inside]).sum(axis=0) / mins
+        in_shell = species & (r > R - 0.5 * dR) & (r < R + 0.5 * dR)
+        rhat = d / np.maximum(r, 1e-37)[:, None]
+        if M_so is None:
+            # SO mass for the pseudo-evolution term: the engine uses
+            # its own SO_mass; take it from the caller via ctx closure
+            pass
+        dv = vel - vcom[None, :]
+        v_r = (dv * rhat).sum(axis=1)
+        Rdot = (
+            (2.0 / 3.0)
+            * (ctx.G * _oracle_flow.so_mass * ctx.H / 100.0) ** (1.0 / 3.0)
+            * (2.0 * ctx.omega_g + 1.5 * ctx.omega_m)
+        )
+        v_r = v_r - frac * Rdot
+        if flow_type == "mass":
+            fr = weights * np.abs(v_r)
+        elif flow_type == "energy":
+            kinetic = 0.5 * (dv * dv).sum(axis=1)
+            fr = weights * np.abs(v_r) * (kinetic + u)
+        elif flow_type == "momentum":
+            fr = weights * (v_r**2 + (5.0 / 3.0 - 1.0) * u)
+        inflow = fr[in_shell & (v_r < 0)].sum() / dR
+        outflow = fr[in_shell & (v_r > 0)].sum() / dR
+        fastflow = fr[in_shell & (v_r > 0.25 * vmax_soft)].sum() / dR
+        out.append((inflow, outflow, fastflow))
+    flat = [s[0] for s in out] + [s[1] for s in out]
+    if fast:
+        flat += [s[2] for s in out]
+    return np.array(flat)
+
+
+def test_flow_rate_oracles(so_run):
+    sim, run = so_run
+    uni = sim["universe"]
+    so = run.results["SO/200_crit"]
+    ctx = run.ctx
+    g = uni.extra_ptypes["PartType0"]
+    T = g["Temperatures"].astype(np.float64)
+    m = g["Masses"].astype(np.float64)
+    Z = g["MetalMassFractions"].astype(np.float64)
+    xh = g["ElementMassFractions"][:, 0].astype(np.float64)
+    sp = g["SpeciesFractions"].astype(np.float64)
+    hot = T > 1.0e7
+    warm = (T > 1.0e5) & (T < 1.0e7)
+    cool = (T > 1.0e3) & (T < 1.0e5)
+    gas_all = np.ones(len(T), bool)
+
+    cases = [
+        ("DarkMatterMassFlowRate", (1, None), None, "mass", False),
+        ("StellarMassFlowRate", (4, None), None, "mass", False),
+        ("HotGasMassFlowRate", hot, m, "mass", True),
+        ("WarmGasEnergyFlowRate", warm, m, "energy", True),
+        ("CoolGasMomentumFlowRate", cool, m, "momentum", True),
+        ("MetalMassFlowRate", gas_all, m * Z, "mass", False),
+        ("HIMassFlowRate", gas_all, m * xh * sp[:, 1], "mass", False),
+        ("H2MassFlowRate", gas_all, m * 2.0 * xh * sp[:, 3], "mass", False),
+    ]
+    checked = 0
+    for hi in range(uni.n_halos):
+        r_so = float(so["r"][hi])
+        if r_so <= 0:
+            continue
+        centre = uni.halo_pos[hi]
+        _oracle_flow.so_mass = float(so["Mtot"][hi])
+        vmax = float(so["Vmax_soft"][hi])
+        for key, smask, w, ftype, fast in cases:
+            want = _oracle_flow(uni, ctx, centre, r_so, vmax, smask, w,
+                                ftype, fast)
+            got = so[key][hi]
+            assert got.shape == want.shape, key
+            _assert_close(got, want, 2e-3, key, atol_scale=2e-5)
+        checked += 1
+    assert checked >= 3
+    # the mock must exercise nonzero flows somewhere
+    assert np.abs(so["DarkMatterMassFlowRate"]).max() > 0

@@ -24,6 +24,63 @@ def test_chunks_for_host():
     assert multihost.chunks_for_host(5, 0, 1) == [0, 1, 2, 3, 4]
 
 
+def test_lazy_combine_matches_eager(tmp_path):
+    """LazyScratchColumns must return byte-identical columns to the
+    eager combine, honor set_mask, and support del/overlay."""
+    import h5py
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    rng = np.random.default_rng(3)
+    n_halos = 20
+    rows_a = np.arange(0, 12)
+    rows_b = np.arange(12, 20)
+    specs = [
+        HaloTypeSpec(kind="bound", group="BoundSubhalo", keys=("Mtot", "com"))
+    ]
+    for fname, rows in (("chunk_0.hdf5", rows_a), ("chunk_1.hdf5", rows_b)):
+        with h5py.File(scratch / fname, "w") as f:
+            f["rows"] = rows
+            f["BoundSubhalo/Mtot"] = rng.random(len(rows)).astype(np.float32)
+            f["BoundSubhalo/com"] = rng.random((len(rows), 3)).astype(np.float32)
+            f.attrs["calc_names"] = [np.bytes_("BoundSubhalo/Mtot")]
+            f.attrs["Write complete"] = True
+
+    eager = multihost.combine_scratch(str(scratch), specs, n_halos)
+    lazy = multihost.combine_scratch(str(scratch), specs, n_halos, lazy=True)
+    assert set(lazy) == set(eager)
+    assert set(lazy["BoundSubhalo"]) == set(eager["BoundSubhalo"])
+    for key in eager["BoundSubhalo"]:
+        np.testing.assert_array_equal(
+            lazy["BoundSubhalo"][key], eager["BoundSubhalo"][key]
+        )
+
+    # masks apply at load time (vector + per-column broadcast)
+    mask = np.ones(n_halos, bool)
+    mask[::3] = False
+    lazy["BoundSubhalo"].set_mask("com", mask)
+    got = lazy["BoundSubhalo"]["com"]
+    np.testing.assert_array_equal(got[~mask], 0.0)
+    np.testing.assert_array_equal(
+        got[mask], eager["BoundSubhalo"]["com"][mask]
+    )
+
+    # overlay + deletion semantics
+    lazy["BoundSubhalo"]["Extra"] = np.ones(n_halos)
+    assert "Extra" in lazy["BoundSubhalo"]
+    del lazy["BoundSubhalo"]["Mtot"]
+    assert "Mtot" not in lazy["BoundSubhalo"]
+    assert sorted(lazy["BoundSubhalo"]) == ["Extra", "com"]
+
+    # incomplete scratch is rejected up front
+    with h5py.File(scratch / "chunk_1.hdf5", "a") as f:
+        f.attrs["Write complete"] = False
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        multihost.combine_scratch(str(scratch), specs, n_halos, lazy=True)
+
+
 def test_two_host_run(tmp_path):
     from soap_tpu.utils.mock_data import make_mock_simulation
 
