@@ -143,7 +143,50 @@ def main(argv=None):
         "--bands", help="comma-separated band names (default: erosita+ROSAT)"
     )
 
+    ta = sub.add_parser(
+        "timing-analysis",
+        help="report per-halo timing stats from a catalogue written with "
+        "--record-halo-timings (reference misc/plot_time.py)",
+    )
+    ta.add_argument("catalogue")
+
+    mh = sub.add_parser(
+        "match-halos",
+        help="match halos across two simulations by bound-particle IDs "
+        "(reference misc/match_group_membership.py)",
+    )
+    for i in ("1", "2"):
+        mh.add_argument(f"--snapshot{i}", required=True)
+        mh.add_argument(f"--membership{i}", required=True)
+        mh.add_argument(f"--catalogue{i}", required=True)
+    mh.add_argument("--output", required=True)
+    mh.add_argument("--nr-particles", type=int, default=50)
+    mh.add_argument("--match-satellites", action="store_true")
+    mh.add_argument(
+        "--ptypes", default="1", help="comma-separated particle types"
+    )
+
     args = parser.parse_args(argv)
+
+    if args.command == "timing-analysis":
+        from soap_tpu.tools.timing_analysis import report
+
+        print(report(args.catalogue))
+        return 0
+    if args.command == "match-halos":
+        from soap_tpu.tools.match_membership import match_group_membership
+
+        out = match_group_membership(
+            args.snapshot1, args.membership1, args.catalogue1,
+            args.snapshot2, args.membership2, args.catalogue2,
+            args.output,
+            ptypes=[int(p) for p in args.ptypes.split(",")],
+            nr_particles=args.nr_particles,
+            match_satellites=args.match_satellites,
+        )
+        n = int((out["MatchIndex1to2"] >= 0).sum())
+        print(f"wrote {args.output} ({n} halos matched 1->2)")
+        return 0
 
     if args.command == "recalculate-xrays":
         from soap_tpu.tools.xray_calculator import compute_xray_luminosities

@@ -166,3 +166,11 @@ def test_record_halo_timings(tmp_path):
         assert (np.asarray(f["InputHalos/n_process"]) == 1).all()
         assert (np.asarray(f["InputHalos/n_loop"]) >= 1).all()
         assert np.asarray(f["InputHalos/process_time"]).sum() > 0
+    # the timing-analysis tool consumes these datasets
+    from soap_tpu.tools.timing_analysis import analyze, report
+
+    stats = analyze(cat_file)
+    assert stats["n_halos"] == 6
+    assert stats["total_seconds"] > 0
+    assert "p99_ms" in stats and "retried_halos" in stats
+    assert "halos: 6" in report(cat_file)
