@@ -160,21 +160,100 @@ def _make_slice(spec, ctx, parts, scalars, prior, dens, aux):
     raise ValueError(spec.kind)
 
 
+def _block_signature(spec: HaloTypeSpec, dens) -> Optional[tuple]:
+    """Blocking signature: consecutive specs with the same signature are
+    evaluated as ONE vmapped computation over their scalar parameter
+    (SO threshold density / aperture radius) instead of unrolled DAG
+    copies.  This is the TPU-native answer to the reference's 38-entry
+    ``halo_prop_list``: the parameter-independent intermediates (gather,
+    radius sort, masks) stay unbatched inside the vmap, so XLA compiles
+    ONE sort + batched reductions rather than N copies of everything —
+    compile time and HLO size drop by ~the family size.
+    """
+    if (
+        spec.kind == "SO"
+        and dens is not None
+        and spec.radius_multiple_of is None
+    ):
+        return ("SO", spec.keys, spec.core_excision_fraction)
+    if spec.kind == "aperture" and spec.radius_property is None:
+        return ("aperture", spec.keys, spec.inclusive)
+    if spec.kind == "projected" and spec.radius_property is None:
+        return ("projected", spec.keys, spec.axis)
+    return None
+
+
+def _pad_pow2(n: int) -> int:
+    """Quantize vmapped-block lengths (the aperture-copy optimization
+    leaves variable-length surviving-radius prefixes; padding to powers
+    of two bounds the number of distinct compiled shapes)."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=None):
     """Single-halo property evaluation over all specs (vmapped later).
 
     ``aux`` holds shared non-batched device constants (e.g. the cosmology
     age table); it is closed over, NOT vmapped.
     """
+    blocks: List[Tuple[Optional[tuple], List[Tuple[HaloTypeSpec, object]]]] = []
+    for spec, dens in zip(specs, densities):
+        sig = _block_signature(spec, dens)
+        if sig is not None and blocks and blocks[-1][0] == sig:
+            blocks[-1][1].append((spec, dens))
+        else:
+            blocks.append((sig, [(spec, dens)]))
 
     def fn(parts: HaloParticles, scalars: HaloScalars):
         out = {}
         prior = {}
-        for spec, dens in zip(specs, densities):
-            s = _make_slice(spec, ctx, parts, scalars, prior, dens, aux)
-            res = compute_properties(s, spec.keys)
-            prior[spec.group] = res
-            out[spec.group] = res
+        for sig, members in blocks:
+            if sig is None or len(members) == 1:
+                for spec, dens in members:
+                    s = _make_slice(spec, ctx, parts, scalars, prior, dens, aux)
+                    res = compute_properties(s, spec.keys)
+                    prior[spec.group] = res
+                    out[spec.group] = res
+                continue
+            kind = sig[0]
+            spec0 = members[0][0]
+            keys = spec0.keys
+            if kind == "SO":
+                params = [float(dens) for _, dens in members]
+            else:
+                params = [float(s.aperture_radius_mpc) for s, _ in members]
+            n = len(members)
+            params = params + [params[-1]] * (_pad_pow2(n) - n)
+            pvec = jnp.asarray(np.asarray(params, np.float32))
+
+            def one(p):
+                if kind == "SO":
+                    s = SOSlice(
+                        ctx,
+                        parts,
+                        scalars,
+                        target_density=p,
+                        aux=aux,
+                        core_excision_fraction=spec0.core_excision_fraction,
+                    )
+                elif kind == "aperture":
+                    s = ApertureSlice(
+                        ctx, parts, scalars, p, spec0.inclusive, aux=aux
+                    )
+                else:
+                    s = ProjectedApertureSlice(
+                        ctx, parts, scalars, p, spec0.axis, aux=aux
+                    )
+                return compute_properties(s, keys)
+
+            stacked = jax.vmap(one)(pvec)
+            for i, (spec, _) in enumerate(members):
+                res = {k: v[i] for k, v in stacked.items()}
+                prior[spec.group] = res
+                out[spec.group] = res
         return out
 
     return fn

@@ -14,6 +14,14 @@ def test_docs_generators(tmp_path):
     tex = docs.generate_latex(str(tmp_path / "props.tex"))
     assert r"\begin{longtable}" in tex and "SORadius" in tex
     assert (tmp_path / "props.rst").exists()
+    # physics footnotes: all 32 notes defined and referenced from rows
+    import re
+
+    nums = set(re.findall(r"\.\. \[(\d+)\]", rst))
+    refs = set(re.findall(r"\[(\d+)\]_", rst))
+    assert len(nums) == 32 and refs == nums
+    assert r"\textsuperscript{1}" in tex
+    assert "Spectroscopic-like temperature" in tex
 
 
 def test_mantissa_rounding():
