@@ -112,6 +112,19 @@ def main(argv=None):
     comp.add_argument("input")
     comp.add_argument("compressed_output")
     comp.add_argument("--gzip-level", type=int, default=4)
+    comp.add_argument(
+        "--filters",
+        help="filters YAML from extract-filters: use the exact pipelines "
+        "of a SWIFT snapshot instead of synthesized ones",
+    )
+
+    ef = sub.add_parser(
+        "extract-filters",
+        help="extract lossy filter pipelines from a SWIFT snapshot "
+        "(reference compression/extract_filters.py)",
+    )
+    ef.add_argument("snapshot")
+    ef.add_argument("output_yaml")
 
     cmp_p = sub.add_parser("compare", help="compare two catalogues")
     cmp_p.add_argument("catalogue_a")
@@ -203,8 +216,17 @@ def main(argv=None):
     if args.command == "compress":
         from soap_tpu.tools.compression import compress_catalogue
 
-        n = compress_catalogue(args.input, args.compressed_output, args.gzip_level)
+        n = compress_catalogue(
+            args.input, args.compressed_output, args.gzip_level,
+            filters_file=args.filters,
+        )
         print(f"compressed {n} datasets")
+        return 0
+    if args.command == "extract-filters":
+        from soap_tpu.tools.compression import write_filters_yaml
+
+        filters = write_filters_yaml(args.snapshot, args.output_yaml)
+        print(f"wrote {args.output_yaml} ({', '.join(filters) or 'no filters'})")
         return 0
     if args.command == "compare":
         from soap_tpu.tools.compare import compare_catalogues

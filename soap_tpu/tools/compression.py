@@ -222,13 +222,117 @@ def _open_output_relaxed(output_path: str) -> h5py.File:
     return open_relaxed(output_path, mode="w")
 
 
+def extract_filters(snapshot_file: str) -> dict:
+    """Extract the serialized lossy filter pipelines from a SWIFT file.
+
+    Equivalent of the reference's ``compression/extract_filters.py``:
+    for each distinct ``Lossy compression filter`` attribute found on a
+    particle dataset, record the raw HDF5 filter tuples and the encoded
+    storage datatype, and append a fletcher32 checksum filter.  The
+    result feeds ``compress_catalogue(filters_file=...)`` for exact
+    pipeline parity with reference-compressed catalogues.
+    """
+    filters: dict = {}
+    with open_relaxed(snapshot_file) as f:
+        for i in (0, 1, 4, 5, 6):
+            gname = f"PartType{i}"
+            if gname not in f:
+                continue
+            group = f[gname]
+            for prop in group:
+                if not isinstance(group[prop], h5py.Dataset):
+                    continue
+                fname = group[prop].attrs.get(
+                    "Lossy compression filter", b"None"
+                )
+                if isinstance(fname, bytes):
+                    fname = fname.decode()
+                if fname in filters or fname in ("None", ""):
+                    continue
+                dset = h5py.h5d.open(group.id, prop.encode("utf-8"))
+                plist = dset.get_create_plist()
+                if plist.get_nfilters() < 1:
+                    continue
+                lossy = list(plist.get_filter(0))
+                lossy[2] = [int(v) for v in lossy[2]]
+                lossy[3] = (
+                    lossy[3].decode() if isinstance(lossy[3], bytes) else lossy[3]
+                )
+                filters[fname] = {
+                    "filters": [
+                        [int(lossy[0]), int(lossy[1]), lossy[2], lossy[3]]
+                    ],
+                    "type": dset.get_type().encode(),
+                }
+    fletcher = [int(h5py.h5z.FILTER_FLETCHER32), 0, [], "fletcher32"]
+    for fname in filters:
+        filters[fname]["filters"].append(fletcher)
+    return filters
+
+
+def write_filters_yaml(snapshot_file: str, output_yaml: str) -> dict:
+    """Extract filters and save them as YAML (reference filters.yml)."""
+    import yaml
+
+    filters = extract_filters(snapshot_file)
+    os.makedirs(
+        os.path.dirname(os.path.abspath(output_yaml)), exist_ok=True
+    )
+    with open(output_yaml, "w") as f:
+        yaml.safe_dump(filters, f)
+    return filters
+
+
+def load_filters_yaml(filters_file: str) -> dict:
+    import yaml
+
+    with open(filters_file) as f:
+        return yaml.safe_load(f) or {}
+
+
+def _create_extracted_dataset(
+    f: h5py.File,
+    name: str,
+    data: np.ndarray,
+    fprops: dict,
+    gzip_level: int,
+) -> Optional[h5py.Dataset]:
+    """Create ``name`` with an EXTRACTED filter pipeline (reference
+    ``compress_soap_catalogue.py:88-101`` create_lossy_dataset)."""
+    if data.ndim == 0 or data.shape[0] == 0:
+        return None
+    h5type = h5py.h5t.decode(bytes(fprops["type"]))
+    plist = h5py.h5p.create(h5py.h5p.DATASET_CREATE)
+    chunk = (min(data.shape[0], CHUNK_ROWS),) + data.shape[1:]
+    plist.set_chunk(chunk)
+    for filt in fprops["filters"]:
+        plist.set_filter(int(filt[0]), int(filt[1]), tuple(filt[2]))
+    plist.set_deflate(gzip_level)
+    space = h5py.h5s.create_simple(data.shape, data.shape)
+    parent = f.require_group(name.rsplit("/", 1)[0]) if "/" in name else f
+    h5py.h5d.create(
+        parent.id, name.rsplit("/", 1)[-1].encode("utf-8"), h5type, space,
+        plist, None,
+    ).close()
+    ds = f[name]
+    ds[...] = np.ascontiguousarray(data)
+    return ds
+
+
 def compress_catalogue(
     input_path: str,
     output_path: str,
     gzip_level: int = 4,
+    filters_file: Optional[str] = None,
 ) -> int:
-    """Write a compressed copy of a catalogue; returns datasets rewritten."""
+    """Write a compressed copy of a catalogue; returns datasets rewritten.
+
+    With ``filters_file`` (YAML from ``extract_filters``), datasets use
+    the exact filter pipelines extracted from a SWIFT snapshot; without
+    it, equivalent pipelines are synthesized from the filter names.
+    """
     n_done = 0
+    extracted = load_filters_yaml(filters_file) if filters_file else {}
     with h5py.File(input_path, "r") as src, _open_output_relaxed(output_path) as dst:
         def copy_attrs(s, d):
             for k, v in s.attrs.items():
@@ -249,9 +353,14 @@ def compress_catalogue(
             ds = None
             if filt not in ("None", ""):
                 try:
-                    ds = _create_lossy_dataset(
-                        dst, name, data, filt, gzip_level
-                    )
+                    if filt in extracted:
+                        ds = _create_extracted_dataset(
+                            dst, name, data, extracted[filt], gzip_level
+                        )
+                    else:
+                        ds = _create_lossy_dataset(
+                            dst, name, data, filt, gzip_level
+                        )
                 except Exception:
                     ds = None
                 if ds is None:

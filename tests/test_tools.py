@@ -138,3 +138,52 @@ def test_real_hdf5_filter_pipelines(tmp_path):
         assert f["A/N40"].dtype == np.int64
         for n in ("A/F9", "A/D9", "A/S5", "A/N40"):
             assert bool(f[n].attrs["Is Compressed"]) is True
+
+
+def test_extract_filters_roundtrip(tmp_path):
+    """extract-filters on a file with real lossy pipelines, then compress
+    a catalogue using the extracted pipelines (reference
+    extract_filters.py + compress_soap_catalogue.py flow)."""
+    import h5py
+
+    # build a "snapshot" carrying real lossy-filtered datasets
+    snap = str(tmp_path / "snap.hdf5")
+    rng = np.random.default_rng(2)
+    with compression._open_output_relaxed(snap) as f:
+        g = f.create_group("PartType1")
+        ds = compression._create_lossy_dataset(
+            f, "PartType1/Coordinates", rng.random((100, 3)), "DMantissa9", 4
+        )
+        ds.attrs["Lossy compression filter"] = np.bytes_("DMantissa9")
+        ds2 = compression._create_lossy_dataset(
+            f, "PartType1/Masses", rng.random(100).astype(np.float32),
+            "FMantissa9", 4,
+        )
+        ds2.attrs["Lossy compression filter"] = np.bytes_("FMantissa9")
+    filters = compression.write_filters_yaml(snap, str(tmp_path / "filters.yml"))
+    assert set(filters) == {"DMantissa9", "FMantissa9"}
+    for props in filters.values():
+        assert props["filters"][-1][3] == "fletcher32"
+        assert "type" in props
+
+    # a catalogue whose datasets reference those filters
+    cat = str(tmp_path / "cat.hdf5")
+    vals = rng.random((50, 3)) * 100.0
+    with h5py.File(cat, "w") as f:
+        d = f.create_dataset("SO/200_crit/CentreOfMass", data=vals)
+        d.attrs["Lossy compression filter"] = np.bytes_("DMantissa9")
+    out = str(tmp_path / "cat_compressed.hdf5")
+    n = compression.compress_catalogue(
+        cat, out, filters_file=str(tmp_path / "filters.yml")
+    )
+    assert n == 1
+    with compression.open_relaxed(out) as f:
+        got = np.asarray(f["SO/200_crit/CentreOfMass"])
+        # DMantissa9 keeps 9 mantissa bits: relative error < 2^-9
+        np.testing.assert_allclose(got, vals, rtol=2.0**-9)
+        plist = h5py.h5d.open(
+            f["SO/200_crit"].id, b"CentreOfMass"
+        ).get_create_plist()
+        codes = [plist.get_filter(i)[0] for i in range(plist.get_nfilters())]
+        assert h5py.h5z.FILTER_FLETCHER32 in codes
+        assert h5py.h5z.FILTER_DEFLATE in codes
