@@ -156,6 +156,15 @@ def main(argv=None):
         "--bands", help="comma-separated band names (default: erosita+ROSAT)"
     )
 
+    fr = sub.add_parser(
+        "fof-radii",
+        help="augment a FOF catalogue with per-group maximum particle "
+        "radii (reference misc/calculate_fof_radii.py)",
+    )
+    fr.add_argument("snapshot")
+    fr.add_argument("fof_catalogue")
+    fr.add_argument("fof_output")
+
     ta = sub.add_parser(
         "timing-analysis",
         help="report per-halo timing stats from a catalogue written with "
@@ -181,6 +190,14 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    if args.command == "fof-radii":
+        from soap_tpu.tools.fof_radii import calculate_fof_radii
+
+        radii = calculate_fof_radii(
+            args.snapshot, args.fof_catalogue, args.fof_output
+        )
+        print(f"wrote {args.fof_output} ({len(radii)} groups)")
+        return 0
     if args.command == "timing-analysis":
         from soap_tpu.tools.timing_analysis import report
 

@@ -182,3 +182,52 @@ def test_xray_calculator_end_to_end(tmp_path):
     with h5py.File(out_file, "r") as f:
         assert f["PartType0/XrayLuminosities"].shape == lum.shape
         assert "Cells" in f
+
+
+def test_calculate_fof_radii(tmp_path):
+    """FOF radii tool: max periodic member distance per group, checked
+    against a direct numpy recomputation from the mock universe."""
+    from soap_tpu.tools.fof_radii import calculate_fof_radii
+    from soap_tpu.utils.mock_data import make_mock_simulation
+
+    sim = make_mock_simulation(
+        str(tmp_path), n_halos=5, n_field=2000, boxsize=16.0, seed=13
+    )
+    uni = sim["universe"]
+    fof_in = str(tmp_path / "fof.hdf5")
+    with h5py.File(fof_in, "w") as f:
+        g = f.create_group("Groups")
+        g["GroupIDs"] = np.arange(1, uni.n_halos + 1, dtype=np.int64)
+        g["Centres"] = uni.halo_pos
+        g["Masses"] = np.ones(uni.n_halos)
+        g["Sizes"] = uni.halo_nbound.astype(np.int64)
+    fof_out = str(tmp_path / "fof_radii.hdf5")
+    radii = calculate_fof_radii(sim["snapshot"], fof_in, fof_out)
+
+    box = uni.boxsize
+    for hi in range(uni.n_halos):
+        rows = uni.fof_ids == hi + 1
+        d = uni.pos[rows] - uni.halo_pos[hi]
+        d -= box * np.round(d / box)
+        want = np.sqrt((d * d).sum(axis=1)).max()
+        np.testing.assert_allclose(radii[hi], want, rtol=1e-10, err_msg=str(hi))
+    with h5py.File(fof_out, "r") as f:
+        assert f["Groups/Radii"].shape == (uni.n_halos,)
+        assert "GroupIDs" in f["Groups"]
+
+
+def test_build_matrix():
+    from soap_tpu.tools.fof_radii import build_matrix
+
+    rng = np.random.default_rng(8)
+    for ndim in (2, 3):
+        k = ndim * (ndim + 1) // 2
+        flat = rng.random((10, k))
+        m = build_matrix(flat)
+        assert m.shape == (10, ndim, ndim)
+        assert (m == m.swapaxes(1, 2)).all()
+        np.testing.assert_array_equal(
+            np.diagonal(m, axis1=1, axis2=2), flat[:, :ndim]
+        )
+    with pytest.raises(ValueError):
+        build_matrix(np.ones((2, 5)))
