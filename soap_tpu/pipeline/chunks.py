@@ -189,12 +189,26 @@ def process_chunks(
             )
         return scratch_cache[chunk_nr]
 
+    # fixed-physical-radius specs (e.g. 3 Mpc inclusive spheres) bound
+    # the gather radius from below; cover them in the read mask with a
+    # two-ladder-step margin instead of the full READ_MARGIN (which
+    # exists for retry growth from SMALL initial radii)
+    from soap_tpu.pipeline.engine import (
+        READ_RADIUS_FACTOR,
+        min_physical_radius,
+    )
+
+    floor_com = min_physical_radius(specs) / ctx.a
+
     def _make_read_fn(rows: np.ndarray):
         def _read():
             centres = np.mod(cat.cofp[rows], meta.boxsize)
             mask = meta.mask_cells_for_spheres(
                 centres,
-                cat.search_radius[rows] * READ_MARGIN
+                np.maximum(
+                    cat.search_radius[rows] * READ_MARGIN,
+                    floor_com * READ_RADIUS_FACTOR**2,
+                )
                 + 0.5 * float(np.max(meta.cell_size)),
             )
             data = read_masked_cells_parallel(meta, mask, fields_per_type)

@@ -487,6 +487,23 @@ def _next_pow2(n: int, floor: int = 256) -> int:
     return max(floor, 1 << int(math.ceil(math.log2(max(n, 1)))))
 
 
+def min_physical_radius(specs: Sequence[HaloTypeSpec]) -> float:
+    """Largest fixed physical radius any spec needs (Mpc).
+
+    The reference clips every halo's read/search radius to the maximum
+    ``physical_radius_mpc`` over the property list up front
+    (``halo_centres.py:166-227``); without the floor, a 3 Mpc aperture
+    sends every small halo through ~6 rounds of the x1.5 retry ladder.
+    """
+    r = 0.0
+    for spec in specs:
+        if spec.kind in ("aperture", "projected") and spec.aperture_radius_mpc:
+            r = max(r, float(spec.aperture_radius_mpc))
+        if spec.kind == "SO" and spec.so_type == "physical" and spec.so_multiple:
+            r = max(r, float(spec.so_multiple))
+    return r
+
+
 #: target padded rows per bucket invocation (B * K).  Larger buckets mean
 #: fewer device invocations (each costs ~0.5-1 s of dispatch latency over
 #: a remote-TPU tunnel, vastly more than the compute) at the price of
@@ -675,7 +692,9 @@ class HaloEngine:
         # result buffers filled incrementally
         results: Dict[str, Dict[str, np.ndarray]] = {}
 
-        radius_phys = search_radius_phys.astype(np.float64).copy()
+        radius_phys = np.maximum(
+            search_radius_phys.astype(np.float64), min_physical_radius(specs)
+        )
         pending = np.arange(H)
         halo_seconds = np.zeros(H) if self.record_halo_timings else None
         halo_nloop = np.zeros(H, np.int32) if self.record_halo_timings else None
@@ -687,11 +706,19 @@ class HaloEngine:
         # density crossing is inside the first gather (the batched form of
         # the reference's radius-growth loop, ``halo_tasks.py:73-103`` and
         # minimum-target logic ``halo_tasks.py:302-317``).
-        so_targets = [
-            spec.target_density(ctx0)
-            for spec in specs
-            if spec.kind == "SO" and spec.target_density(ctx0) is not None
-        ]
+        so_targets = []
+        for spec in specs:
+            if spec.kind != "SO":
+                continue
+            t = spec.target_density(ctx0)
+            if t is None:
+                continue
+            if spec.radius_multiple_of is not None and spec.radius_multiple:
+                # e.g. 5xR500_crit: the gather must reach m x R_parent;
+                # the mean enclosed density there is at least
+                # target_parent / m^3 (mass is non-decreasing in r)
+                t = t / float(spec.radius_multiple) ** 3
+            so_targets.append(t)
         # margin 1.5: the flow-rate shell reaches 1.05 x R_SO and the
         # crossing interpolation needs particles past the threshold
         # radius, so presize to a slightly lower density target

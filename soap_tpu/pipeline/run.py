@@ -355,6 +355,16 @@ def compute_halo_properties(
     if specs is None:
         specs = build_specs(parameter_file, dmo, bn98_value=meta.virBN98)
 
+    # floor the search radius at the largest fixed physical radius any
+    # spec needs (reference ``halo_centres.py:166-227`` clips read and
+    # search radii to physical_radius_mpc); the engine applies the same
+    # floor internally and the chunk read mask covers it separately
+    from soap_tpu.pipeline.engine import min_physical_radius
+
+    search_radius_phys = np.maximum(
+        search_radius_phys, min_physical_radius(specs)
+    )
+
     # shared device constants: the a -> age lookup table in internal time
     # units (replaces the reference's per-particle astropy calls,
     # ``stellar_age_calculator.py``)
