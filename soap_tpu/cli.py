@@ -156,6 +156,30 @@ def main(argv=None):
         "--bands", help="comma-separated band names (default: erosita+ROSAT)"
     )
 
+    cm = sub.add_parser(
+        "check-membership",
+        help="validate membership files against the halo finder's bound "
+        "lists (reference misc/check_group_membership.py)",
+    )
+    cm.add_argument("snapshot")
+    cm.add_argument("membership")
+    cm.add_argument("halo_basename")
+    cm.add_argument("--halo-format", default="HBTplus")
+
+    bh = sub.add_parser(
+        "birth-halo-index",
+        help="subhalo each star belonged to when it formed "
+        "(reference misc/compute_BirthHaloCatalogueIndex.py)",
+    )
+    bh.add_argument("final_snapshot")
+    bh.add_argument("output")
+    bh.add_argument(
+        "--snapshots",
+        required=True,
+        help="comma-separated snapshot:membership file pairs in scale-"
+        "factor order, e.g. snap_0.hdf5:mem_0.hdf5,snap_1.hdf5:mem_1.hdf5",
+    )
+
     fr = sub.add_parser(
         "fof-radii",
         help="augment a FOF catalogue with per-group maximum particle "
@@ -190,6 +214,26 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    if args.command == "check-membership":
+        from soap_tpu.tools.membership_checks import check_group_membership
+
+        stats = check_group_membership(
+            args.snapshot, args.membership, args.halo_basename,
+            halo_format=args.halo_format,
+        )
+        print(
+            f"membership consistent: {stats['n_labelled']}/"
+            f"{stats['n_particles']} particles bound across "
+            f"{stats['n_halos']} halos"
+        )
+        return 0
+    if args.command == "birth-halo-index":
+        from soap_tpu.tools.membership_checks import compute_birth_halo_index
+
+        pairs = [tuple(p.split(":", 1)) for p in args.snapshots.split(",")]
+        out = compute_birth_halo_index(pairs, args.final_snapshot, args.output)
+        print(f"wrote {args.output} ({int((out >= 0).sum())}/{len(out)} stars assigned)")
+        return 0
     if args.command == "fof-radii":
         from soap_tpu.tools.fof_radii import calculate_fof_radii
 

@@ -1,0 +1,83 @@
+"""Membership-validation + birth-halo tools."""
+
+import h5py
+import numpy as np
+import pytest
+
+from soap_tpu.pipeline.membership import run_group_membership
+from soap_tpu.tools.membership_checks import (
+    check_group_membership,
+    compute_birth_halo_index,
+)
+
+
+def test_check_membership_accepts_and_rejects(tmp_path):
+    from soap_tpu.utils.mock_data import make_mock_simulation
+
+    sim = make_mock_simulation(
+        str(tmp_path), n_halos=5, n_field=2500, boxsize=16.0, seed=44
+    )
+    mem = str(tmp_path / "mem.hdf5")
+    run_group_membership(sim["snapshot"], sim["hbt_basename"], mem)
+    stats = check_group_membership(sim["snapshot"], mem, sim["hbt_basename"])
+    assert stats["n_halos"] == 5
+    assert stats["n_labelled"] == sim["universe"].halo_nbound.sum()
+
+    # corrupt one label: the check must fail loudly
+    with h5py.File(mem, "a") as f:
+        g = f["PartType1/GroupNr_bound"]
+        rows = np.flatnonzero(g[...] == 2)
+        g[rows[0]] = 3
+    with pytest.raises(RuntimeError):
+        check_group_membership(sim["snapshot"], mem, sim["hbt_basename"])
+
+
+def _mini_snap(path, a, star_ids, birth_a=None, grnr=None):
+    with h5py.File(path, "w") as f:
+        f.create_group("Header").attrs["Scale-factor"] = np.array([a])
+        g = f.create_group("PartType4")
+        g["ParticleIDs"] = np.asarray(star_ids, np.uint64)
+        if birth_a is not None:
+            g["BirthScaleFactors"] = np.asarray(birth_a, np.float32)
+    if grnr is not None:
+        mem = str(path).replace("snap", "mem")
+        with h5py.File(mem, "w") as f:
+            f.create_group("PartType4")["GroupNr_bound"] = np.asarray(
+                grnr, np.int64
+            )
+        return str(path), mem
+    return str(path)
+
+
+def test_birth_halo_index(tmp_path):
+    # three snapshots at a = 0.4, 0.7, 1.0; five stars with varying
+    # birth times and halo membership histories
+    s0, m0 = _mini_snap(tmp_path / "snap_0.hdf5", 0.4, [10, 11], grnr=[7, -1])
+    s1, m1 = _mini_snap(
+        tmp_path / "snap_1.hdf5", 0.7, [10, 11, 12], grnr=[8, 2, 5]
+    )
+    s2, m2 = _mini_snap(
+        tmp_path / "snap_2.hdf5",
+        1.0,
+        [10, 11, 12, 13, 14],
+        grnr=[8, 2, 5, 3, 9],
+    )
+    final = _mini_snap(
+        tmp_path / "final_snap.hdf5",
+        1.0,
+        [10, 11, 12, 13, 14],
+        birth_a=[0.3, 0.6, 0.65, 0.9, 1.2],
+    )
+    out = compute_birth_halo_index(
+        [(s0, m0), (s1, m1), (s2, m2)], final, str(tmp_path / "birth.hdf5")
+    )
+    # star 10 born before snap0 -> halo 7 at a=0.4
+    # star 11 born at 0.6 -> first snapshot at/after is a=0.7 -> halo 2
+    # star 12 born 0.65 -> a=0.7 -> halo 5
+    # star 13 born 0.9 -> a=1.0 -> halo 3
+    # star 14 born 1.2 -> after the last snapshot -> -1
+    np.testing.assert_array_equal(out, [7, 2, 5, 3, -1])
+    with h5py.File(tmp_path / "birth.hdf5", "r") as f:
+        np.testing.assert_array_equal(
+            f["PartType4/BirthHaloCatalogueIndex"][...], out
+        )
