@@ -238,16 +238,27 @@ class ShardedHaloEngine:
         halos_axis = self.mesh.shape["halos"]
         H = [len(ix) for ix in index]
 
+        from soap_tpu.pipeline.engine import min_physical_radius
+
         results: List[Dict[str, Dict[str, np.ndarray]]] = [{} for _ in range(C)]
-        radius_phys = [r.astype(np.float64).copy() for r in search_radius_phys]
+        floor_phys = min_physical_radius(specs)
+        radius_phys = [
+            np.maximum(r.astype(np.float64), floor_phys)
+            for r in search_radius_phys
+        ]
         pending = [np.arange(h) for h in H]
         chi_clo = [geometry.split_hi_lo(c) for c in centres]
 
-        so_targets = [
-            spec.target_density(ctx0)
-            for spec in specs
-            if spec.kind == "SO" and spec.target_density(ctx0) is not None
-        ]
+        so_targets = []
+        for spec in specs:
+            if spec.kind != "SO":
+                continue
+            t = spec.target_density(ctx0)
+            if t is None:
+                continue
+            if spec.radius_multiple_of is not None and spec.radius_multiple:
+                t = t / float(spec.radius_multiple) ** 3
+            so_targets.append(t)
         target_com = min(so_targets) * a**3 / 1.5 if so_targets else 0.0
         so_centrals_only = any(
             s.centrals_only for s in specs if s.kind == "SO"
