@@ -81,3 +81,33 @@ def test_birth_halo_index(tmp_path):
         np.testing.assert_array_equal(
             f["PartType4/BirthHaloCatalogueIndex"][...], out
         )
+
+
+def test_track_evolution(tmp_path):
+    """Track-evolution extraction across synthetic catalogues."""
+    from soap_tpu.tools.track_evolution import get_track_evolution
+
+    paths = []
+    # tracks: 5 appears at z=1 and survives; 9 only at z=0; 3 never
+    layouts = [
+        (1.0, [5, 7], [10.0, 70.0]),
+        (0.5, [7, 5, 6], [71.0, 11.0, 60.0]),
+        (0.0, [5, 6, 7, 9], [12.0, 61.0, 72.0, 90.0]),
+    ]
+    for i, (z, tracks, masses) in enumerate(layouts):
+        p = str(tmp_path / f"cat_{i}.hdf5")
+        with h5py.File(p, "w") as f:
+            f.create_group("Header").attrs["Redshift"] = np.array([z])
+            f["InputHalos/HBTplus/TrackId"] = np.array(tracks, np.int64)
+            f["BoundSubhalo/TotalMass"] = np.array(masses)
+        paths.append(p)
+    out = str(tmp_path / "tracks.hdf5")
+    ev = get_track_evolution(paths, out, [5, 9, 3], ["BoundSubhalo/TotalMass"])
+    m = ev["BoundSubhalo/TotalMass"]
+    # unique-sorted track order: [3, 5, 9]
+    np.testing.assert_array_equal(m[0], [-1, -1, -1])        # track 3
+    np.testing.assert_array_equal(m[1], [10.0, 11.0, 12.0])  # track 5
+    np.testing.assert_array_equal(m[2], [-1, -1, 90.0])      # track 9
+    with h5py.File(out, "r") as f:
+        np.testing.assert_allclose(f["Redshifts"][...], [1.0, 0.5, 0.0])
+        np.testing.assert_array_equal(f["TrackIds"][...], [3, 5, 9])
