@@ -261,6 +261,10 @@ def build_mock_universe(
                 fields["ComptonYParameters"] = 10.0 ** rng.uniform(
                     -10.0, -6.0, n
                 ).astype(np.float32)
+                # electron number density ~ rho/m_H scale in snapshot units
+                fields["ElectronNumberDensities"] = (
+                    fields["Densities"] * rng.uniform(0.5, 1.2, n) * 4.2e7
+                ).astype(np.float32)
                 # ~25% of gas was recently AGN-heated (scale factors near
                 # a); the rest long ago — exercises the no_agn exclusions
                 last_agn = rng.uniform(0.1, 0.5, n)

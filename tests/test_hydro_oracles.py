@@ -25,6 +25,7 @@ SO_KEYS = (
     "SpectroscopicLikeTemperature", "SpectroscopicLikeTemperature_no_agn",
     "Xraylum", "Xraylum_no_agn", "Xrayphlum",
     "Xraylum_restframe", "Xrayphlum_restframe_no_agn",
+    "DopplerB",
     "DarkMatterMassFlowRate", "StellarMassFlowRate",
     "HotGasMassFlowRate", "WarmGasEnergyFlowRate",
     "CoolGasMomentumFlowRate", "MetalMassFlowRate",
@@ -162,6 +163,27 @@ def test_temperatures_compY_xray_oracles(so_run):
         _assert_close(
             so["SpectroscopicLikeTemperature_no_agn"][hi],
             slT(sel & ~heated), 5e-4, "SpectroscopicLikeTemperature_no_agn",
+        )
+
+        # DopplerB (reference SO_properties.py:2251): sigma_T/c sum of
+        # n_e v_r V / (pi R_SO^2) toward the observer (box centre here)
+        obs = np.asarray(ctx.observer_position, np.float64) * uni.a
+        # absolute position = halo centre + minimum-image relative offset
+        # (the same convention the engine and the reference use)
+        d_rel, _ = _dist(g["Coordinates"], centre, uni.boxsize)
+        relpos = (centre[None, :] + d_rel) * uni.a - obs[None, :]
+        dist = np.sqrt((relpos * relpos).sum(axis=1))
+        vel = g["Velocities"].astype(np.float64)
+        vr = np.where(
+            dist > 0, (vel * relpos).sum(axis=1) / np.maximum(dist, 1e-37), 0.0
+        )
+        ne = g["ElectronNumberDensities"].astype(np.float64)
+        vol = m / np.maximum(g["Densities"].astype(np.float64), 1e-37)
+        sig_c = 6.6524587158e-29 / (3.0856775815e22**2) / 2.99792458e5
+        want_db = sig_c * (ne * vr * vol * sel).sum() / (np.pi * r_so**2)
+        np.testing.assert_allclose(
+            so["DopplerB"][hi], want_db, rtol=5e-4,
+            atol=1e-6 * abs(want_db) + 1e-45, err_msg="DopplerB",
         )
 
         for key, ds, mask in (
