@@ -111,3 +111,35 @@ def test_track_evolution(tmp_path):
     with h5py.File(out, "r") as f:
         np.testing.assert_allclose(f["Redshifts"][...], [1.0, 0.5, 0.0])
         np.testing.assert_array_equal(f["TrackIds"][...], [3, 5, 9])
+
+
+def test_reorder_swift_fof(tmp_path):
+    """FOF ids transferred between differently-ordered snapshots."""
+    from soap_tpu.tools.reorder_fof import reorder_swift_fof
+
+    rng = np.random.default_rng(6)
+    ids = np.arange(1, 101, dtype=np.uint64)
+    fof = rng.integers(1, 6, 100).astype(np.int64)
+    order1 = rng.permutation(100)
+    order2 = rng.permutation(100)
+    s1, s2 = str(tmp_path / "s1.hdf5"), str(tmp_path / "s2.hdf5")
+    with h5py.File(s1, "w") as f:
+        g = f.create_group("PartType1")
+        g["ParticleIDs"] = ids[order1]
+        g["FOFGroupIDs"] = fof[order1]
+    with h5py.File(s2, "w") as f:
+        f.create_group("PartType1")["ParticleIDs"] = ids[order2]
+    out = reorder_swift_fof(s1, s2, str(tmp_path / "out.hdf5"))
+    np.testing.assert_array_equal(out["PartType1"], fof[order2])
+    with h5py.File(tmp_path / "out.hdf5", "r") as f:
+        np.testing.assert_array_equal(
+            f["PartType1/FOFGroupIDs"][...], fof[order2]
+        )
+        np.testing.assert_array_equal(
+            f["PartType1/ParticleIDs"][...], ids[order2]
+        )
+    # unmatched IDs must fail loudly
+    with h5py.File(s2, "a") as f:
+        f["PartType1/ParticleIDs"][0] = 99999
+    with pytest.raises(RuntimeError):
+        reorder_swift_fof(s1, s2, str(tmp_path / "out2.hdf5"))
