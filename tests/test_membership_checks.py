@@ -143,3 +143,49 @@ def test_reorder_swift_fof(tmp_path):
         f["PartType1/ParticleIDs"][0] = 99999
     with pytest.raises(RuntimeError):
         reorder_swift_fof(s1, s2, str(tmp_path / "out2.hdf5"))
+
+
+def test_hydrogen_phase_fits():
+    """Physical sanity of the Rahmati+13 / BR06 fitting formulas."""
+    from soap_tpu.tools.hydrogen_phases import (
+        molecular_fraction,
+        neutral_fraction,
+    )
+
+    # dense cold gas is neutral; hot diffuse gas is ionized
+    assert neutral_fraction(np.array([100.0]), np.array([1e3]), 0.0)[0] > 0.95
+    assert neutral_fraction(np.array([1e-6]), np.array([1e6]), 0.0)[0] < 1e-3
+    # neutral fraction rises monotonically with density at fixed T
+    n = np.logspace(-6, 2, 40)
+    x = neutral_fraction(n, np.full(40, 1e4), 0.0)
+    assert (np.diff(x) >= -1e-12).all()
+    assert x[0] < 0.01 and x[-1] > 0.9
+    # molecular fraction: 0.5 at P = P0, monotone in P
+    np.testing.assert_allclose(molecular_fraction(np.array([4.3e4]))[0], 0.5)
+    p = np.logspace(1, 8, 30)
+    f = molecular_fraction(p)
+    assert (np.diff(f) > 0).all() and f[0] < 0.01 and f[-1] > 0.97
+
+
+def test_compute_hydrogen_fractions(tmp_path):
+    from soap_tpu.tools.hydrogen_phases import compute_hydrogen_fractions
+    from soap_tpu.utils.mock_data import make_mock_simulation
+
+    sim = make_mock_simulation(
+        str(tmp_path), n_halos=3, n_field=1200, boxsize=12.0, seed=10,
+        hydro=True,
+    )
+    out_file = str(tmp_path / "hfrac.hdf5")
+    out = compute_hydrogen_fractions(sim["snapshot"], out_file)
+    sp = out["SpeciesFractions"]
+    assert np.isfinite(sp).all()
+    assert (sp >= 0).all() and (sp <= 1).all()
+    # species sum to one per hydrogen: HI + HII + 2 H2 = 1
+    np.testing.assert_allclose(
+        sp[:, 1] + sp[:, 2] + 2 * sp[:, 3], 1.0, atol=1e-5
+    )
+    with h5py.File(out_file, "r") as f:
+        assert f["PartType0/SpeciesFractions"].shape == sp.shape
+        assert "Cells" in f
+        cols = [c.decode() for c in f["SubgridScheme/NamedColumns/SpeciesFractions"]]
+        assert cols == ["elec", "HI", "HII", "H2", "H2p"]
