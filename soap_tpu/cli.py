@@ -156,6 +156,14 @@ def main(argv=None):
         "--bands", help="comma-separated band names (default: erosita+ROSAT)"
     )
 
+    hf = sub.add_parser(
+        "hydrogen-fractions",
+        help="approximate HI/H2 species fractions (Rahmati+13 + BR06; "
+        "reference misc/hdecompose_hydrogen_fractions.py)",
+    )
+    hf.add_argument("snapshot")
+    hf.add_argument("extra_input_output")
+
     cm = sub.add_parser(
         "check-membership",
         help="validate membership files against the halo finder's bound "
@@ -214,6 +222,12 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    if args.command == "hydrogen-fractions":
+        from soap_tpu.tools.hydrogen_phases import compute_hydrogen_fractions
+
+        compute_hydrogen_fractions(args.snapshot, args.extra_input_output)
+        print(f"wrote {args.extra_input_output}")
+        return 0
     if args.command == "check-membership":
         from soap_tpu.tools.membership_checks import check_group_membership
 
