@@ -8,13 +8,22 @@ cell-sorted grids, padded ragged gathers and vmapped fused reduction
 kernels over batches of halos, sharded across a TPU mesh with pjit.
 """
 
-import jax as _jax
+import os as _os
 
-# 64-bit mode is required for correctness, not convenience: particle IDs
-# are uint64 (>2^32 in production boxes) and the membership join would
-# silently truncate them under JAX's default x32 mode.  Float arrays are
-# unaffected — dtypes are preserved, and all device compute is f32.
-_jax.config.update("jax_enable_x64", True)
+if _os.environ.get("SOAP_TPU_READER_WORKER") == "1":
+    # spawn-launched reader worker subprocesses only touch h5py/numpy;
+    # skip the jax runtime entirely (fast startup, and fork-after-jax
+    # deadlocks are impossible because we never fork)
+    _jax = None
+else:
+    import jax as _jax
+
+    # 64-bit mode is required for correctness, not convenience: particle
+    # IDs are uint64 (>2^32 in production boxes) and the membership join
+    # would silently truncate them under JAX's default x32 mode.  Float
+    # arrays are unaffected — dtypes are preserved, and all device
+    # compute is f32.
+    _jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: the pipeline's device programs are
 # large (hundreds of fused property kernels) and first-compile costs
@@ -24,7 +33,7 @@ _jax.config.update("jax_enable_x64", True)
 import os as _os
 
 _cache = _os.environ.get("SOAP_TPU_COMPILATION_CACHE", "")
-if _cache != "0":
+if _cache != "0" and _jax is not None:
     if not _cache:
         _cache = _os.path.join(
             _os.path.expanduser("~"), ".cache", "soap_tpu_xla"

@@ -148,17 +148,25 @@ def read_masked_cells_parallel(
         for i, (key, items) in enumerate(units):
             shares[i % n_processes][key] = items
         shares = [s for s in shares if s]
-        ctx = get_context("fork" if os.name == "posix" else "spawn")
-        procs = []
-        for share in shares:
-            needed = {
-                (pt, name): buffers[(pt, name)]
-                for (fn, pt), items in share.items()
-                for (name, *_rest) in items
-            }
-            p = ctx.Process(target=_read_worker, args=((share, needed),))
-            p.start()
-            procs.append(p)
+        # SPAWN, never fork: the parent holds a live (multithreaded) jax
+        # runtime and fork-after-jax can deadlock.  Workers set
+        # SOAP_TPU_READER_WORKER so the package init skips jax entirely
+        # (they only need h5py + numpy + shared_memory).
+        ctx = get_context("spawn")
+        os.environ["SOAP_TPU_READER_WORKER"] = "1"
+        try:
+            procs = []
+            for share in shares:
+                needed = {
+                    (pt, name): buffers[(pt, name)]
+                    for (fn, pt), items in share.items()
+                    for (name, *_rest) in items
+                }
+                p = ctx.Process(target=_read_worker, args=((share, needed),))
+                p.start()
+                procs.append(p)
+        finally:
+            os.environ.pop("SOAP_TPU_READER_WORKER", None)
         for p in procs:
             p.join()
         bad = [p.exitcode for p in procs if p.exitcode != 0]
