@@ -513,6 +513,15 @@ import os as _os
 TARGET_ROWS = int(_os.environ.get("SOAP_TPU_TARGET_ROWS", 8 * 1024 * 1024))
 MAX_BATCH = 4096
 
+#: fixed-radius specs LARGER than this (Mpc) run in a separate "wide"
+#: pass: the 3 Mpc production apertures would otherwise set the gather
+#: capacity K for EVERY spec, making all ~500 property keys stream over
+#: rows only the big apertures need.  The narrow pass keeps the
+#: SO-presize-driven K (4-16x smaller for typical halos) for ~90% of the
+#: keys; the wide pass runs the handful of big-aperture keys at large K.
+#: 0 disables the split.
+WIDE_RADIUS_MPC = float(_os.environ.get("SOAP_TPU_WIDE_RADIUS", 0.4))
+
 
 @dataclass
 class EngineStats:
@@ -640,6 +649,46 @@ class HaloEngine:
         H = len(index)
         if specs is None:
             specs = self.specs
+
+        # Wide/narrow split: big fixed-radius apertures go to their own
+        # pass so they do not inflate the gather capacity of every other
+        # calculation (see WIDE_RADIUS_MPC).  copy_from links crossing
+        # the boundary are severed (the copy source must be computed in
+        # the same pass).
+        def _is_wide(s: HaloTypeSpec) -> bool:
+            return (
+                s.kind in ("aperture", "projected")
+                and s.aperture_radius_mpc is not None
+                and s.aperture_radius_mpc > WIDE_RADIUS_MPC
+            )
+
+        wide = tuple(s for s in specs if _is_wide(s))
+        narrow = tuple(s for s in specs if not _is_wide(s))
+        if WIDE_RADIUS_MPC > 0 and wide and narrow:
+
+            def _fix_links(subset):
+                groups = {s.group for s in subset}
+                return tuple(
+                    dataclasses.replace(
+                        s, copy_from=None, copy_from_radius_mpc=None
+                    )
+                    if s.copy_from is not None and s.copy_from not in groups
+                    else s
+                    for s in subset
+                )
+
+            kwargs = dict(
+                centres=centres,
+                search_radius_phys=search_radius_phys,
+                index=index,
+                is_central=is_central,
+                fof_id=fof_id,
+                enclose_radius_phys=enclose_radius_phys,
+            )
+            res_n = self.process(**kwargs, specs=_fix_links(narrow))
+            res_w = self.process(**kwargs, specs=_fix_links(wide))
+            self.stats.halos_done = H
+            return {**res_n, **res_w}
 
         # Satellites never compute centrals-only (SO) specs — split the
         # population so satellite buckets trace a program WITHOUT the SO

@@ -246,3 +246,49 @@ def test_concentration_reasonable(engine_setup):
     assert found.any()
     assert np.all(c[found] >= 1.0)
     assert np.all(c[found] <= 1000.0)
+
+
+def test_wide_narrow_split_matches_single_pass(mock_sim):
+    """The wide/narrow spec split must not change any value."""
+    import soap_tpu.pipeline.engine as eng_mod
+    from soap_tpu.pipeline.membership import run_group_membership
+    from soap_tpu.pipeline.run import compute_halo_properties
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        mem = f"{td}/mem.hdf5"
+        run_group_membership(
+            mock_sim["snapshot"], mock_sim["hbt_basename"], mem
+        )
+        specs = [
+            HaloTypeSpec(kind="bound", group="BoundSubhalo",
+                         keys=("Mtot", "Ndm", "com", "EncloseRadius")),
+            HaloTypeSpec(kind="SO", group="SO/200_crit", keys=("r", "Mtot"),
+                         so_type="crit", so_multiple=200.0, centrals_only=True),
+            HaloTypeSpec(kind="aperture", group="ExclusiveSphere/100kpc",
+                         keys=("Mtot", "Ndm"), aperture_radius_mpc=0.1),
+            HaloTypeSpec(kind="aperture", group="InclusiveSphere/2000kpc",
+                         keys=("Mtot", "Ndm"), aperture_radius_mpc=2.0,
+                         inclusive=True),
+            HaloTypeSpec(kind="projected", group="ProjectedAperture/1000kpc/projz",
+                         keys=("Mtot",), aperture_radius_mpc=1.0, axis=2),
+        ]
+        common = dict(
+            snapshot_file=mock_sim["snapshot"], membership_file=mem,
+            halo_basename=mock_sim["hbt_basename"], output_file=None,
+            dmo=True, specs=specs, verbose=False,
+        )
+        run_split = compute_halo_properties(**common)
+        old = eng_mod.WIDE_RADIUS_MPC
+        eng_mod.WIDE_RADIUS_MPC = 0.0
+        try:
+            run_single = compute_halo_properties(**common)
+        finally:
+            eng_mod.WIDE_RADIUS_MPC = old
+        for group in run_single.results:
+            for key in run_single.results[group]:
+                np.testing.assert_allclose(
+                    run_split.results[group][key],
+                    run_single.results[group][key],
+                    rtol=2e-5, atol=1e-7, err_msg=f"{group}/{key}",
+                )
