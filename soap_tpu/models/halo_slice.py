@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from soap_tpu.models.chemistry import ChemistryMixin
@@ -155,7 +156,11 @@ class HaloSlice(ChemistryMixin):
 
     # ---------------- shared radius sort ----------------
     # ONE sort serves every profile kernel (half-mass radii, Vmax, the
-    # SO solver); the reference re-sorts per kernel.
+    # SO solver); the reference re-sorts per kernel.  The engine seeds
+    # these caches with ``shared_sort_artifacts`` so ONE physical sort
+    # also serves every 3D slice family of the fused program (XLA does
+    # not reliably CSE big sorts across the unrolled/vmapped DAGs, and
+    # the sort + its payload gathers dominate device time at large K).
 
     @lazy_property
     def _rsort_order(self):
@@ -2312,30 +2317,41 @@ class ProjectedApertureSlice(HaloSlice):
         self.add_flag(self.aperture_radius > self.scalars.search_radius)
         return self.bound_mask & (self.proj_radius < self.aperture_radius)
 
-    # projected half-mass radii use the projected radius
+    # projected half-mass radii use the projected radius; ONE shared
+    # valid-masked sort serves all of them (the selection mask rides
+    # along in sorted order — ``half_weight_radius_sorted`` handles
+    # gapped masks), and because the sort key is independent of the
+    # aperture radius it stays UNBATCHED under the radius-block vmap
+    @lazy_property
+    def _proj_sort(self):
+        key = jnp.where(self.parts.valid, self.proj_radius, jnp.inf)
+        iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+        r_s, order, m_s = jax.lax.sort(
+            (key, iota, self.parts.mass), num_keys=1, is_stable=True
+        )
+        return r_s, order, m_s
+
+    def _proj_half_mass(self, mask, total):
+        r_s, order, m_s = self._proj_sort
+        return radii_ops.half_weight_radius_sorted(
+            r_s, m_s, mask[order], total
+        )
+
     @lazy_property
     def HalfMassRadiusTot(self):
-        return radii_ops.half_weight_radius(
-            self.proj_radius, self.parts.mass, self.Mtot, self.selection
-        )
+        return self._proj_half_mass(self.selection, self.Mtot)
 
     @lazy_property
     def HalfMassRadiusGas(self):
-        return radii_ops.half_weight_radius(
-            self.proj_radius, self.parts.mass, self.Mgas, self.mask_gas
-        )
+        return self._proj_half_mass(self.mask_gas, self.Mgas)
 
     @lazy_property
     def HalfMassRadiusDM(self):
-        return radii_ops.half_weight_radius(
-            self.proj_radius, self.parts.mass, self.Mdm, self.mask_dm
-        )
+        return self._proj_half_mass(self.mask_dm, self.Mdm)
 
     @lazy_property
     def HalfMassRadiusStar(self):
-        return radii_ops.half_weight_radius(
-            self.proj_radius, self.parts.mass, self.Mstar, self.mask_star
-        )
+        return self._proj_half_mass(self.mask_star, self.Mstar)
 
     def _proj_veldisp(self, mask, vcom_species):
         """1D velocity dispersion along the projection axis
@@ -2468,6 +2484,31 @@ class ProjectedApertureSlice(HaloSlice):
     @lazy_property
     def proj_veldisp_star(self):
         return self._proj_veldisp(self.mask_star, self.vcom_star)
+
+
+def shared_sort_artifacts(parts: HaloParticles) -> Dict[str, jnp.ndarray]:
+    """The per-halo radius sort + its standard payloads, computed ONCE.
+
+    One multi-operand ``lax.sort`` carries (radius key, permutation,
+    mass, valid) through the sort network together — cheaper than an
+    argsort followed by separate big gathers, and shared across every
+    3D slice family by seeding the lazy-property caches
+    (``HaloSlice._rsort_order`` etc.).  Stable sort with an iota
+    tiebreak reproduces ``jnp.argsort`` exactly.
+    """
+    r = jnp.sqrt(jnp.sum(parts.pos * parts.pos, axis=1))
+    key = jnp.where(parts.valid, r, jnp.inf)
+    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+    r_s, order, m_s, v_s = jax.lax.sort(
+        (key, iota, parts.mass, parts.valid), num_keys=1, is_stable=True
+    )
+    return {
+        "radius": r,
+        "_rsort_order": order,
+        "_r_sorted": r_s,
+        "_m_sorted": m_s,
+        "_valid_sorted": v_s,
+    }
 
 
 def compute_properties(slice_obj: HaloSlice, keys) -> Dict[str, jnp.ndarray]:

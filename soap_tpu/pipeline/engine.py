@@ -210,10 +210,26 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
     def fn(parts: HaloParticles, scalars: HaloScalars):
         out = {}
         prior = {}
+        # ONE radius sort serves every 3D slice family of this program
+        # (the sort + payload gathers dominate device time at large K)
+        from soap_tpu.models.halo_slice import shared_sort_artifacts
+
+        shared = shared_sort_artifacts(parts)
+
+        def seed(s, spec):
+            if spec.kind != "projected":
+                s.__dict__.update(shared)
+            return s
+
         for sig, members in blocks:
             if sig is None or len(members) == 1:
                 for spec, dens in members:
-                    s = _make_slice(spec, ctx, parts, scalars, prior, dens, aux)
+                    s = seed(
+                        _make_slice(
+                            spec, ctx, parts, scalars, prior, dens, aux
+                        ),
+                        spec,
+                    )
                     res = compute_properties(s, spec.keys)
                     prior[spec.group] = res
                     out[spec.group] = res
@@ -239,10 +255,12 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
                         aux=aux,
                         core_excision_fraction=spec0.core_excision_fraction,
                     )
+                    s.__dict__.update(shared)
                 elif kind == "aperture":
                     s = ApertureSlice(
                         ctx, parts, scalars, p, spec0.inclusive, aux=aux
                     )
+                    s.__dict__.update(shared)
                 else:
                     s = ProjectedApertureSlice(
                         ctx, parts, scalars, p, spec0.axis, aux=aux
