@@ -846,10 +846,16 @@ class HaloSlice(ChemistryMixin):
     @lazy_property
     def HalfLightRadiusStar(self):
         """Per-band half-light radii (reference
-        ``half_mass_radius.py:102-161``); one shared star-segment sort."""
+        ``half_mass_radius.py:102-161``); one shared star-segment sort.
+
+        The sort key is VALID-masked (not selection-masked) so it stays
+        unbatched under the aperture radius-block vmap; the selection
+        rides along as a gapped mask.
+        """
         if not self._has("PartType4/Luminosities"):
             return jnp.zeros(9, jnp.float32)
-        r = jnp.where(self._star_sel, self._star_r_local, jnp.inf)
+        valid = self._seg_arr(self.parts.valid, "PartType4")
+        r = jnp.where(valid, self._star_r_local, jnp.inf)
         order = jnp.argsort(r)
         r_s = r[order]
         sel_s = self._star_sel[order]
