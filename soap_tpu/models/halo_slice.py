@@ -2505,15 +2505,16 @@ def shared_sort_artifacts(parts: HaloParticles) -> Dict[str, jnp.ndarray]:
     r = jnp.sqrt(jnp.sum(parts.pos * parts.pos, axis=1))
     key = jnp.where(parts.valid, r, jnp.inf)
     iota = jnp.arange(key.shape[0], dtype=jnp.int32)
-    r_s, order, m_s, v_s = jax.lax.sort(
-        (key, iota, parts.mass, parts.valid), num_keys=1, is_stable=True
+    r_s, order, m_s = jax.lax.sort(
+        (key, iota, parts.mass), num_keys=1, is_stable=True
     )
     return {
         "radius": r,
         "_rsort_order": order,
         "_r_sorted": r_s,
         "_m_sorted": m_s,
-        "_valid_sorted": v_s,
+        # invalid slots carry an inf key, so validity needs no payload
+        "_valid_sorted": jnp.isfinite(r_s),
     }
 
 

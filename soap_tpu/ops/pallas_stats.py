@@ -117,16 +117,18 @@ def masked_moments_batch(
 
     import os
 
-    # NOTE: gridded pallas_call kernels currently SIGABRT in this
-    # environment's remote-compile helper (gridless kernels compile fine,
-    # so it is a helper-version skew, not a kernel bug — validated in
-    # interpreter mode by tests/test_pallas_stats.py).  The fused path is
-    # therefore opt-in until the toolchain heals.
-    use_pallas = interpret or os.environ.get("SOAP_TPU_PALLAS") == "1"
+    # On by default on TPU; SOAP_TPU_PALLAS=0 opts out.  (Index maps use
+    # ``i * 0`` instead of a literal 0: under x64 mode the literal
+    # becomes an i64 constant and Mosaic rejects the mixed
+    # (i32, i64) index tuple — the round-1 "toolchain skew" was this.)
+    use_pallas = interpret or (
+        os.environ.get("SOAP_TPU_PALLAS", "1") != "0"
+        and jax.default_backend() == "tpu"
+    )
     if use_pallas and B % ROWS_PER_PROGRAM == 0 and K % 128 == 0:
         try:
             in_spec = pl.BlockSpec(
-                (ROWS_PER_PROGRAM, K), lambda i: (i, 0)
+                (ROWS_PER_PROGRAM, K), lambda i: (i, i * 0)
             )
             flat = pl.pallas_call(
                 partial(_kernel, segments=segments),
@@ -134,7 +136,7 @@ def masked_moments_batch(
                 in_specs=[in_spec] * 8,
                 out_specs=pl.BlockSpec(
                     (ROWS_PER_PROGRAM, len(segments) * N_STATS),
-                    lambda i: (i, 0),
+                    lambda i: (i, i * 0),
                 ),
                 out_shape=jax.ShapeDtypeStruct(
                     (B, len(segments) * N_STATS), jnp.float32
