@@ -668,21 +668,36 @@ class HaloEngine:
         if specs is None:
             specs = self.specs
 
-        # Wide/narrow split: big fixed-radius apertures go to their own
-        # pass so they do not inflate the gather capacity of every other
-        # calculation (see WIDE_RADIUS_MPC).  copy_from links crossing
-        # the boundary are severed (the copy source must be computed in
-        # the same pass).
-        def _is_wide(s: HaloTypeSpec) -> bool:
-            return (
+        # Gather-radius pass split: specs are classed by how far their
+        # gather must reach, so no class inflates another's capacity K:
+        #  - "small": bound subhalo, radius-property apertures, fixed
+        #    apertures/projections <= WIDE_RADIUS_MPC — gather at the
+        #    catalogue search radius (~1.01 x REnclose), NO SO presizing;
+        #  - "so": every SO variation — gather grown by the SO density
+        #    presize (the only class that needs it);
+        #  - "wide": fixed apertures > WIDE_RADIUS_MPC (3 Mpc production
+        #    spheres) — few keys at large K.
+        # copy_from links crossing a boundary are severed (the copy
+        # source must be computed in the same pass); radius-property and
+        # radius-multiple dependencies stay within their class by
+        # construction (BoundSubhalo with the apertures, SO parents with
+        # SO multiples).
+        def _pass_class(s: HaloTypeSpec) -> str:
+            if (
                 s.kind in ("aperture", "projected")
                 and s.aperture_radius_mpc is not None
                 and s.aperture_radius_mpc > WIDE_RADIUS_MPC
-            )
+            ):
+                return "wide"
+            if s.kind == "SO":
+                return "so"
+            return "small"
 
-        wide = tuple(s for s in specs if _is_wide(s))
-        narrow = tuple(s for s in specs if not _is_wide(s))
-        if WIDE_RADIUS_MPC > 0 and wide and narrow:
+        classes: Dict[str, List[HaloTypeSpec]] = {}
+        if WIDE_RADIUS_MPC > 0:
+            for s in specs:
+                classes.setdefault(_pass_class(s), []).append(s)
+        if len(classes) > 1:
 
             def _fix_links(subset):
                 groups = {s.group for s in subset}
@@ -703,10 +718,16 @@ class HaloEngine:
                 fof_id=fof_id,
                 enclose_radius_phys=enclose_radius_phys,
             )
-            res_n = self.process(**kwargs, specs=_fix_links(narrow))
-            res_w = self.process(**kwargs, specs=_fix_links(wide))
+            merged: Dict[str, Dict[str, np.ndarray]] = {}
+            for name in ("small", "so", "wide"):
+                if name in classes:
+                    merged.update(
+                        self.process(
+                            **kwargs, specs=_fix_links(tuple(classes[name]))
+                        )
+                    )
             self.stats.halos_done = H
-            return {**res_n, **res_w}
+            return merged
 
         # Satellites never compute centrals-only (SO) specs — split the
         # population so satellite buckets trace a program WITHOUT the SO
