@@ -668,20 +668,16 @@ class HaloEngine:
         if specs is None:
             specs = self.specs
 
-        # Gather-radius pass split: specs are classed by how far their
-        # gather must reach, so no class inflates another's capacity K:
-        #  - "small": bound subhalo, radius-property apertures, fixed
-        #    apertures/projections <= WIDE_RADIUS_MPC — gather at the
-        #    catalogue search radius (~1.01 x REnclose), NO SO presizing;
-        #  - "so": every SO variation — gather grown by the SO density
-        #    presize (the only class that needs it);
-        #  - "wide": fixed apertures > WIDE_RADIUS_MPC (3 Mpc production
-        #    spheres) — few keys at large K.
-        # copy_from links crossing a boundary are severed (the copy
-        # source must be computed in the same pass); radius-property and
-        # radius-multiple dependencies stay within their class by
-        # construction (BoundSubhalo with the apertures, SO parents with
-        # SO multiples).
+        # Gather-radius pass split: fixed apertures above WIDE_RADIUS_MPC
+        # (the 3 Mpc production spheres) run in their own few-key pass so
+        # they do not inflate the gather capacity K of the other ~90% of
+        # property keys.  (A finer three-way split — separating the SO
+        # presized gather from the bound/small-aperture pass — was
+        # measured to be a wash: the extra pass's own radius sort costs
+        # what the smaller row sets save.)  copy_from links crossing a
+        # boundary are severed (the copy source must be computed in the
+        # same pass); radius-property and radius-multiple dependencies
+        # stay within their class by construction.
         def _pass_class(s: HaloTypeSpec) -> str:
             if (
                 s.kind in ("aperture", "projected")
@@ -689,9 +685,7 @@ class HaloEngine:
                 and s.aperture_radius_mpc > WIDE_RADIUS_MPC
             ):
                 return "wide"
-            if s.kind == "SO":
-                return "so"
-            return "small"
+            return "narrow"
 
         classes: Dict[str, List[HaloTypeSpec]] = {}
         if WIDE_RADIUS_MPC > 0:
@@ -719,7 +713,7 @@ class HaloEngine:
                 enclose_radius_phys=enclose_radius_phys,
             )
             merged: Dict[str, Dict[str, np.ndarray]] = {}
-            for name in ("small", "so", "wide"):
+            for name in ("narrow", "wide"):
                 if name in classes:
                     merged.update(
                         self.process(
