@@ -135,8 +135,10 @@ def make_context(
         observer_position=tuple(float(v) for v in meta.observer_position),
         # cold dense filter: n_H > n_min folded into a physical mass
         # density threshold in SNAPSHOT units (f32-safe)
+        # float() coercion: YAML 1.1 parses exponent literals without a
+        # sign ("3.16e4") as STRINGS — production COLIBRE files use them
         cold_dense_rho_threshold=(
-            (
+            float(
                 parameter_file.get_parameters()
                 .get("calculations", {})
                 .get("cold_dense_gas_filter", {})
@@ -148,7 +150,7 @@ def make_context(
             * meta.snap_units_cgs["Unit length in cgs (U_L)"] ** 3
             / meta.snap_units_cgs["Unit mass in cgs (U_M)"]
         ),
-        cold_dense_Tmax=(
+        cold_dense_Tmax=float(
             parameter_file.get_parameters()
             .get("calculations", {})
             .get("cold_dense_gas_filter", {})

@@ -43,6 +43,14 @@ def _so_group_name(name: str, cfg: Dict) -> str:
     return f"SO/{name}"
 
 
+def _aperture_name(r_kpc: float) -> str:
+    """Sub-kpc radii are named in parsecs (reference
+    ``aperture_properties.py:3965-3971``: 300pc, 100pc, ...)."""
+    if r_kpc < 1.0:
+        return f"{1000.0 * r_kpc:.0f}pc"
+    return f"{r_kpc:.0f}kpc"
+
+
 def _enabled_keys(
     params: Optional[ParameterFile], base_halo_type: str, keys: Tuple[str, ...]
 ) -> Tuple[str, ...]:
@@ -239,27 +247,30 @@ def build_specs(
             inclusive = bool(cfg.get("inclusive", False))
             prefix = "InclusiveSphere" if inclusive else "ExclusiveSphere"
             prev = prev_by_kind[inclusive]
+            # aperture-copy: exclusive apertures can copy from the
+            # next-smaller one when it enclosed every bound particle
+            # (``aperture_properties.py:4082-4123``); inclusive spheres
+            # only when the parameter file opts in with
+            # skip_gt_enclose_radius (``compute_halo_properties.py:
+            # 364-370`` passes the smaller-radii list only then)
+            can_copy = prev is not None and (
+                not inclusive or bool(cfg.get("skip_gt_enclose_radius"))
+            )
+            group = f"{prefix}/{_aperture_name(r_kpc)}"
             specs.append(
                 HaloTypeSpec(
                     kind="aperture",
-                    group=f"{prefix}/{r_kpc:.0f}kpc",
+                    group=group,
                     keys=ap_keys,
                     aperture_radius_mpc=r_kpc / 1000.0,
                     inclusive=inclusive,
-                    # aperture-copy: exclusive apertures can copy from the
-                    # next-smaller one when it enclosed every bound
-                    # particle (``aperture_properties.py:4082-4123``);
-                    # inclusive spheres cannot (unbound particles extend
-                    # beyond EncloseRadius)
-                    copy_from=prev[0] if (prev and not inclusive) else None,
-                    copy_from_radius_mpc=(
-                        prev[1] if (prev and not inclusive) else None
-                    ),
+                    copy_from=prev[0] if can_copy else None,
+                    copy_from_radius_mpc=prev[1] if can_copy else None,
                     strict_keys=rad_dep if strict else (),
                     halo_filter=cfg.get("filter", "basic"),
                 )
             )
-            prev_by_kind[inclusive] = (f"{prefix}/{r_kpc:.0f}kpc", r_kpc / 1000.0)
+            prev_by_kind[inclusive] = (group, r_kpc / 1000.0)
 
     if projected:
         variations = (
@@ -280,6 +291,36 @@ def build_specs(
             for k in halo_type_keys()["ProjectedApertureRadiusDependent"]
             if k in pr_keys
         )
+        # projected apertures sized by a previously computed property
+        # (e.g. COLIBRE's twice_stellar_half_mass)
+        from soap_tpu.core.registry import full_property_table
+
+        table = full_property_table()
+        for name, cfg in {
+            n: c for n, c in variations.items() if "property" in c
+        }.items():
+            src = cfg["property"]
+            src_group, src_output = src.rsplit("/", 1)
+            src_key = table.by_output_name(src_output).key
+            mult = float(cfg.get("radius_multiple", 1.0))
+            for axis, label in enumerate("xyz"):
+                specs.append(
+                    HaloTypeSpec(
+                        kind="projected",
+                        group=(
+                            f"ProjectedAperture/{int(mult)}x{src_output}"
+                            f"/proj{label}"
+                        ),
+                        keys=pr_keys,
+                        axis=axis,
+                        radius_property=(src_group, src_key, mult),
+                        halo_filter=cfg.get("filter", "basic"),
+                    )
+                )
+        variations = {
+            n: c for n, c in variations.items() if "property" not in c
+        }
+
         prev_proj: Optional[Tuple[str, float]] = None
         for name, cfg in sorted(
             variations.items(), key=lambda kv: float(kv[1]["radius_in_kpc"])
@@ -287,14 +328,17 @@ def build_specs(
             r_kpc = float(cfg["radius_in_kpc"])
             for axis, label in enumerate("xyz"):
                 prev = (
-                    (f"ProjectedAperture/{prev_proj[0]}kpc/proj{label}", prev_proj[1])
+                    (f"ProjectedAperture/{prev_proj[0]}/proj{label}", prev_proj[1])
                     if prev_proj
                     else None
                 )
                 specs.append(
                     HaloTypeSpec(
                         kind="projected",
-                        group=f"ProjectedAperture/{r_kpc:.0f}kpc/proj{label}",
+                        group=(
+                            f"ProjectedAperture/{_aperture_name(r_kpc)}"
+                            f"/proj{label}"
+                        ),
                         keys=pr_keys,
                         aperture_radius_mpc=r_kpc / 1000.0,
                         axis=axis,
@@ -304,6 +348,6 @@ def build_specs(
                         halo_filter=cfg.get("filter", "basic"),
                     )
                 )
-            prev_proj = (f"{r_kpc:.0f}", r_kpc / 1000.0)
+            prev_proj = (_aperture_name(r_kpc), r_kpc / 1000.0)
 
     return specs

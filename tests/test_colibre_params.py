@@ -1,0 +1,96 @@
+"""End-to-end run driven by the ported COLIBRE_THERMAL.yml on the hydro
+mock — exercises a second production parameter surface (different
+variation sets, aliases, disabled properties) beyond FLAMINGO."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+import yaml
+
+from soap_tpu.core.params import ParameterFile, substitute_parameters
+from soap_tpu.core.registry import full_property_table
+from soap_tpu.pipeline.membership import run_group_membership
+from soap_tpu.pipeline.run import compute_halo_properties
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def colibre_catalogue(tmp_path_factory):
+    from soap_tpu.utils.mock_data import make_mock_simulation
+
+    workdir = str(tmp_path_factory.mktemp("colibre_e2e"))
+    sim = make_mock_simulation(
+        workdir, n_halos=5, n_field=3000, boxsize=18.0, seed=61, hydro=True
+    )
+    with open(
+        os.path.join(REPO, "parameter_files", "COLIBRE_THERMAL.yml")
+    ) as f:
+        raw = yaml.safe_load(f)
+    raw.setdefault("calculations", {})["min_read_radius_cmpc"] = 0.005
+    raw = substitute_parameters(
+        raw, {"sim_dir": workdir, "output_dir": workdir, "scratch_dir": workdir}
+    )
+    params = ParameterFile(parameter_dictionary=raw)
+    membership = os.path.join(workdir, "membership.hdf5")
+    run_group_membership(sim["snapshot"], sim["hbt_basename"], membership)
+    output = os.path.join(workdir, "halo_properties.hdf5")
+    run = compute_halo_properties(
+        snapshot_file=sim["snapshot"],
+        membership_file=membership,
+        halo_basename=sim["hbt_basename"],
+        output_file=output,
+        parameter_file=params,
+        dmo=False,
+        verbose=False,
+    )
+    return output, params, run, sim
+
+
+def test_colibre_run_produces_catalogue(colibre_catalogue):
+    output, params, run, sim = colibre_catalogue
+    with h5py.File(output, "r") as f:
+        assert f["Header"].attrs["NumSubhalos_Total"][0] == 5
+        assert "BoundSubhalo/TotalMass" in f
+        tm = np.asarray(f["BoundSubhalo/TotalMass"])
+        assert (tm > 0).all()
+        # COLIBRE variation surface: SO + aperture groups exist
+        assert "SO/200_crit/SORadius" in f
+        assert "SO/BN98" in f
+        # sub-kpc apertures use the reference's parsec naming
+        assert "ExclusiveSphere/100pc" in f
+        assert "ExclusiveSphere/300pc" in f
+        assert "0kpc" not in f.get("ExclusiveSphere", {})
+        # property-sized projected apertures (twice_stellar_half_mass)
+        assert "ProjectedAperture/2xHalfMassRadiusStars/projz" in f
+        # Cells metadata + provenance parity
+        assert "Cells/Centres" in f
+        assert "Parameters" in f and "Code" in f
+
+
+def test_colibre_disabled_properties_absent(colibre_catalogue):
+    output, params, run, sim = colibre_catalogue
+    table = full_property_table()
+    filters = params.property_filters.get("ApertureProperties", {})
+    disabled = {n for n, v in filters.items() if v is False}
+    assert disabled, "COLIBRE yml should disable some aperture properties"
+    with h5py.File(output, "r") as f:
+        aperture_groups = [
+            g for g in f if g.startswith(("ExclusiveSphere", "InclusiveSphere"))
+        ]
+        assert aperture_groups
+        for g in aperture_groups:
+            present = set(f[g])
+            overlap = present & disabled
+            assert not overlap, f"{g}: disabled datasets present: {overlap}"
+
+
+def test_colibre_aliases_resolve(colibre_catalogue):
+    output, params, run, sim = colibre_catalogue
+    aliases = params.get_aliases()
+    assert (
+        aliases.get("PartType0/LastSNIIKineticFeedbackDensities")
+        == "PartType0/DensitiesAtLastSupernovaEvent"
+    )
