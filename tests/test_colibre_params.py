@@ -94,3 +94,34 @@ def test_colibre_aliases_resolve(colibre_catalogue):
         aliases.get("PartType0/LastSNIIKineticFeedbackDensities")
         == "PartType0/DensitiesAtLastSupernovaEvent"
     )
+
+
+@pytest.mark.parametrize(
+    "fname", ["COLIBRE_HYBRID.yml", "EAGLE.yml", "MINIMAL_FLAMINGO.yml"]
+)
+def test_other_parameter_files_build_specs(fname):
+    """Every ported production parameter file must parse and build a
+    valid spec list (all keys implemented, dependencies resolvable)."""
+    from soap_tpu.pipeline.specs import build_specs
+
+    with open(os.path.join(REPO, "parameter_files", fname)) as f:
+        raw = yaml.safe_load(f)
+    raw = substitute_parameters(
+        raw, {"sim_dir": "/tmp", "output_dir": "/tmp", "scratch_dir": "/tmp"}
+    )
+    params = ParameterFile(parameter_dictionary=raw)
+    specs = build_specs(params, dmo=False, bn98_value=100.0)
+    assert len(specs) > 3
+    table = full_property_table()
+    groups = set()
+    for s in specs:
+        assert s.group not in groups, f"duplicate group {s.group}"
+        groups.add(s.group)
+        for k in s.keys:
+            assert k in table, f"{s.group}: unknown key {k}"
+    # dependencies (copy_from, radius_multiple_of) point at built groups
+    for s in specs:
+        if s.copy_from is not None:
+            assert s.copy_from in groups, s.group
+        if s.radius_multiple_of is not None:
+            assert s.radius_multiple_of in groups, s.group
