@@ -292,3 +292,68 @@ def test_wide_narrow_split_matches_single_pass(mock_sim):
                     run_single.results[group][key],
                     rtol=2e-5, atol=1e-7, err_msg=f"{group}/{key}",
                 )
+
+
+def test_record_spec_timings_mode(mock_sim):
+    """Profiling mode: one program per spec, per-group seconds recorded,
+    results identical to the fused path."""
+    from soap_tpu.pipeline.membership import run_group_membership
+    from soap_tpu.pipeline.run import compute_halo_properties
+    from soap_tpu.io.halo_catalogue import CATALOGUE_READERS
+    from soap_tpu.io import swift_snapshot
+    from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
+    from soap_tpu.pipeline.run import make_context
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        mem = f"{td}/mem.hdf5"
+        run_group_membership(mock_sim["snapshot"], mock_sim["hbt_basename"], mem)
+        meta = swift_snapshot.SnapshotMetadata(
+            mock_sim["snapshot"], extra_filenames=[mem]
+        )
+        cat = CATALOGUE_READERS["HBTplus"](
+            mock_sim["hbt_basename"], h=meta.h, a=meta.a
+        )
+        ctx = make_context(meta, ["PartType1"], dmo=True)
+        mask = np.ones(meta.nr_cells, bool)
+        data = swift_snapshot.read_masked_cells(
+            meta, mask,
+            {"PartType1": ["Coordinates", "Masses", "Velocities",
+                           "GroupNr_bound", "FOFGroupIDs"]},
+        )
+        fields = {k: v for k, v in data["PartType1"].items()
+                  if k not in ("Coordinates", "__cells__")}
+        chunk = ChunkData(
+            boxsize=meta.boxsize,
+            ptypes={"PartType1": stage_ptype(
+                np.mod(data["PartType1"]["Coordinates"], meta.boxsize),
+                fields, meta.boxsize)},
+        )
+        specs = [
+            HaloTypeSpec(kind="bound", group="BoundSubhalo", keys=("Mtot", "Ndm")),
+            HaloTypeSpec(kind="SO", group="SO/200_crit", keys=("r", "Mtot"),
+                         so_type="crit", so_multiple=200.0, centrals_only=True),
+            HaloTypeSpec(kind="SO", group="SO/5xR200_crit", keys=("r", "Mtot"),
+                         so_type="crit", so_multiple=200.0,
+                         radius_multiple_of="SO/200_crit", radius_multiple=5.0,
+                         centrals_only=True),
+        ]
+        args = dict(
+            centres=cat.cofp, search_radius_phys=cat.search_radius * meta.a,
+            index=cat.index, is_central=cat.is_central.astype(bool),
+            fof_id=cat.fof_id,
+        )
+        timed = HaloEngine(ctx, chunk, specs, record_spec_timings=True)
+        res_t = timed.process(**args)
+        assert set(timed.stats.spec_seconds) == {
+            "BoundSubhalo", "SO/200_crit", "SO/5xR200_crit"
+        }
+        assert all(v > 0 for v in timed.stats.spec_seconds.values())
+        fused = HaloEngine(ctx, chunk, specs)
+        res_f = fused.process(**args)
+        for group in res_f:
+            for key in res_f[group]:
+                np.testing.assert_allclose(
+                    res_t[group][key], res_f[group][key], rtol=2e-5,
+                    err_msg=f"{group}/{key}",
+                )
