@@ -156,6 +156,17 @@ def main(argv=None):
         "--bands", help="comma-separated band names (default: erosita+ROSAT)"
     )
 
+    ce = sub.add_parser(
+        "convert-eagle",
+        help="convert EAGLE GADGET particledata to a SWIFT-layout "
+        "snapshot + membership file (reference misc/convert_eagle.py)",
+    )
+    ce.add_argument("particledata_basename")
+    ce.add_argument("output_snapshot")
+    ce.add_argument("output_membership")
+    ce.add_argument("--subfind-basename")
+    ce.add_argument("--cells-per-dim", type=int, default=4)
+
     hf = sub.add_parser(
         "hydrogen-fractions",
         help="approximate HI/H2 species fractions (Rahmati+13 + BR06; "
@@ -222,6 +233,19 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    if args.command == "convert-eagle":
+        from soap_tpu.tools.convert_eagle import convert_eagle
+
+        counts = convert_eagle(
+            args.particledata_basename,
+            args.output_snapshot,
+            args.output_membership,
+            subfind_basename=args.subfind_basename,
+            cells_per_dim=args.cells_per_dim,
+        )
+        total = sum(counts.values())
+        print(f"wrote {args.output_snapshot} ({total} particles: {counts})")
+        return 0
     if args.command == "hydrogen-fractions":
         from soap_tpu.tools.hydrogen_phases import compute_hydrogen_fractions
 
