@@ -125,3 +125,43 @@ def test_other_parameter_files_build_specs(fname):
             assert s.copy_from in groups, s.group
         if s.radius_multiple_of is not None:
             assert s.radius_multiple_of in groups, s.group
+
+
+def test_inclusive_skip_gt_enclose_copy_chain():
+    """Inclusive spheres join the aperture-copy chain only with
+    skip_gt_enclose_radius (reference compute_halo_properties.py:364-370)."""
+    from soap_tpu.pipeline.specs import build_specs
+
+    raw = {
+        "ApertureProperties": {
+            "variations": {
+                "inclusive_50_kpc": {"inclusive": True, "radius_in_kpc": 50.0},
+                "inclusive_100_kpc": {
+                    "inclusive": True, "radius_in_kpc": 100.0,
+                    "skip_gt_enclose_radius": True,
+                },
+                "inclusive_300_kpc": {
+                    "inclusive": True, "radius_in_kpc": 300.0,
+                },
+                "exclusive_50_kpc": {"inclusive": False, "radius_in_kpc": 50.0},
+                "exclusive_100_kpc": {
+                    "inclusive": False, "radius_in_kpc": 100.0,
+                },
+            }
+        }
+    }
+    params = ParameterFile(parameter_dictionary=raw)
+    specs = {
+        s.group: s
+        for s in build_specs(
+            params, dmo=True, bn98_value=100.0, subhalo=False, so=False,
+            projected=False,
+        )
+    }
+    assert specs["InclusiveSphere/50kpc"].copy_from is None
+    # opted in: copies from the next-smaller inclusive sphere
+    assert specs["InclusiveSphere/100kpc"].copy_from == "InclusiveSphere/50kpc"
+    # not opted in: never copies
+    assert specs["InclusiveSphere/300kpc"].copy_from is None
+    # exclusive spheres always chain
+    assert specs["ExclusiveSphere/100kpc"].copy_from == "ExclusiveSphere/50kpc"
