@@ -27,11 +27,9 @@ else:
 
 # Persistent XLA compilation cache: the pipeline's device programs are
 # large (hundreds of fused property kernels) and first-compile costs
-# 20-40 s per bucket shape on TPU; caching them across processes turns
+# minutes per bucket shape on TPU; caching them across processes turns
 # warm starts, restarts and repeated benches into cache hits.  Opt out
 # with SOAP_TPU_COMPILATION_CACHE=0, redirect with =<dir>.
-import os as _os
-
 _cache = _os.environ.get("SOAP_TPU_COMPILATION_CACHE", "")
 if _cache != "0" and _jax is not None:
     if not _cache:
