@@ -125,7 +125,7 @@ class ChemistryMixin:
         return radii_ops.half_weight_radius_sorted(
             self._r_sorted,
             w[self._rsort_order],
-            self._sorted(self.mask_gas),
+            self._gas_sorted,
             total,
         )
 

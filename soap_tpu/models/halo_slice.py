@@ -159,8 +159,15 @@ class HaloSlice(ChemistryMixin):
     # SO solver); the reference re-sorts per kernel.  The engine seeds
     # these caches with ``shared_sort_artifacts`` so ONE physical sort
     # also serves every 3D slice family of the fused program (XLA does
-    # not reliably CSE big sorts across the unrolled/vmapped DAGs, and
-    # the sort + its payload gathers dominate device time at large K).
+    # not reliably CSE big sorts across the unrolled/vmapped DAGs).
+    #
+    # Sorted masks are DERIVED ELEMENTWISE, never gathered: the bound
+    # flag rides through the sort as a payload, particle-type segments
+    # are recovered by comparing the sorted permutation against the
+    # static segment bounds, and radius cuts compare the sorted radius
+    # key directly.  Permutation gathers of per-lane masks were the
+    # single largest device cost of a bucket (each (B, K) gather runs at
+    # ~100 M elem/s on TPU; a 38-spec program issued ~70 of them).
 
     @lazy_property
     def _rsort_order(self):
@@ -184,8 +191,39 @@ class HaloSlice(ChemistryMixin):
         return mask[self._rsort_order]
 
     @lazy_property
+    def _bound_sorted(self):
+        """Bound-to-this-subhalo flag in radius-sorted order (a sort
+        payload when engine-seeded; gather fallback otherwise)."""
+        return self._sorted(self.bound_mask)
+
+    def _seg_sorted(self, ptype: str) -> jnp.ndarray:
+        """Particle-type membership in sorted order — derived from the
+        sort permutation vs the static segment bounds (no gather)."""
+        name = f"_seg_sorted_{ptype}"
+        if name not in self.__dict__:
+            lo, hi = self.ctx.segment(ptype)
+            o = self._rsort_order
+            self.__dict__[name] = (o >= lo) & (o < hi)
+        return self.__dict__[name]
+
+    @lazy_property
     def _sel_sorted(self):
+        """Selection mask in sorted order.  Subclasses override with an
+        elementwise derivation (radius cut / bound payload); the base
+        fallback gathers."""
         return self._sorted(self.selection)
+
+    @lazy_property
+    def _gas_sorted(self):
+        return self._sel_sorted & self._seg_sorted("PartType0")
+
+    @lazy_property
+    def _dm_sorted(self):
+        return self._sel_sorted & self._seg_sorted("PartType1")
+
+    @lazy_property
+    def _star_sorted(self):
+        return self._sel_sorted & self._seg_sorted("PartType4")
 
     # ---------------- needs-bigger-region ladder ----------------
 
@@ -316,19 +354,19 @@ class HaloSlice(ChemistryMixin):
     @lazy_property
     def HalfMassRadiusGas(self):
         return radii_ops.half_weight_radius_sorted(
-            self._r_sorted, self._m_sorted, self._sorted(self.mask_gas), self.Mgas
+            self._r_sorted, self._m_sorted, self._gas_sorted, self.Mgas
         )
 
     @lazy_property
     def HalfMassRadiusDM(self):
         return radii_ops.half_weight_radius_sorted(
-            self._r_sorted, self._m_sorted, self._sorted(self.mask_dm), self.Mdm
+            self._r_sorted, self._m_sorted, self._dm_sorted, self.Mdm
         )
 
     @lazy_property
     def HalfMassRadiusStar(self):
         return radii_ops.half_weight_radius_sorted(
-            self._r_sorted, self._m_sorted, self._sorted(self.mask_star), self.Mstar
+            self._r_sorted, self._m_sorted, self._star_sorted, self.Mstar
         )
 
     # ---------------- kinematics ----------------
@@ -382,19 +420,19 @@ class HaloSlice(ChemistryMixin):
         the dominant per-bucket cost on TPU)."""
         return len(set(self.ctx.softening)) <= 1
 
-    def _vmax_soft_for(self, mask):
+    def _vmax_soft_for(self, sorted_mask, mask):
         if self._uniform_softening:
             soft = jnp.float32(self.ctx.softening[0] if self.ctx.softening else 0.0)
             return kin.vmax_sorted(
                 self._m_sorted,
                 jnp.maximum(self._r_sorted, soft),
-                self._sorted(mask),
+                sorted_mask,
             )
         return kin.vmax(self.parts.mass, self.soft_radius, mask)
 
     @lazy_property
     def _vmax_soft(self):
-        return self._vmax_soft_for(self.selection)
+        return self._vmax_soft_for(self._sel_sorted, self.selection)
 
     @lazy_property
     def _vmax_unsoft(self):
@@ -871,10 +909,12 @@ class HaloSlice(ChemistryMixin):
 
     @lazy_property
     def HalfMassRadiusBaryon(self):
-        bar = self.mask_gas | self.mask_star
+        bar_sorted = self._sel_sorted & (
+            self._seg_sorted("PartType0") | self._seg_sorted("PartType4")
+        )
         mbar = self.Mgas + self.Mstar
         return radii_ops.half_weight_radius_sorted(
-            self._r_sorted, self._m_sorted, self._sorted(bar), mbar
+            self._r_sorted, self._m_sorted, bar_sorted, mbar
         )
 
     @lazy_property
@@ -1308,7 +1348,7 @@ class HaloSlice(ChemistryMixin):
         return radii_ops.half_weight_radius_sorted(
             self._r_sorted,
             w[self._rsort_order],
-            self._sorted(self.mask_gas),
+            self._gas_sorted,
             self.DustMass,
         )
 
@@ -1598,7 +1638,7 @@ class HaloSlice(ChemistryMixin):
 
     @lazy_property
     def _vmax_dm_soft(self):
-        return self._vmax_soft_for(self.mask_dm)
+        return self._vmax_soft_for(self._dm_sorted, self.mask_dm)
 
     @lazy_property
     def DM_Vmax_soft(self):
@@ -1669,6 +1709,11 @@ class BoundSubhaloSlice(HaloSlice):
     @lazy_property
     def selection(self):
         return self.bound_mask
+
+    @lazy_property
+    def _sel_sorted(self):
+        # selection == bound_mask: the sort payload, no gather
+        return self._bound_sorted
 
 
 class SOSlice(HaloSlice):
@@ -1750,6 +1795,11 @@ class SOSlice(HaloSlice):
     def selection(self):
         """All particles within the SO radius (``SO_properties.py:485``)."""
         return self.parts.valid & (self.radius < self.r) & self.exists
+
+    @lazy_property
+    def _sel_sorted(self):
+        # derived elementwise from the sorted radius key (no gather)
+        return self._valid_sorted & (self._r_sorted < self.r) & self.exists
 
     @lazy_property
     def Mtot(self):
@@ -2271,6 +2321,15 @@ class ApertureSlice(HaloSlice):
             return inside
         return inside & self.bound_mask
 
+    @lazy_property
+    def _sel_sorted(self):
+        # elementwise: radius cut on the sorted key, bound via payload
+        self.add_flag(self.aperture_radius > self.scalars.search_radius)
+        inside = self._valid_sorted & (self._r_sorted < self.aperture_radius)
+        if self.inclusive:
+            return inside
+        return inside & self._bound_sorted
+
     def _type_bound(self, ptype: str) -> jnp.ndarray:
         lo, hi = self.ctx.segment(ptype)
         k = self.parts.valid.shape[0]
@@ -2324,40 +2383,59 @@ class ProjectedApertureSlice(HaloSlice):
         return self.bound_mask & (self.proj_radius < self.aperture_radius)
 
     # projected half-mass radii use the projected radius; ONE shared
-    # valid-masked sort serves all of them (the selection mask rides
-    # along in sorted order — ``half_weight_radius_sorted`` handles
-    # gapped masks), and because the sort key is independent of the
-    # aperture radius it stays UNBATCHED under the radius-block vmap
+    # valid-masked sort serves all of them, and because the sort key is
+    # independent of the aperture radius it stays UNBATCHED under the
+    # radius-block vmap.  The bound flag rides through the sort as a
+    # payload; selection/type masks are derived elementwise in sorted
+    # order (radius cut on the sorted key, segments from the sorted
+    # permutation) — no per-lane permutation gathers.
     @lazy_property
     def _proj_sort(self):
         key = jnp.where(self.parts.valid, self.proj_radius, jnp.inf)
         iota = jnp.arange(key.shape[0], dtype=jnp.int32)
-        r_s, order, m_s = jax.lax.sort(
-            (key, iota, self.parts.mass), num_keys=1, is_stable=True
+        r_s, order, m_s, b_s = jax.lax.sort(
+            (key, iota, self.parts.mass, self.bound_mask),
+            num_keys=1,
+            is_stable=True,
         )
-        return r_s, order, m_s
+        return r_s, order, m_s, b_s
 
-    def _proj_half_mass(self, mask, total):
-        r_s, order, m_s = self._proj_sort
-        return radii_ops.half_weight_radius_sorted(
-            r_s, m_s, mask[order], total
-        )
+    @lazy_property
+    def _proj_sel_sorted(self):
+        r_s, _, _, b_s = self._proj_sort
+        self.add_flag(self.aperture_radius > self.scalars.search_radius)
+        return b_s & (r_s < self.aperture_radius)
+
+    def _proj_seg_sorted(self, ptype: str) -> jnp.ndarray:
+        lo, hi = self.ctx.segment(ptype)
+        order = self._proj_sort[1]
+        return (order >= lo) & (order < hi)
+
+    def _proj_half_mass(self, sorted_mask, total):
+        r_s, order, m_s, _ = self._proj_sort
+        return radii_ops.half_weight_radius_sorted(r_s, m_s, sorted_mask, total)
 
     @lazy_property
     def HalfMassRadiusTot(self):
-        return self._proj_half_mass(self.selection, self.Mtot)
+        return self._proj_half_mass(self._proj_sel_sorted, self.Mtot)
 
     @lazy_property
     def HalfMassRadiusGas(self):
-        return self._proj_half_mass(self.mask_gas, self.Mgas)
+        return self._proj_half_mass(
+            self._proj_sel_sorted & self._proj_seg_sorted("PartType0"), self.Mgas
+        )
 
     @lazy_property
     def HalfMassRadiusDM(self):
-        return self._proj_half_mass(self.mask_dm, self.Mdm)
+        return self._proj_half_mass(
+            self._proj_sel_sorted & self._proj_seg_sorted("PartType1"), self.Mdm
+        )
 
     @lazy_property
     def HalfMassRadiusStar(self):
-        return self._proj_half_mass(self.mask_star, self.Mstar)
+        return self._proj_half_mass(
+            self._proj_sel_sorted & self._proj_seg_sorted("PartType4"), self.Mstar
+        )
 
     def _proj_veldisp(self, mask, vcom_species):
         """1D velocity dispersion along the projection axis
@@ -2492,27 +2570,34 @@ class ProjectedApertureSlice(HaloSlice):
         return self._proj_veldisp(self.mask_star, self.vcom_star)
 
 
-def shared_sort_artifacts(parts: HaloParticles) -> Dict[str, jnp.ndarray]:
+def shared_sort_artifacts(
+    parts: HaloParticles, scalars: HaloScalars
+) -> Dict[str, jnp.ndarray]:
     """The per-halo radius sort + its standard payloads, computed ONCE.
 
     One multi-operand ``lax.sort`` carries (radius key, permutation,
-    mass, valid) through the sort network together — cheaper than an
-    argsort followed by separate big gathers, and shared across every
+    mass, bound flag) through the sort network together — cheaper than
+    an argsort followed by separate big gathers, and shared across every
     3D slice family by seeding the lazy-property caches
     (``HaloSlice._rsort_order`` etc.).  Stable sort with an iota
-    tiebreak reproduces ``jnp.argsort`` exactly.
+    tiebreak reproduces ``jnp.argsort`` exactly.  With the bound flag a
+    payload and type segments derived from the permutation, NO sorted
+    mask ever needs a permutation gather (see the sorted-mask block in
+    ``HaloSlice``).
     """
     r = jnp.sqrt(jnp.sum(parts.pos * parts.pos, axis=1))
     key = jnp.where(parts.valid, r, jnp.inf)
     iota = jnp.arange(key.shape[0], dtype=jnp.int32)
-    r_s, order, m_s = jax.lax.sort(
-        (key, iota, parts.mass), num_keys=1, is_stable=True
+    bound = parts.valid & (parts.groupnr == scalars.index)
+    r_s, order, m_s, b_s = jax.lax.sort(
+        (key, iota, parts.mass, bound), num_keys=1, is_stable=True
     )
     return {
         "radius": r,
         "_rsort_order": order,
         "_r_sorted": r_s,
         "_m_sorted": m_s,
+        "_bound_sorted": b_s,
         # invalid slots carry an inf key, so validity needs no payload
         "_valid_sorted": jnp.isfinite(r_s),
     }

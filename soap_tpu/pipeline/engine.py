@@ -214,7 +214,7 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
         # (the sort + payload gathers dominate device time at large K)
         from soap_tpu.models.halo_slice import shared_sort_artifacts
 
-        shared = shared_sort_artifacts(parts)
+        shared = shared_sort_artifacts(parts, scalars)
 
         def seed(s, spec):
             if spec.kind != "projected":

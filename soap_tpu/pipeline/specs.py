@@ -240,8 +240,18 @@ def build_specs(
                 )
             )
         variations = fixed_variations
+        # kind-major, radius-minor ordering: all exclusive radii form one
+        # consecutive run, then all inclusive ones.  ``_halo_fn`` blocks
+        # CONSECUTIVE same-signature specs into ONE vmapped family (one
+        # shared gather/sort + lane-batched reductions); interleaving the
+        # kinds would split the 16 apertures into 16 singleton programs
+        # (16x the HLO and 16x the lane-independent work).
         for name, cfg in sorted(
-            variations.items(), key=lambda kv: float(kv[1]["radius_in_kpc"])
+            variations.items(),
+            key=lambda kv: (
+                bool(kv[1].get("inclusive", False)),
+                float(kv[1]["radius_in_kpc"]),
+            ),
         ):
             r_kpc = float(cfg["radius_in_kpc"])
             inclusive = bool(cfg.get("inclusive", False))
@@ -321,12 +331,17 @@ def build_specs(
             n: c for n, c in variations.items() if "property" not in c
         }
 
-        prev_proj: Optional[Tuple[str, float]] = None
-        for name, cfg in sorted(
+        # axis-major, radius-minor: the 4 radii of one projection axis
+        # form one consecutive vmapped family sharing that axis's
+        # projected-radius sort (the sort key is radius-independent, so
+        # it stays unbatched under the family vmap)
+        radii_sorted = sorted(
             variations.items(), key=lambda kv: float(kv[1]["radius_in_kpc"])
-        ):
-            r_kpc = float(cfg["radius_in_kpc"])
-            for axis, label in enumerate("xyz"):
+        )
+        for axis, label in enumerate("xyz"):
+            prev_proj: Optional[Tuple[str, float]] = None
+            for name, cfg in radii_sorted:
+                r_kpc = float(cfg["radius_in_kpc"])
                 prev = (
                     (f"ProjectedAperture/{prev_proj[0]}/proj{label}", prev_proj[1])
                     if prev_proj
@@ -348,6 +363,6 @@ def build_specs(
                         halo_filter=cfg.get("filter", "basic"),
                     )
                 )
-            prev_proj = (_aperture_name(r_kpc), r_kpc / 1000.0)
+                prev_proj = (_aperture_name(r_kpc), r_kpc / 1000.0)
 
     return specs

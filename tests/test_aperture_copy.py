@@ -71,6 +71,9 @@ def test_default_specs_have_copy_annotations():
     assert all(s.copy_from is not None for s in excl[1:])
     incl = [s for s in specs if s.group.startswith("InclusiveSphere")]
     assert all(s.copy_from is None for s in incl)
+    # axis-major ordering: proj[0..3] = 10/30/50/100 kpc of projx
     proj = [s for s in specs if s.group.startswith("ProjectedAperture")]
     assert proj[0].copy_from is None
-    assert proj[3].copy_from == "ProjectedAperture/10kpc/projx"
+    assert proj[1].copy_from == "ProjectedAperture/10kpc/projx"
+    assert proj[4].copy_from is None  # first radius of projy
+    assert proj[5].copy_from == "ProjectedAperture/10kpc/projy"
