@@ -32,10 +32,30 @@ def expand_ranges(
     cum = jnp.cumsum(counts)
     total = cum[-1]
     j = jnp.arange(capacity, dtype=jnp.int32)
-    seg = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-    seg_safe = jnp.minimum(seg, counts.shape[0] - 1)
-    base = jnp.where(seg_safe > 0, cum[seg_safe - 1], 0)
-    idx = starts[seg_safe] + (j - base)
+    C = counts.shape[0]
+    if C <= 128:
+        # dense compare form: O(K*C) fully-vectorized VPU work with no
+        # gathers — on TPU this beats searchsorted (a while loop) plus
+        # three small-table gathers for the typical cube <= 5 case.
+        # ``lt`` rows are prefix-true (cum is nondecreasing), so the
+        # segment of row j is the first False column (clamped to C-1),
+        # its one-hot being prev-true & self-false.
+        lt = cum[None, :] <= j[:, None]  # (K, C)
+        base = jnp.max(jnp.where(lt, cum[None, :], 0), axis=1)
+        prev = jnp.concatenate(
+            [jnp.ones((capacity, 1), bool), lt[:, :-1]], axis=1
+        )
+        onehot = prev & (~lt)
+        onehot = onehot.at[:, -1].set(onehot[:, -1] | lt[:, -1])
+        start_sel = jnp.sum(
+            jnp.where(onehot, starts[None, :], 0), axis=1
+        ).astype(jnp.int32)
+        idx = start_sel + (j - base)
+    else:
+        seg = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+        seg_safe = jnp.minimum(seg, C - 1)
+        base = jnp.where(seg_safe > 0, cum[seg_safe - 1], 0)
+        idx = starts[seg_safe] + (j - base)
     valid = j < jnp.minimum(total, capacity)
     return jnp.where(valid, idx, 0), valid, total
 

@@ -86,21 +86,23 @@ def stack_chunks(chunks: Sequence[ChunkData]) -> ChunkData:
         spec = pts[0].spec
         for pt in pts:
             assert pt.spec == spec, "chunks must share grid geometry"
-            assert sorted(pt.fields) == sorted(pts[0].fields)
-        n_max = max(pt.pos_hi.shape[0] for pt in pts)
+            assert pt.cols_f == pts[0].cols_f and pt.cols_i == pts[0].cols_i
+        n_max = max(pt.packed_f.shape[0] for pt in pts)
         stacked[name] = PTypeChunk(
             spec=spec,
             n=n_max,
-            pos_hi=jnp.stack([_pad_axis0(pt.pos_hi, n_max) for pt in pts]),
-            pos_lo=jnp.stack([_pad_axis0(pt.pos_lo, n_max) for pt in pts]),
+            packed_f=jnp.stack([_pad_axis0(pt.packed_f, n_max) for pt in pts]),
+            packed_i=(
+                jnp.stack([_pad_axis0(pt.packed_i, n_max) for pt in pts])
+                if pts[0].packed_i is not None
+                else None
+            ),
+            cols_f=pts[0].cols_f,
+            cols_i=pts[0].cols_i,
             offsets=jnp.stack([pt.offsets for pt in pts]),
             counts=jnp.stack([pt.counts for pt in pts]),
             sat=jnp.stack([pt.sat for pt in pts]),
             mass_sat=jnp.stack([pt.mass_sat for pt in pts]),
-            fields={
-                f: jnp.stack([_pad_axis0(pt.fields[f], n_max) for pt in pts])
-                for f in pts[0].fields
-            },
         )
     return ChunkData(boxsize=boxsize, ptypes=stacked)
 

@@ -30,35 +30,104 @@ from soap_tpu.ops.grid import GridSpec, build_grid, choose_resolution
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PTypeChunk:
-    """One particle type's cell-sorted device arrays."""
+    """One particle type's cell-sorted device arrays.
+
+    Per-particle data is stored PACKED: all f32 fields (plus the hi/lo
+    position split) as columns of one ``(N, Ff)`` matrix and all integer
+    fields as one ``(N, Fi)`` i64 matrix.  A halo bucket then gathers
+    candidate rows with TWO gathers total instead of one per field —
+    TPU gathers are per-access-bound (~100 M rows/s), so 12+ separate
+    field gathers were the dominant bucket cost after mask-payload
+    unification.  Column layouts are static pytree aux data; per-field
+    views are sliced out of the gathered block (free under XLA fusion).
+    """
 
     spec: GridSpec  # static
     n: int  # static: real particle count
-    pos_hi: jnp.ndarray  # (N, 3) f32 comoving
-    pos_lo: jnp.ndarray  # (N, 3) f32
+    packed_f: jnp.ndarray  # (N, Ff) f32: pos_hi | pos_lo | f32 fields
+    packed_i: Optional[jnp.ndarray]  # (N, Fi) i64 (None when no int fields)
+    cols_f: Tuple  # static ((name, start, row_shape), ...) into packed_f
+    cols_i: Tuple  # static ((name, start, row_shape, dtype_str), ...)
     offsets: jnp.ndarray  # (C,) i32 first row of each cell
     counts: jnp.ndarray  # (C,) i32
     sat: jnp.ndarray  # (d0+1, d1+1, d2+1) i32 summed-area table
     mass_sat: jnp.ndarray  # (d0+1, d1+1, d2+1) f32 mass summed-area table
-    fields: Dict[str, jnp.ndarray]  # cell-sorted per-particle data
+
+    @property
+    def pos_hi(self) -> jnp.ndarray:
+        return self.packed_f[..., 0:3]
+
+    @property
+    def pos_lo(self) -> jnp.ndarray:
+        return self.packed_f[..., 3:6]
+
+    def has_field(self, name: str) -> bool:
+        return any(c[0] == name for c in self.cols_f) or any(
+            c[0] == name for c in self.cols_i
+        )
+
+    @property
+    def field_names(self) -> Tuple[str, ...]:
+        return tuple(c[0] for c in self.cols_f) + tuple(c[0] for c in self.cols_i)
+
+    def field(self, name: str) -> jnp.ndarray:
+        """Reconstruct one cell-sorted per-particle array (a device
+        slice; use the packed matrices + column metadata on hot paths)."""
+        return unpack_field(self.packed_f, self.packed_i, self.cols_f, self.cols_i, name)
+
+    @property
+    def fields(self) -> Dict[str, jnp.ndarray]:
+        """Dict view of every field (reconstructing; test/debug use)."""
+        return {name: self.field(name) for name in self.field_names}
 
     def tree_flatten(self):
         children = (
-            self.pos_hi,
-            self.pos_lo,
+            self.packed_f,
+            self.packed_i,
             self.offsets,
             self.counts,
             self.sat,
             self.mass_sat,
-            self.fields,
         )
-        return children, (self.spec, self.n)
+        return children, (self.spec, self.n, self.cols_f, self.cols_i)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        spec, n = aux
-        pos_hi, pos_lo, offsets, counts, sat, mass_sat, fields = children
-        return cls(spec, n, pos_hi, pos_lo, offsets, counts, sat, mass_sat, fields)
+        spec, n, cols_f, cols_i = aux
+        packed_f, packed_i, offsets, counts, sat, mass_sat = children
+        return cls(
+            spec, n, packed_f, packed_i, cols_f, cols_i, offsets, counts, sat, mass_sat
+        )
+
+
+def _row_width(shape) -> int:
+    w = 1
+    for s in shape:
+        w *= int(s)
+    return w
+
+
+def unpack_field(packed_f, packed_i, cols_f, cols_i, name):
+    """Slice one named field out of packed row blocks.
+
+    Works on the (N, F) store and on gathered (..., F) blocks alike.
+    """
+    for cname, start, shape in cols_f:
+        if cname == name:
+            w = _row_width(shape)
+            out = packed_f[..., start : start + w]
+            return out.reshape(out.shape[:-1] + tuple(shape)) if shape else out[..., 0]
+    for cname, start, shape, dtype_str in cols_i:
+        if cname == name:
+            w = _row_width(shape)
+            out = packed_i[..., start : start + w]
+            dt = jnp.dtype(dtype_str)
+            if dt == jnp.uint64:
+                out = jax.lax.bitcast_convert_type(out, jnp.uint64)
+            elif dt != jnp.int64:
+                out = out.astype(dt)
+            return out.reshape(out.shape[:-1] + tuple(shape)) if shape else out[..., 0]
+    raise KeyError(name)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -151,16 +220,44 @@ def stage_ptype(
         cell_mass = jnp.zeros_like(cell_mass)
         sat = _summed_area_table(counts, spec.dims, jnp.int32)
     mass_sat = _summed_area_table(cell_mass, spec.dims, jnp.float32)
+
+    # ---- pack into column blocks (see PTypeChunk docstring) ----
+    parts_f = [pos_hi[order], pos_lo[order]]
+    cols_f = []
+    off_f = 6
+    parts_i = []
+    cols_i = []
+    off_i = 0
+    for name in sorted(dev_fields):
+        arr = dev_fields[name]
+        shape = tuple(int(s) for s in arr.shape[1:])
+        w = _row_width(shape)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            parts_f.append(arr.astype(jnp.float32).reshape(arr.shape[0], -1))
+            cols_f.append((name, off_f, shape))
+            off_f += w
+        else:
+            a = arr.reshape(arr.shape[0], -1)
+            if a.dtype == jnp.uint64:
+                a = jax.lax.bitcast_convert_type(a, jnp.int64)
+            else:
+                a = a.astype(jnp.int64)
+            parts_i.append(a)
+            cols_i.append((name, off_i, shape, str(arr.dtype)))
+            off_i += w
+    packed_f = jnp.concatenate(parts_f, axis=1)
+    packed_i = jnp.concatenate(parts_i, axis=1) if parts_i else None
     return PTypeChunk(
         spec=spec,
         n=n,
-        pos_hi=pos_hi[order],
-        pos_lo=pos_lo[order],
+        packed_f=packed_f,
+        packed_i=packed_i,
+        cols_f=tuple(cols_f),
+        cols_i=tuple(cols_i),
         offsets=offsets,
         counts=counts,
         sat=sat,
         mass_sat=mass_sat,
-        fields=dev_fields,
     )
 
 

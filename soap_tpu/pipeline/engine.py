@@ -295,6 +295,8 @@ def _process_bucket_impl(
     """One padded bucket: gather + all property calculations."""
     a = jnp.float32(ctx.a)
 
+    from soap_tpu.pipeline.chunk_data import unpack_field
+
     parts_per_type = []
     overflow = jnp.zeros(centre_hi.shape[0], dtype=bool)
     fields_concat: Dict[str, jnp.ndarray] = {}
@@ -310,28 +312,37 @@ def _process_bucket_impl(
         idx, valid, total = jax.vmap(one)(centre_hi, radius_com)
         overflow = overflow | (total > cap)
 
-        g_pos_hi = gather_rows(pt.pos_hi, idx)
-        g_pos_lo = gather_rows(pt.pos_lo, idx)
+        # TWO gathers per ptype: all f32 columns and all i64 columns ride
+        # one packed row block each (TPU gathers are per-row-bound; the
+        # previous one-gather-per-field layout was the dominant cost)
+        gf = gather_rows(pt.packed_f, idx)  # (B, K, Ff)
+        gi = gather_rows(pt.packed_i, idx) if pt.packed_i is not None else None
+
+        def fld(name):
+            return unpack_field(gf, gi, pt.cols_f, pt.cols_i, name)
+
+        g_pos_hi = gf[..., 0:3]
+        g_pos_lo = gf[..., 3:6]
         # halo-relative physical positions
         rel = jax.vmap(
             lambda ph, pl, ch, cl: geometry.periodic_offset(ph, pl, ch, cl, boxsize)
         )(g_pos_hi, g_pos_lo, centre_hi, centre_lo) * a
 
-        mass = gather_rows(pt.fields["Masses"], idx)
-        if ptype == "PartType6" and "Weights" in pt.fields:
+        mass = fld("Masses")
+        if ptype == "PartType6" and pt.has_field("Weights"):
             # SO mass profiles use delta-f weighted neutrino masses; the
             # raw masses stay accessible as a per-type field (RawNeutrinoMass)
             fields_concat["PartType6/Masses"] = mass
-            mass = mass * gather_rows(pt.fields["Weights"], idx)
-        vel = gather_rows(pt.fields["Velocities"], idx)
+            mass = mass * fld("Weights")
+        vel = fld("Velocities")
         groupnr = (
-            gather_rows(pt.fields["GroupNr_bound"], idx)
-            if "GroupNr_bound" in pt.fields
+            fld("GroupNr_bound")
+            if pt.has_field("GroupNr_bound")
             else jnp.full(idx.shape, -1, dtype=jnp.int64)
         )
         fofid = (
-            gather_rows(pt.fields["FOFGroupIDs"], idx)
-            if "FOFGroupIDs" in pt.fields
+            fld("FOFGroupIDs")
+            if pt.has_field("FOFGroupIDs")
             else jnp.full(idx.shape, -1, dtype=jnp.int64)
         )
         ti = int(ptype[-1])
@@ -347,10 +358,10 @@ def _process_bucket_impl(
                 softening=soft,
             )
         )
-        for fname, arr in pt.fields.items():
+        for fname in pt.field_names:
             if fname in ("Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs"):
                 continue
-            fields_concat[f"{ptype}/{fname}"] = gather_rows(arr, idx)
+            fields_concat[f"{ptype}/{fname}"] = fld(fname)
 
     def cat(key):
         return jnp.concatenate([p[key] for p in parts_per_type], axis=1)
