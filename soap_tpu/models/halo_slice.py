@@ -33,6 +33,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from soap_tpu.models.chemistry import ChemistryMixin
 from soap_tpu.models.context import HaloContext
@@ -80,6 +81,55 @@ def _zero():
 #: (u, g, r, i, z, Y, J, H, K — reference
 #: ``snapshot_datasets.get_column_index("PartType4/Luminosities", "GAMA_r")``)
 GAMA_R_BAND = 2
+
+#: 3D inertia key table: output key -> (species, reduced, iterative,
+#: luminosity-weighted).  Drives the one-batched-loop evaluation
+#: (``HaloSlice._inertia_batch3d``).
+_INERTIA3D_KEYS = {}
+for _sp_name, _sp in (
+    ("Total", "tot"),
+    ("Gas", "gas"),
+    ("DarkMatter", "dm"),
+    ("Stellar", "star"),
+):
+    for _red in (False, True):
+        for _it in (True, False):
+            _k = (
+                f"{_sp_name}InertiaTensor"
+                + ("Reduced" if _red else "")
+                + ("" if _it else "Noniterative")
+            )
+            _INERTIA3D_KEYS[_k] = (_sp, _red, _it, False)
+for _red in (False, True):
+    for _it in (True, False):
+        _k = (
+            "StellarInertiaTensor"
+            + ("Reduced" if _red else "")
+            + ("" if _it else "Noniterative")
+            + "LuminosityWeighted"
+        )
+        _INERTIA3D_KEYS[_k] = ("star", _red, _it, True)
+
+#: 2D (projected) analogue
+_INERTIA2D_KEYS = {}
+for _sp_name, _sp in (("Total", "tot"), ("Gas", "gas"), ("Stellar", "star")):
+    for _red in (False, True):
+        for _it in (True, False):
+            _k = (
+                f"Projected{_sp_name}InertiaTensor"
+                + ("Reduced" if _red else "")
+                + ("" if _it else "Noniterative")
+            )
+            _INERTIA2D_KEYS[_k] = (_sp, _red, _it, False)
+for _red in (False, True):
+    for _it in (True, False):
+        _k = (
+            "ProjectedStellarInertiaTensor"
+            + ("Reduced" if _red else "")
+            + ("" if _it else "Noniterative")
+            + "LuminosityWeighted"
+        )
+        _INERTIA2D_KEYS[_k] = ("star", _red, _it, True)
 
 
 class HaloSlice(ChemistryMixin):
@@ -493,6 +543,16 @@ class HaloSlice(ChemistryMixin):
         return mask, 10.0 * hmr, None, gate
 
     def _inertia(self, species, reduced, iterative):
+        """One 3D inertia tensor.  When the engine pre-registered the
+        requested key set (``compute_properties``), ALL requested inertia
+        configs of this slice are evaluated in ONE batched while loop
+        (``inertia_tensor_multi``) — each iteration then streams the
+        shared (K, 3) positions once instead of once per config, and the
+        DAG compiles one loop instead of ~10."""
+        batch = self._inertia_batch3d
+        key = (species, reduced, iterative, None)
+        if batch is not None and key in batch:
+            return batch[key]
         mask, sphere, search, gate = self._inertia_cfg(species)
         result = inertia_ops.inertia_tensor(
             self.parts.mass,
@@ -506,6 +566,67 @@ class HaloSlice(ChemistryMixin):
         if search is not None:
             self.add_flag(result.needs_bigger)
         return jnp.where(gate > 0, result.tensor, 0.0)
+
+    @lazy_property
+    def _inertia_batch3d(self):
+        """{(species, reduced, iterative, band|None): (6,) tensor} for
+        every REQUESTED 3D inertia key, via one batched kernel call."""
+        reqs = getattr(self, "_requested_keys", None)
+        if reqs is None:
+            return None
+        configs = []  # (species, reduced, iterative, band)
+        for key in reqs:
+            spec3d = _INERTIA3D_KEYS.get(key)
+            if spec3d is None:
+                continue
+            species, red_, it, lum = spec3d
+            if lum:
+                if not self._has("PartType4/Luminosities"):
+                    continue
+                configs.extend((species, red_, it, b) for b in range(9))
+            else:
+                configs.append((species, red_, it, None))
+        if not configs:
+            return {}
+        K = self.parts.valid.shape[0]
+        lo4, hi4 = self.ctx.segment("PartType4")
+        w_rows, m_rows, r_rows, red_rows, it_rows, chk_rows, gates = (
+            [], [], [], [], [], [], []
+        )
+        search = None
+        for species, red_, it, band in configs:
+            mask, sphere, search_c, gate = self._inertia_cfg(species)
+            if band is None:
+                w = self.parts.mass
+            else:
+                w = jnp.zeros(K, jnp.float32).at[lo4:hi4].set(
+                    self._star_lum[:, band]
+                )
+            w_rows.append(w)
+            m_rows.append(mask)
+            r_rows.append(jnp.asarray(sphere, jnp.float32))
+            red_rows.append(red_)
+            it_rows.append(it)
+            chk_rows.append(search_c is not None)
+            gates.append(gate)
+            if search_c is not None:
+                search = search_c
+        result = inertia_ops.inertia_tensor_multi(
+            jnp.stack(w_rows),
+            self.parts.pos,
+            jnp.stack(m_rows),
+            jnp.stack(r_rows),
+            jnp.asarray(np.asarray(red_rows)),
+            jnp.asarray(np.asarray(it_rows)),
+            search_radius=search,
+            check_search=jnp.asarray(np.asarray(chk_rows)) if search is not None else None,
+        )
+        if search is not None:
+            self.add_flag(jnp.any(result.needs_bigger))
+        return {
+            cfg: jnp.where(gate > 0, result.tensor[i], 0.0)
+            for i, (cfg, gate) in enumerate(zip(configs, gates))
+        }
 
     @lazy_property
     def TotalInertiaTensor(self):
@@ -561,6 +682,11 @@ class HaloSlice(ChemistryMixin):
         sphere radius follows the class's stellar inertia configuration."""
         if not self._has("PartType4/Luminosities"):
             return jnp.zeros(54, jnp.float32)
+        batch = self._inertia_batch3d
+        if batch is not None and ("star", reduced, iterative, 0) in batch:
+            return jnp.concatenate(
+                [batch[("star", reduced, iterative, b)] for b in range(9)]
+            )
         mask, sphere, search, gate = self._inertia_cfg("star")
         lo, hi = self.ctx.segment("PartType4")
         outs = []
@@ -2450,13 +2576,74 @@ class ProjectedApertureSlice(HaloSlice):
     # Circle radius = the projected aperture radius; ALL bound particles
     # of the species (the ellipse may deform beyond the aperture).
 
-    def _proj_inertia(self, species, reduced, iterative, lum_weighted=False):
-        masks = {
+    def _proj_mask_gate(self, species):
+        return {
             "tot": (self.bound_mask, self.Mtot),
             "gas": (self._type_bound_proj("PartType0"), self.Mgas),
             "star": (self._type_bound_proj("PartType4"), self.Mstar),
+        }[species]
+
+    @lazy_property
+    def _inertia_batch2d(self):
+        """{(species, reduced, iterative, band|None): (3,) tensor} for
+        every REQUESTED projected inertia key, one batched loop."""
+        reqs = getattr(self, "_requested_keys", None)
+        if reqs is None:
+            return None
+        configs = []
+        for key in reqs:
+            spec2d = _INERTIA2D_KEYS.get(key)
+            if spec2d is None:
+                continue
+            species, red_, it, lum = spec2d
+            if lum:
+                if not self._has("PartType4/Luminosities"):
+                    continue
+                configs.extend((species, red_, it, b) for b in range(9))
+            else:
+                configs.append((species, red_, it, None))
+        if not configs:
+            return {}
+        K = self.parts.valid.shape[0]
+        lo4, hi4 = self.ctx.segment("PartType4")
+        w_rows, m_rows, r_rows, red_rows, it_rows, gates = [], [], [], [], [], []
+        for species, red_, it, band in configs:
+            mask, gate = self._proj_mask_gate(species)
+            if band is None:
+                w = self.parts.mass
+            else:
+                w = jnp.zeros(K, jnp.float32).at[lo4:hi4].set(
+                    self._star_lum[:, band]
+                )
+            w_rows.append(w)
+            m_rows.append(mask)
+            r_rows.append(jnp.asarray(self.aperture_radius, jnp.float32))
+            red_rows.append(red_)
+            it_rows.append(it)
+            gates.append(gate)
+        result = inertia_ops.projected_inertia_tensor_multi(
+            jnp.stack(w_rows),
+            self.proj_pos,
+            jnp.stack(m_rows),
+            jnp.stack(r_rows),
+            jnp.asarray(np.asarray(red_rows)),
+            jnp.asarray(np.asarray(it_rows)),
+        )
+        return {
+            cfg: jnp.where(gate > 0, result.tensor[i], 0.0)
+            for i, (cfg, gate) in enumerate(zip(configs, gates))
         }
-        mask, gate = masks[species]
+
+    def _proj_inertia(self, species, reduced, iterative, lum_weighted=False):
+        batch = self._inertia_batch2d
+        if batch is not None:
+            if not lum_weighted and (species, reduced, iterative, None) in batch:
+                return batch[(species, reduced, iterative, None)]
+            if lum_weighted and (species, reduced, iterative, 0) in batch:
+                return jnp.concatenate(
+                    [batch[(species, reduced, iterative, b)] for b in range(9)]
+                )
+        mask, gate = self._proj_mask_gate(species)
         if lum_weighted:
             # one (3,) tensor per GAMA band, concatenated -> (27,)
             # (``inertia_tensors.py:168-224``)
@@ -2609,6 +2796,9 @@ def compute_properties(slice_obj: HaloSlice, keys) -> Dict[str, jnp.ndarray]:
     Returns raw (unit-free) values; adds the ``needs_bigger`` flag under
     the reserved key ``__needs_bigger__``.
     """
+    # pre-registering the key set lets batched evaluators (e.g. the
+    # one-loop inertia kernel) cover exactly the requested configs
+    slice_obj._requested_keys = frozenset(keys)
     out = {}
     for key in keys:
         out[key] = getattr(slice_obj, key)

@@ -231,6 +231,196 @@ def inertia_tensor(
     return InertiaResult(flat, enough, needs_bigger)
 
 
+def inertia_tensor_multi(
+    weights: jnp.ndarray,  # (C, K) per-config weights
+    pos: jnp.ndarray,  # (K, 3) halo-relative positions (SHARED)
+    masks: jnp.ndarray,  # (C, K) per-config selection
+    sphere_radius: jnp.ndarray,  # (C,) aperture radii
+    reduced: jnp.ndarray,  # (C,) bool: 1/r^2 weighting
+    iterative: jnp.ndarray,  # (C,) bool: 20 iterations vs 1
+    search_radius: jnp.ndarray | None = None,  # scalar (None: no check)
+    check_search: jnp.ndarray | None = None,  # (C,) bool
+    max_iterations: int = 20,
+) -> InertiaResult:
+    """All of one halo's 3D inertia configs in ONE while loop.
+
+    Per-config semantics are identical to ``inertia_tensor``; batching
+    every (species x reduced x iterative [x luminosity band]) request
+    into one loop makes each iteration stream the shared positions ONCE
+    for all configs (the per-config loops re-read (K, 3) positions every
+    iteration) and collapses ~10 compiled while loops per DAG into one.
+    """
+    C = weights.shape[0]
+    r2 = jnp.sum(pos * pos, axis=1)  # (K,)
+    zero_r = jnp.isclose(r2, 0.0)
+    masks = masks & ~(reduced[:, None] & zero_r[None, :])
+    norm = jnp.where(reduced[:, None] & masks, r2[None, :], 1.0)  # (C, K)
+    w_base = jnp.where(masks, weights, 0.0)
+
+    R = sphere_radius  # (C,)
+    init_inside = masks & (r2[None, :] <= (R * R)[:, None])
+    n_init = jnp.sum(init_inside.astype(jnp.int32), axis=1)
+    enough = (jnp.sum(masks.astype(jnp.int32), axis=1) >= MIN_PARTICLES) & (
+        n_init >= MIN_PARTICLES
+    )
+    limit = jnp.where(iterative, max_iterations, 1)
+
+    def compute_tensor(eig_val, eig_vec):
+        # eig_val (C, 3) ascending, eig_vec (C, 3, 3) columns
+        q = jnp.sqrt(eig_val[:, 1] / eig_val[:, 2])
+        s = jnp.sqrt(eig_val[:, 0] / eig_val[:, 2])
+        p = jnp.sqrt(eig_val[:, 0] / eig_val[:, 1])
+        axis = R[:, None] * jnp.stack(
+            [jnp.cbrt(s * p), jnp.cbrt(q / p), 1.0 / jnp.cbrt(q * s)], axis=1
+        )  # (C, 3)
+        proj = jnp.einsum("ka,cab->ckb", pos, eig_vec) / axis[:, None, :]
+        rr = jnp.sum(proj * proj, axis=2)  # (C, K)
+        inside = masks & (rr <= 1.0)
+        w = jnp.where(inside, w_base, 0.0)
+        wsum = jnp.sum(w, axis=1)
+        w = w / jnp.maximum(wsum, 1e-37)[:, None]
+        tensor = jnp.einsum("ck,ki,kj->cij", w / norm, pos, pos)
+        return tensor, q
+
+    def cond(state):
+        i, eig_val, eig_vec, tensor, old_q, done = state
+        return jnp.any(~done) & (i < max_iterations)
+
+    def body(state):
+        i, eig_val, eig_vec, tensor, old_q, done = state
+        q_now = jnp.sqrt(eig_val[:, 1] / eig_val[:, 2])
+        converged = (
+            jnp.abs((old_q - q_now) / jnp.maximum(q_now, 1e-37)) < TOL
+        )
+        tensor_new, q = compute_tensor(eig_val, eig_vec)
+        val, vec = jax.vmap(sym_eigh_3x3)(tensor_new)
+        val = jnp.abs(val)
+        degenerate = q == 0.0
+        tensor_new = jnp.where(
+            degenerate[:, None, None], jnp.zeros_like(tensor_new), tensor_new
+        )
+        stop = converged | degenerate | (i + 1 >= limit)
+        active = ~done
+        # per-config freeze: once done, state no longer changes
+        upd = active & ~(converged | degenerate)
+        tensor = jnp.where(
+            (active & ~converged)[:, None, None], tensor_new, tensor
+        )
+        eig_val = jnp.where(upd[:, None], val, eig_val)
+        eig_vec = jnp.where(upd[:, None, None], vec, eig_vec)
+        old_q = jnp.where(upd, q_now, old_q)
+        return (i + 1, eig_val, eig_vec, tensor, old_q, done | (active & stop))
+
+    state = (
+        jnp.int32(0),
+        jnp.ones((C, 3), pos.dtype),
+        jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype), (C, 3, 3)),
+        jnp.zeros((C, 3, 3), pos.dtype),
+        jnp.full((C,), 1000.0, pos.dtype),
+        ~enough,
+    )
+    _, _, _, tensor, _, _ = jax.lax.while_loop(cond, body, state)
+
+    if search_radius is None or check_search is None:
+        needs_bigger = jnp.zeros((C,), bool)
+    else:
+        needs_bigger = check_search & enough & (R > search_radius)
+    flat = jnp.stack(
+        [
+            tensor[:, 0, 0],
+            tensor[:, 1, 1],
+            tensor[:, 2, 2],
+            tensor[:, 0, 1],
+            tensor[:, 0, 2],
+            tensor[:, 1, 2],
+        ],
+        axis=1,
+    )  # (C, 6)
+    flat = jnp.where(enough[:, None], flat, 0.0)
+    return InertiaResult(flat, enough, needs_bigger)
+
+
+def projected_inertia_tensor_multi(
+    weights: jnp.ndarray,  # (C, K)
+    pos2d: jnp.ndarray,  # (K, 2) SHARED projected positions
+    masks: jnp.ndarray,  # (C, K)
+    circle_radius: jnp.ndarray,  # (C,)
+    reduced: jnp.ndarray,  # (C,) bool
+    iterative: jnp.ndarray,  # (C,) bool
+    max_iterations: int = 20,
+) -> InertiaResult:
+    """All of one halo's 2D (projected) inertia configs in ONE loop;
+    per-config semantics identical to ``projected_inertia_tensor``."""
+    C = weights.shape[0]
+    r2 = jnp.sum(pos2d * pos2d, axis=1)
+    zero_r = jnp.isclose(r2, 0.0)
+    masks = masks & ~(reduced[:, None] & zero_r[None, :])
+    norm = jnp.where(reduced[:, None] & masks, r2[None, :], 1.0)
+    w_base = jnp.where(masks, weights, 0.0)
+    R = circle_radius
+
+    init_inside = masks & (r2[None, :] <= (R * R)[:, None])
+    enough = jnp.sum(init_inside.astype(jnp.int32), axis=1) >= MIN_PARTICLES
+    limit = jnp.where(iterative, max_iterations, 1)
+
+    def compute_tensor(eig_val, eig_vec):
+        q = jnp.sqrt(eig_val[:, 0] / eig_val[:, 1])
+        axis = R[:, None] * jnp.stack(
+            [jnp.sqrt(q), 1.0 / jnp.sqrt(q)], axis=1
+        )
+        proj = jnp.einsum("ka,cab->ckb", pos2d, eig_vec) / axis[:, None, :]
+        rr = jnp.sum(proj * proj, axis=2)
+        inside = masks & (rr <= 1.0)
+        w = jnp.where(inside, w_base, 0.0)
+        wsum = jnp.sum(w, axis=1)
+        w = w / jnp.maximum(wsum, 1e-37)[:, None]
+        tensor = jnp.einsum("ck,ki,kj->cij", w / norm, pos2d, pos2d)
+        return tensor, q
+
+    def cond(state):
+        i, eig_val, eig_vec, tensor, old_q, done = state
+        return jnp.any(~done) & (i < max_iterations)
+
+    def body(state):
+        i, eig_val, eig_vec, tensor, old_q, done = state
+        q_now = jnp.sqrt(eig_val[:, 0] / eig_val[:, 1])
+        converged = (
+            jnp.abs((old_q - q_now) / jnp.maximum(q_now, 1e-37)) < TOL
+        )
+        tensor_new, q = compute_tensor(eig_val, eig_vec)
+        val, vec = jax.vmap(sym_eigh_2x2)(tensor_new)
+        val = jnp.abs(val)
+        degenerate = q == 0.0
+        tensor_new = jnp.where(
+            degenerate[:, None, None], jnp.zeros_like(tensor_new), tensor_new
+        )
+        stop = converged | degenerate | (i + 1 >= limit)
+        active = ~done
+        upd = active & ~(converged | degenerate)
+        tensor = jnp.where(
+            (active & ~converged)[:, None, None], tensor_new, tensor
+        )
+        eig_val = jnp.where(upd[:, None], val, eig_val)
+        eig_vec = jnp.where(upd[:, None, None], vec, eig_vec)
+        old_q = jnp.where(upd, q_now, old_q)
+        return (i + 1, eig_val, eig_vec, tensor, old_q, done | (active & stop))
+
+    state = (
+        jnp.int32(0),
+        jnp.ones((C, 2), pos2d.dtype),
+        jnp.broadcast_to(jnp.eye(2, dtype=pos2d.dtype), (C, 2, 2)),
+        jnp.zeros((C, 2, 2), pos2d.dtype),
+        jnp.full((C,), 1000.0, pos2d.dtype),
+        ~enough,
+    )
+    _, _, _, tensor, _, _ = jax.lax.while_loop(cond, body, state)
+    flat = jnp.stack(
+        [tensor[:, 0, 0], tensor[:, 1, 1], tensor[:, 0, 1]], axis=1
+    )
+    flat = jnp.where(enough[:, None], flat, 0.0)
+    return InertiaResult(flat, enough, jnp.zeros((C,), bool))
+
+
 def projected_inertia_tensor(
     weights: jnp.ndarray,  # (K,)
     pos2d: jnp.ndarray,  # (K, 2) projected halo-relative positions
