@@ -49,6 +49,7 @@ from soap_tpu.pipeline.engine import (
     READ_RADIUS_FACTOR,
     TARGET_ROWS,
     EngineStats,
+    HaloEngine,
     HaloTypeSpec,
     _halo_fn,
     _next_pow2,
@@ -163,16 +164,15 @@ def _sharded_bucket(
     )
 
 
-class ShardedHaloEngine:
-    """Multi-chip analogue of ``HaloEngine``: C chunks x B halos per step.
+class ShardedHaloEngine(HaloEngine):
+    """Multi-chip engine: C chunks x B halos per step over the mesh.
 
-    Mirrors ``HaloEngine.process`` (presize -> count -> bucket -> gather
-    -> DAG -> retry) with one difference: bucket shapes are shared across
-    chunks (SPMD requires one program), so tiles are cut against the
-    max-over-chunks candidate count per sorted position.  Centrals-only
-    (SO) specs are computed for every lane and masked at assembly — the
-    static-schedule analogue of the reference's per-halo filter skip
-    (``SO_properties.py:3627``).
+    Thin constructor over the unified ``HaloEngine`` (one orchestrator
+    for both modes — the single-device engine is the C=1, mesh-free
+    special case).  ``process`` takes per-chunk lists and returns
+    per-chunk result dicts; all production features (packed output
+    pools, aperture-copy, wide/narrow pass split, satellite/central
+    phases, halo timings, retry ladder) run under the mesh.
     """
 
     def __init__(
@@ -181,299 +181,6 @@ class ShardedHaloEngine:
         chunks: Sequence[ChunkData],
         specs: Sequence[HaloTypeSpec],
         mesh: Mesh,
-        aux: Optional[Dict[str, object]] = None,
+        aux=None,
     ):
-        assert len(chunks) == mesh.shape["chunks"], (
-            f"need one chunk per 'chunks' mesh slice: "
-            f"{len(chunks)} chunks vs mesh {dict(mesh.shape)}"
-        )
-        self.ctx_base = ctx_base
-        self.specs = tuple(specs)
-        self.mesh = mesh
-        self.n_chunks = len(chunks)
-        self.boxsize = chunks[0].boxsize
-        self._grid_specs = {
-            name: chunks[0].ptypes[name].spec for name in chunks[0].ptypes
-        }
-        chunk_sharding = NamedSharding(mesh, P("chunks"))
-        self.stacked = jax.device_put(stack_chunks(chunks), chunk_sharding)
-        self.halo_sharding = NamedSharding(mesh, P("chunks", "halos"))
-        self.replicated = NamedSharding(mesh, P())
-        self.aux = (
-            jax.device_put(
-                {k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in aux.items()},
-                self.replicated,
-            )
-            if aux
-            else {}
-        )
-        self.stats = EngineStats()
-
-    # -- helpers ---------------------------------------------------------
-    def _cube_for(self, ptype: str, radius_com: float) -> int:
-        spec = self._grid_specs[ptype]
-        cell = spec.cell_size[0]
-        need = int(math.floor(2.0 * radius_com / cell)) + 2
-        need = min(need, spec.dims[0])
-        for q in (2, 3, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 192, 256):
-            if q >= need:
-                return min(q, spec.dims[0])
-        return spec.dims[0]
-
-    def _put_halos(self, x: np.ndarray) -> jnp.ndarray:
-        return jax.device_put(jnp.asarray(x), self.halo_sharding)
-
-    # -- main ------------------------------------------------------------
-    def process(
-        self,
-        centres: Sequence[np.ndarray],  # per chunk (H_c, 3) float64 comoving
-        search_radius_phys: Sequence[np.ndarray],
-        index: Sequence[np.ndarray],
-        is_central: Sequence[np.ndarray],
-        fof_id: Sequence[np.ndarray],
-    ) -> List[Dict[str, Dict[str, np.ndarray]]]:
-        """Process every chunk's halos; returns per-chunk result dicts."""
-        ctx0 = self.ctx_base
-        specs = self.specs
-        a = ctx0.a
-        C = self.n_chunks
-        halos_axis = self.mesh.shape["halos"]
-        H = [len(ix) for ix in index]
-
-        from soap_tpu.pipeline.engine import min_physical_radius
-
-        results: List[Dict[str, Dict[str, np.ndarray]]] = [{} for _ in range(C)]
-        floor_phys = min_physical_radius(specs)
-        radius_phys = [
-            np.maximum(r.astype(np.float64), floor_phys)
-            for r in search_radius_phys
-        ]
-        pending = [np.arange(h) for h in H]
-        chi_clo = [geometry.split_hi_lo(c) for c in centres]
-
-        so_targets = []
-        for spec in specs:
-            if spec.kind != "SO":
-                continue
-            t = spec.target_density(ctx0)
-            if t is None:
-                continue
-            if spec.radius_multiple_of is not None and spec.radius_multiple:
-                t = t / float(spec.radius_multiple) ** 3
-            so_targets.append(t)
-        target_com = min(so_targets) * a**3 / 1.5 if so_targets else 0.0
-        so_centrals_only = any(
-            s.centrals_only for s in specs if s.kind == "SO"
-        )
-
-        first_round = True
-        while any(len(p) for p in pending):
-            Hp = max(max(len(p) for p in pending), 1)
-            Hp = ((Hp + halos_axis - 1) // halos_axis) * halos_axis
-            # ---- sharded presize + exact candidate counts ----
-            c_pad = np.zeros((C, Hp, 3), np.float32)
-            r_pad = np.full((C, Hp), 1e-3, np.float32)
-            e_pad = np.zeros((C, Hp), bool)
-            for c in range(C):
-                p = pending[c]
-                if len(p) == 0:
-                    continue
-                c_pad[c, : len(p)] = chi_clo[c][0][p]
-                r_pad[c, : len(p)] = (radius_phys[c][p] / a).astype(np.float32)
-                e_pad[c, : len(p)] = (
-                    is_central[c][p] if so_centrals_only else True
-                )
-            radius_dev, counts_dev = _sharded_presize_count(
-                self.stacked,
-                self._put_halos(c_pad),
-                self._put_halos(r_pad),
-                self._put_halos(e_pad),
-                jnp.float32(target_com),
-                ctx0.ptypes,
-                bool(so_targets) and first_round,
-            )
-            first_round = False
-            radius_com_all = np.asarray(radius_dev)  # (C, Hp)
-            per_type_counts = {
-                pt: np.asarray(cd) for pt, cd in zip(ctx0.ptypes, counts_dev)
-            }
-            totals = np.zeros((C, Hp), np.int64)
-            for cnt in per_type_counts.values():
-                totals += cnt
-
-            orders, rcom, rphys_round = [], [], []
-            for c in range(C):
-                p = pending[c]
-                rp = np.minimum(
-                    np.maximum(
-                        radius_phys[c][p],
-                        radius_com_all[c, : len(p)].astype(np.float64) * a,
-                    ),
-                    MAX_SEARCH_RADIUS,
-                )
-                radius_phys[c][p] = rp
-                rcom.append((rp / a).astype(np.float32))
-                orders.append(np.argsort(totals[c, : len(p)]))
-                rphys_round.append(rp)
-
-            # ---- global tile segmentation against max-over-chunks ----
-            n_pos = max(len(p) for p in pending)
-            rowmax = np.zeros(n_pos, np.int64)
-            for c in range(C):
-                k = len(pending[c])
-                if k:
-                    rowmax[:k] = np.maximum(
-                        rowmax[:k], totals[c, : len(pending[c])][orders[c]]
-                    )
-
-            next_pending: List[List[int]] = [[] for _ in range(C)]
-            in_flight: List[Dict] = []
-            pos = 0
-            while pos < n_pos:
-                n_sel = 1
-                cap_total = _next_pow2(int(rowmax[pos]) + 8)
-                while pos + n_sel < n_pos and n_sel < MAX_BATCH:
-                    cap_next = _next_pow2(int(rowmax[pos + n_sel]) + 8)
-                    if (n_sel + 1) * max(cap_total, cap_next) > TARGET_ROWS:
-                        break
-                    cap_total = max(cap_total, cap_next)
-                    n_sel += 1
-                B = _next_pow2(n_sel, max(8, halos_axis))
-
-                sels = []  # per-chunk local pending positions in this tile
-                caps_need = {pt: 8 for pt in ctx0.ptypes}
-                rmax_tile = 1e-3
-                for c in range(C):
-                    sel = orders[c][pos : pos + n_sel]
-                    sels.append(sel)
-                    if len(sel):
-                        p = pending[c][sel]
-                        for pt in ctx0.ptypes:
-                            caps_need[pt] = max(
-                                caps_need[pt],
-                                int(per_type_counts[pt][c, sel].max()) + 8,
-                            )
-                        rmax_tile = max(rmax_tile, float(rcom[c][sel].max()))
-                pos += n_sel
-
-                caps = tuple(
-                    _next_pow2(caps_need[pt], 128) for pt in ctx0.ptypes
-                )
-                cubes = tuple(
-                    self._cube_for(pt, rmax_tile) for pt in ctx0.ptypes
-                )
-                ctx = dataclasses.replace(ctx0, capacities=caps)
-
-                # ---- build padded (C, B, ...) halo inputs ----
-                t_chi = np.zeros((C, B, 3), np.float32)
-                t_clo = np.zeros((C, B, 3), np.float32)
-                t_rcom = np.full((C, B), 1e-3, np.float32)
-                t_idx = np.full((C, B), -1, np.int64)
-                t_srp = np.full((C, B), 1e-3, np.float32)
-                t_cen = np.zeros((C, B), bool)
-                t_fof = np.full((C, B), -1, np.int64)
-                glob = []  # per-chunk global halo rows of this tile
-                for c in range(C):
-                    sel = sels[c]
-                    g = pending[c][sel]
-                    glob.append(g)
-                    nb = len(sel)
-                    if nb == 0:
-                        continue
-                    t_chi[c, :nb] = chi_clo[c][0][g]
-                    t_clo[c, :nb] = chi_clo[c][1][g]
-                    t_rcom[c, :nb] = rcom[c][sel]
-                    t_idx[c, :nb] = index[c][g]
-                    t_srp[c, :nb] = radius_phys[c][g].astype(np.float32)
-                    t_cen[c, :nb] = is_central[c][g]
-                    t_fof[c, :nb] = fof_id[c][g]
-
-                t0 = time.perf_counter()
-                out, overflow = _sharded_bucket(
-                    ctx,
-                    specs,
-                    cubes,
-                    float(self.boxsize),
-                    self.stacked,
-                    self._put_halos(t_chi),
-                    self._put_halos(t_clo),
-                    self._put_halos(t_rcom),
-                    self._put_halos(t_idx),
-                    self._put_halos(t_srp),
-                    self._put_halos(t_cen),
-                    self._put_halos(t_fof),
-                    self.aux,
-                )
-                self.stats.n_bucket_calls += 1
-                in_flight.append(
-                    dict(
-                        glob=glob,
-                        B=B,
-                        caps=caps,
-                        cubes=cubes,
-                        out=out,
-                        overflow=overflow,
-                        t_dispatch=t0,
-                    )
-                )
-
-            # ---- materialize all tiles of this round ----
-            for fl in in_flight:
-                out = fl["out"]
-                overflow_np = np.asarray(fl["overflow"])  # (C, B)
-                n_real = sum(len(g) for g in fl["glob"])
-                self.stats.bucket_records.append(
-                    (
-                        n_real,
-                        fl["B"] * C,
-                        sum(fl["caps"]),
-                        max(fl["cubes"]),
-                        time.perf_counter() - fl["t_dispatch"],
-                    )
-                )
-                host_out = {
-                    group: {k: np.asarray(v) for k, v in g.items()}
-                    for group, g in out.items()
-                }
-                for c in range(C):
-                    g = fl["glob"][c]
-                    nb = len(g)
-                    if nb == 0:
-                        continue
-                    needs = np.zeros(nb, bool)
-                    for spec in specs:
-                        res = host_out[spec.group]
-                        nbig = res["__needs_bigger__"][c, :nb]
-                        if spec.centrals_only:
-                            nbig = nbig & is_central[c][g]
-                        needs |= nbig
-                        buf = results[c].setdefault(spec.group, {})
-                        for key in spec.keys:
-                            arr = res[key][c, :nb]
-                            if key not in buf:
-                                buf[key] = np.zeros(
-                                    (H[c],) + arr.shape[1:], arr.dtype
-                                )
-                            if spec.centrals_only:
-                                m = is_central[c][g].reshape(
-                                    (-1,) + (1,) * (arr.ndim - 1)
-                                )
-                                arr = np.where(m, arr, 0)
-                            buf[key][g] = arr
-                    ov = overflow_np[c, :nb]
-                    retry = ov | (
-                        needs & (radius_phys[c][g] < MAX_SEARCH_RADIUS)
-                    )
-                    self.stats.n_overflow += int(ov.sum())
-                    if retry.any():
-                        grown = g[retry]
-                        radius_phys[c][grown] *= READ_RADIUS_FACTOR
-                        next_pending[c].extend(grown.tolist())
-                        self.stats.n_retries += len(grown)
-
-            pending = [
-                np.array(sorted(np_), dtype=np.int64) for np_ in next_pending
-            ]
-
-        self.stats.halos_done = sum(H)
-        return results
+        super().__init__(ctx_base, list(chunks), specs, aux=aux, mesh=mesh)

@@ -43,7 +43,8 @@ class PTypeChunk:
     """
 
     spec: GridSpec  # static
-    n: int  # static: real particle count
+    n: int  # real particle count (NOT part of the jit signature: row
+    # counts are shape-quantized so chunks share compiled programs)
     packed_f: jnp.ndarray  # (N, Ff) f32: pos_hi | pos_lo | f32 fields
     packed_i: Optional[jnp.ndarray]  # (N, Fi) i64 (None when no int fields)
     cols_f: Tuple  # static ((name, start, row_shape), ...) into packed_f
@@ -89,12 +90,13 @@ class PTypeChunk:
             self.sat,
             self.mass_sat,
         )
-        return children, (self.spec, self.n, self.cols_f, self.cols_i)
+        return children, (self.spec, self.cols_f, self.cols_i)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        spec, n, cols_f, cols_i = aux
+        spec, cols_f, cols_i = aux
         packed_f, packed_i, offsets, counts, sat, mass_sat = children
+        n = packed_f.shape[0] if hasattr(packed_f, "shape") else 0
         return cls(
             spec, n, packed_f, packed_i, cols_f, cols_i, offsets, counts, sat, mass_sat
         )
@@ -105,6 +107,19 @@ def _row_width(shape) -> int:
     for s in shape:
         w *= int(s)
     return w
+
+
+def _quantize_rows(n: int) -> int:
+    """Next quarter-pow2 step >= n (1.0/1.25/1.5/1.75 x 2^k)."""
+    if n <= 64:
+        return 64
+    k = int(np.floor(np.log2(n)))
+    base = 1 << k
+    for m in (4, 5, 6, 7, 8):
+        q = base * m // 4
+        if q >= n:
+            return q
+    return base * 2
 
 
 def unpack_field(packed_f, packed_i, cols_f, cols_i, name):
@@ -247,6 +262,18 @@ def stage_ptype(
             off_i += w
     packed_f = jnp.concatenate(parts_f, axis=1)
     packed_i = jnp.concatenate(parts_i, axis=1) if parts_i else None
+    # quantize the device row count (quarter-pow2 steps, <= 25% padding):
+    # bucket programs are compiled against the store's static shape, so
+    # quantization lets successive chunks (and restarts) reuse compiled
+    # programs / hit the persistent cache instead of recompiling per
+    # chunk.  Padded rows are unreachable: cell offsets/counts only
+    # reference the real rows.
+    n_rows = packed_f.shape[0]
+    npad = _quantize_rows(n_rows)
+    if npad != n_rows:
+        packed_f = jnp.pad(packed_f, ((0, npad - n_rows), (0, 0)))
+        if packed_i is not None:
+            packed_i = jnp.pad(packed_i, ((0, npad - n_rows), (0, 0)))
     return PTypeChunk(
         spec=spec,
         n=n,

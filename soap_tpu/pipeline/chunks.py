@@ -65,6 +65,28 @@ def required_datasets(
 READ_MARGIN = 4.0
 
 
+def _local_mesh():
+    """The production device mesh for this host: one chunk at a time,
+    its halo batches sharded across ALL local devices with the chunk
+    store replicated per device (the TPU analogue of the reference's
+    one-shared-memory-copy-per-node + per-core halo claiming,
+    ``SOAP/core/chunk_tasks.py:164-170`` + ``halo_tasks.py:319-357``).
+    Returns None on a single device (the mesh-free fast path);
+    SOAP_TPU_MULTICHIP=0 forces single-device."""
+    import os as _os
+
+    if _os.environ.get("SOAP_TPU_MULTICHIP", "1") == "0":
+        return None
+    import jax
+
+    n = len(jax.local_devices())
+    if n <= 1:
+        return None
+    from soap_tpu.parallel.sharded import make_mesh
+
+    return make_mesh(n, n_chunks=1)
+
+
 def _scratch_path(scratch_dir: str, chunk_nr: int) -> str:
     return os.path.join(scratch_dir, f"chunk_{chunk_nr}.hdf5")
 
@@ -257,7 +279,7 @@ def process_chunks(
             chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
 
             engine = HaloEngine(
-                ctx, chunk, specs, aux=aux,
+                ctx, chunk, specs, aux=aux, mesh=_local_mesh(),
                 record_halo_timings=record_halo_timings,
             )
             chunk_results = engine.process(

@@ -403,6 +403,12 @@ _process_bucket = partial(
     jax.jit, static_argnames=("ctx", "specs", "cubes", "boxsize")
 )(_process_bucket_impl)
 
+#: process-wide AOT bucket-program cache: (store/mesh key, signature) ->
+#: compiled executable.  Engines are constructed per chunk; this cache
+#: (with shape-quantized stores) is what makes chunk N+1 reuse chunk N's
+#: compiled programs.
+_AOT_CACHE: Dict[tuple, object] = {}
+
 
 # ---------------------------------------------------------------------------
 # Packed bucket outputs.
@@ -512,6 +518,83 @@ def _unpack_bucket(token: str, pools: Dict[str, np.ndarray]):
     return out
 
 
+def _process_bucket_packed_multi_impl(
+    ctx,
+    specs,
+    token,
+    cubes,
+    boxsize,
+    stacked,  # ChunkData with a leading chunk axis on every array
+    centre_hi,  # (C, B, 3)
+    centre_lo,
+    radius_com,
+    index,
+    search_radius_phys,
+    is_central,
+    fof_id,
+    aux=None,
+):
+    """The bucket program vmapped over the chunk axis, with packed
+    output pools.
+
+    Under a committed ('chunks', 'halos') input sharding XLA partitions
+    both leading axes across the mesh with no collectives: every device
+    gathers from its own chunk's particle store for its own halo lanes.
+    On a single device the C=1 vmap is free.  Output pools are (C, B,
+    cols) — still <= 4 device->host transfers per bucket.
+    """
+    f = partial(_process_bucket_impl, ctx, specs, cubes, boxsize)
+    out, overflow = jax.vmap(f, in_axes=(0,) * 8 + (None,))(
+        stacked,
+        centre_hi,
+        centre_lo,
+        radius_com,
+        index,
+        search_radius_phys,
+        is_central,
+        fof_id,
+        aux,
+    )
+    layout: List[Tuple[str, str, str, int, int, tuple, object]] = []
+    cols = {name: 0 for name in _POOL_DTYPES}
+    pieces = {name: [] for name in _POOL_DTYPES}
+    for group in out:
+        for key, arr in out[group].items():
+            pool = _pool_for(arr.dtype)
+            C, B = arr.shape[0], arr.shape[1]
+            flat = arr.reshape(C, B, -1).astype(_POOL_DTYPES[pool])
+            width = flat.shape[2]
+            layout.append(
+                (group, key, pool, cols[pool], width, arr.shape[2:], arr.dtype)
+            )
+            cols[pool] += width
+            pieces[pool].append(flat)
+    _PACK_LAYOUTS[token] = layout
+    pools = {
+        name: jnp.concatenate(parts, axis=2)
+        for name, parts in pieces.items()
+        if parts
+    }
+    return pools, overflow
+
+
+_process_bucket_packed_multi = partial(
+    jax.jit, static_argnames=("ctx", "specs", "token", "cubes", "boxsize")
+)(_process_bucket_packed_multi_impl)
+
+
+def _unpack_bucket_multi(token: str, pools: Dict[str, np.ndarray]):
+    """Rebuild {group: {key: (C, B, ...) array}} from (C, B, cols) pools."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for group, key, pool, col, width, row_shape, dtype in _PACK_LAYOUTS[token]:
+        flat = pools[pool][:, :, col : col + width]
+        arr = flat.reshape(flat.shape[:2] + tuple(row_shape)).astype(
+            np.dtype(dtype), copy=False
+        )
+        out.setdefault(group, {})[key] = arr
+    return out
+
+
 def _next_pow2(n: int, floor: int = 256) -> int:
     return max(floor, 1 << int(math.ceil(math.log2(max(n, 1)))))
 
@@ -563,6 +646,9 @@ class EngineStats:
     n_overflow: int = 0
     n_copied_specs: int = 0  # aperture-copy optimization hits
     halos_done: int = 0
+    #: wall seconds spent in (parallel) AOT bucket-program compilation;
+    #: persistent-cache hits make this near zero on warm starts
+    compile_seconds: float = 0.0
     # per-spec device seconds (only with record_spec_timings)
     spec_seconds: Dict[str, float] = field(default_factory=dict)
     # per-bucket records: (n_halos, padded_B, capacity_K, cube, seconds)
@@ -612,7 +698,8 @@ class EngineStats:
             f"bucket calls: {self.n_bucket_calls}, halos: {self.halos_done}, "
             f"retries: {self.n_retries}, overflow: {self.n_overflow}",
             f"device compute: {self.compute_seconds:.2f}s, "
-            f"lane efficiency: {self.padding_efficiency:.1%}",
+            f"lane efficiency: {self.padding_efficiency:.1%}, "
+            f"compile: {self.compile_seconds:.1f}s",
         ]
         for n, B, K, cube, dt in self.bucket_records:
             lines.append(
@@ -623,14 +710,39 @@ class EngineStats:
 
 
 class HaloEngine:
-    """Orchestrates bucketed processing of all halos in a chunk."""
+    """Unified bucketed orchestrator over ``C`` chunks x ``B`` halos.
+
+    ONE orchestrator serves both execution modes (the reference's two
+    parallelism levels, ``SOAP/core/task_queue.py:63-216`` +
+    ``SOAP/core/halo_tasks.py:319-357``):
+
+     - single device: ``mesh=None``; the chunk axis is a free C=1 vmap;
+     - multi-chip: a ``('chunks', 'halos')`` ``jax.sharding.Mesh``; the
+       stacked chunk stores are sharded along ``'chunks'`` (replicated
+       across the ``'halos'`` sub-axis — the TPU analogue of one
+       shared-memory copy per node) and halo batches along both axes.
+       Per-halo work is embarrassingly parallel, so bucket programs run
+       without collectives.
+
+    All production features run in both modes: SO gather presizing,
+    exact candidate counting, wide/narrow gather-radius pass split,
+    satellite/central population phases (satellite buckets trace a
+    program WITHOUT the centrals-only SO DAG), the aperture-copy
+    optimization, packed <=4-transfer output pools, the
+    ``needs_bigger``/overflow x1.5 retry ladder, and per-halo timing
+    attribution.  Bucket programs are AOT-compiled; distinct signatures
+    of a round compile CONCURRENTLY in a thread pool (XLA releases the
+    GIL), so warmup wall-clock approaches the slowest single compile
+    instead of the sum.
+    """
 
     def __init__(
         self,
         ctx_base: HaloContext,
-        chunk: ChunkData,
+        chunks,  # ChunkData or Sequence[ChunkData]
         specs: Sequence[HaloTypeSpec],
         aux: Optional[Dict[str, object]] = None,
+        mesh=None,  # Optional[jax.sharding.Mesh] with ('chunks','halos')
         record_spec_timings: bool = False,
         record_halo_timings: bool = False,
     ):
@@ -644,51 +756,218 @@ class HaloEngine:
         #: reference's ``--record-halo-timings``)
         self.record_halo_timings = record_halo_timings
         self.ctx_base = ctx_base
-        self.chunk = chunk
-        self.specs = tuple(specs)
-        self.aux = (
+        single = isinstance(chunks, ChunkData)
+        chunk_list = [chunks] if single else list(chunks)
+        self._single_chunk_api = single
+        self.C = len(chunk_list)
+        self.mesh = mesh
+        self.boxsize = chunk_list[0].boxsize
+        self._grid_specs = {
+            name: chunk_list[0].ptypes[name].spec
+            for name in chunk_list[0].ptypes
+        }
+        from soap_tpu.parallel.sharded import stack_chunks
+
+        stacked = stack_chunks(chunk_list)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert mesh.shape["chunks"] == self.C, (
+                f"need one chunk per 'chunks' mesh slice: {self.C} chunks "
+                f"vs mesh {dict(mesh.shape)}"
+            )
+            self._chunk_sharding = NamedSharding(mesh, P("chunks"))
+            self._halo_sharding = NamedSharding(mesh, P("chunks", "halos"))
+            self._replicated = NamedSharding(mesh, P())
+            self.stacked = jax.device_put(stacked, self._chunk_sharding)
+            self._halos_quant = mesh.shape["halos"]
+        else:
+            self._chunk_sharding = None
+            self._halo_sharding = None
+            self._replicated = None
+            self.stacked = stacked
+            self._halos_quant = 1
+        aux_tree = (
             {k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in aux.items()}
             if aux
             else {}
         )
+        self.aux = (
+            jax.device_put(aux_tree, self._replicated)
+            if mesh is not None and aux_tree
+            else aux_tree
+        )
+        self.specs = tuple(specs)
         self.stats = EngineStats()
+        # AOT programs live in a GLOBAL cache keyed by (store shapes,
+        # mesh, signature): one engine is built per chunk, and staged row
+        # counts are shape-quantized precisely so successive chunks reuse
+        # compiled programs instead of re-lowering per chunk
+        mesh_key = (
+            None
+            if mesh is None
+            else (
+                tuple(mesh.shape.items()),
+                tuple(d.id for d in np.asarray(mesh.devices).flat),
+            )
+        )
+
+        def _shapes(tree):
+            return (
+                jax.tree_util.tree_structure(tree),
+                tuple(
+                    (l.shape, str(l.dtype))
+                    for l in jax.tree_util.tree_leaves(tree)
+                ),
+            )
+
+        self._prog_key = (
+            _shapes(self.stacked),
+            _shapes(self.aux),
+            mesh_key,
+            float(self.boxsize),
+        )
+
+    # -- helpers ---------------------------------------------------------
 
     def _cube_for(self, ptype: str, radius_com: float) -> int:
-        pt = self.chunk.ptypes[ptype]
-        cell = pt.spec.cell_size[0]
+        spec = self._grid_specs[ptype]
+        cell = spec.cell_size[0]
         need = int(math.floor(2.0 * radius_com / cell)) + 2
-        need = min(need, pt.spec.dims[0])
+        need = min(need, spec.dims[0])
         # quantize to limit distinct compilations
         for q in (2, 3, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 192, 256):
             if q >= need:
-                return min(q, pt.spec.dims[0])
-        return pt.spec.dims[0]
+                return min(q, spec.dims[0])
+        return spec.dims[0]
+
+    def _put_halos(self, x: np.ndarray) -> jnp.ndarray:
+        if self._halo_sharding is not None:
+            return jax.device_put(jnp.asarray(x), self._halo_sharding)
+        return jnp.asarray(x)
+
+    def _avatar(self, tree, sharding):
+        def leaf(x):
+            s = None if sharding is None else sharding
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+
+        return jax.tree_util.tree_map(leaf, tree)
+
+    def _aot_compile(self, sig, ctx, bucket_specs, token, cubes, B):
+        """Lower+compile one bucket program (thread-safe, cached)."""
+        cache_key = (self._prog_key, sig)
+        if cache_key in _AOT_CACHE:
+            return _AOT_CACHE[cache_key]
+        C = self.C
+        f32 = jnp.float32
+
+        def halo_av(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=self._halo_sharding)
+
+        stacked_av = self._avatar(self.stacked, self._chunk_sharding)
+        aux_av = self._avatar(self.aux, self._replicated)
+        lowered = _process_bucket_packed_multi.lower(
+            ctx,
+            bucket_specs,
+            token,
+            cubes,
+            float(self.boxsize),
+            stacked_av,
+            halo_av((C, B, 3), f32),
+            halo_av((C, B, 3), f32),
+            halo_av((C, B), f32),
+            halo_av((C, B), jnp.int64),
+            halo_av((C, B), f32),
+            halo_av((C, B), jnp.bool_),
+            halo_av((C, B), jnp.int64),
+            aux_av,
+        )
+        compiled = lowered.compile()
+        _AOT_CACHE[cache_key] = compiled
+        return compiled
+
+    def _precompile(self, plans) -> None:
+        """Compile every distinct bucket signature of a round in
+        parallel (the quantized-shape-ladder warmup of VERDICT item 7:
+        warmup wall-clock ~ the slowest compile, and persistent-cache
+        hits are logged per program)."""
+        todo = {}
+        for pl in plans:
+            if (self._prog_key, pl["sig"]) not in _AOT_CACHE and pl[
+                "sig"
+            ] not in todo:
+                todo[pl["sig"]] = pl
+        if not todo:
+            return
+        if len(todo) == 1:
+            pl = next(iter(todo.values()))
+            t0 = time.perf_counter()
+            self._aot_compile(
+                pl["sig"], pl["ctx"], pl["specs"], pl["token"], pl["cubes"], pl["B"]
+            )
+            self.stats.compile_seconds += time.perf_counter() - t0
+            return
+        import concurrent.futures as cf
+
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=min(8, len(todo))) as ex:
+            futs = [
+                ex.submit(
+                    self._aot_compile,
+                    pl["sig"],
+                    pl["ctx"],
+                    pl["specs"],
+                    pl["token"],
+                    pl["cubes"],
+                    pl["B"],
+                )
+                for pl in todo.values()
+            ]
+            for f in futs:
+                f.result()
+        self.stats.compile_seconds += time.perf_counter() - t0
+
+    # -- main ------------------------------------------------------------
 
     def process(
         self,
-        centres: np.ndarray,  # (H, 3) float64 comoving
-        search_radius_phys: np.ndarray,  # (H,) physical initial radii
-        index: np.ndarray,  # (H,) i64 catalogue indices
-        is_central: np.ndarray,  # (H,) bool
-        fof_id: np.ndarray,  # (H,) i64
-        enclose_radius_phys: Optional[np.ndarray] = None,  # (H,) physical
+        centres,  # (H, 3) float64 comoving, or per-chunk list
+        search_radius_phys,  # (H,) physical initial radii (or list)
+        index,  # (H,) i64 catalogue indices (or list)
+        is_central,  # (H,) bool (or list)
+        fof_id,  # (H,) i64 (or list)
+        enclose_radius_phys=None,  # (H,) physical (or list), optional
         specs: Optional[Tuple[HaloTypeSpec, ...]] = None,
-    ) -> Dict[str, Dict[str, np.ndarray]]:
-        """Process all halos; returns {group: {key: (H, ...) array}}."""
-        H = len(index)
+    ):
+        """Process all halos of every chunk.
+
+        Single-chunk engines accept flat arrays and return
+        ``{group: {key: (H, ...)}}``; multi-chunk engines accept
+        per-chunk lists and return a list of such dicts.
+        """
         if specs is None:
             specs = self.specs
+        list_input = isinstance(centres, (list, tuple))
+        if not list_input:
+            centres = [centres]
+            search_radius_phys = [search_radius_phys]
+            index = [index]
+            is_central = [is_central]
+            fof_id = [fof_id]
+            if enclose_radius_phys is not None:
+                enclose_radius_phys = [enclose_radius_phys]
+        assert len(centres) == self.C
+        if enclose_radius_phys is None:
+            enclose_radius_phys = [None] * self.C
+        H = [len(ix) for ix in index]
+        results: List[Dict[str, Dict[str, np.ndarray]]] = [{} for _ in range(self.C)]
 
-        # Gather-radius pass split: fixed apertures above WIDE_RADIUS_MPC
-        # (the 3 Mpc production spheres) run in their own few-key pass so
-        # they do not inflate the gather capacity K of the other ~90% of
-        # property keys.  (A finer three-way split — separating the SO
-        # presized gather from the bound/small-aperture pass — was
-        # measured to be a wash: the extra pass's own radius sort costs
-        # what the smaller row sets save.)  copy_from links crossing a
-        # boundary are severed (the copy source must be computed in the
-        # same pass); radius-property and radius-multiple dependencies
-        # stay within their class by construction.
+        # ---- gather-radius pass split (wide/narrow) ----
+        # Fixed apertures above WIDE_RADIUS_MPC (the 3 Mpc production
+        # spheres) run in their own few-key pass so they do not inflate
+        # the gather capacity K of the other ~90% of property keys.
+        # copy_from links crossing the boundary are severed (the copy
+        # source must be computed in the same pass).
         def _pass_class(s: HaloTypeSpec) -> str:
             if (
                 s.kind in ("aperture", "projected")
@@ -715,90 +994,136 @@ class HaloEngine:
                     for s in subset
                 )
 
-            kwargs = dict(
-                centres=centres,
-                search_radius_phys=search_radius_phys,
-                index=index,
-                is_central=is_central,
-                fof_id=fof_id,
-                enclose_radius_phys=enclose_radius_phys,
-            )
-            merged: Dict[str, Dict[str, np.ndarray]] = {}
             for name in ("narrow", "wide"):
                 if name in classes:
-                    merged.update(
-                        self.process(
-                            **kwargs, specs=_fix_links(tuple(classes[name]))
-                        )
+                    part = self.process(
+                        centres,
+                        search_radius_phys,
+                        index,
+                        is_central,
+                        fof_id,
+                        enclose_radius_phys,
+                        specs=_fix_links(tuple(classes[name])),
                     )
-            self.stats.halos_done = H
-            return merged
+                    for c in range(self.C):
+                        results[c].update(part[c])
+            self.stats.halos_done = sum(H)
+            return results if list_input else results[0]
 
-        # Satellites never compute centrals-only (SO) specs — split the
-        # population so satellite buckets trace a program WITHOUT the SO
-        # DAG instead of computing-and-masking it (the batch analogue of
-        # the reference's per-halo filter skip, ``SO_properties.py:3627``).
+        # ---- satellite/central population phases ----
+        # Satellites never compute centrals-only (SO) specs: the
+        # satellite phase traces a program WITHOUT the SO DAG (the batch
+        # analogue of the reference's per-halo filter skip,
+        # ``SO_properties.py:3627``).  Phasing keeps SPMD tiles uniform
+        # across chunks.
         co_specs = [s for s in specs if s.centrals_only]
-        central_mask = np.asarray(is_central, dtype=bool)
-        if co_specs and H and not central_mask.all():
+        cen_masks = [np.asarray(c, dtype=bool) for c in is_central]
+        any_sat = any((~m).any() for m in cen_masks)
+        if co_specs and any_sat:
             non_co = tuple(s for s in specs if not s.centrals_only)
-            cen = np.flatnonzero(central_mask)
-            sat = np.flatnonzero(~central_mask)
-
-            def subset(rows, sub_specs):
-                if len(rows) == 0 or not sub_specs:
-                    return {}
-                return self.process(
-                    centres[rows],
-                    search_radius_phys[rows],
-                    index[rows],
-                    is_central[rows],
-                    fof_id[rows],
-                    None
-                    if enclose_radius_phys is None
-                    else enclose_radius_phys[rows],
-                    specs=tuple(sub_specs),
+            for phase, sub_specs in (("cen", tuple(specs)), ("sat", non_co)):
+                rows = [
+                    np.flatnonzero(m if phase == "cen" else ~m)
+                    for m in cen_masks
+                ]
+                if not any(len(r) for r in rows) or not sub_specs:
+                    continue
+                part = self.process(
+                    [c[r] for c, r in zip(centres, rows)],
+                    [s[r] for s, r in zip(search_radius_phys, rows)],
+                    [i[r] for i, r in zip(index, rows)],
+                    [m[r] for m, r in zip(cen_masks, rows)],
+                    [f[r] for f, r in zip(fof_id, rows)],
+                    [
+                        None if e is None else e[r]
+                        for e, r in zip(enclose_radius_phys, rows)
+                    ],
+                    specs=sub_specs,
                 )
+                for c in range(self.C):
+                    rws = rows[c]
+                    if len(rws) == 0:
+                        continue
+                    for spec in sub_specs:
+                        buf = results[c].setdefault(spec.group, {})
+                        src = part[c].get(spec.group, {})
+                        for key in spec.keys:
+                            arr = src[key]
+                            if key not in buf:
+                                buf[key] = np.zeros(
+                                    (H[c],) + arr.shape[1:], arr.dtype
+                                )
+                            buf[key][rws] = arr
+            # centrals-only groups of pure-satellite chunks still need
+            # zero-filled buffers
+            for c in range(self.C):
+                for spec in specs:
+                    buf = results[c].setdefault(spec.group, {})
+                    for key in spec.keys:
+                        if key not in buf:
+                            tmpl = None
+                            for c2 in range(self.C):
+                                if key in results[c2].get(spec.group, {}):
+                                    tmpl = results[c2][spec.group][key]
+                                    break
+                            shape = (H[c],) + (
+                                tmpl.shape[1:] if tmpl is not None else ()
+                            )
+                            dtype = tmpl.dtype if tmpl is not None else np.float32
+                            buf[key] = np.zeros(shape, dtype)
+            self.stats.halos_done = sum(H)
+            return results if list_input else results[0]
 
-            res_c = subset(cen, specs)
-            res_s = subset(sat, non_co)
-            merged: Dict[str, Dict[str, np.ndarray]] = {}
-            for spec in specs:
-                buf = merged.setdefault(spec.group, {})
-                for key in spec.keys:
-                    src_c = res_c.get(spec.group, {}).get(key)
-                    src_s = res_s.get(spec.group, {}).get(key)
-                    template = src_c if src_c is not None else src_s
-                    full = np.zeros((H,) + template.shape[1:], template.dtype)
-                    if src_c is not None:
-                        full[cen] = src_c
-                    if src_s is not None:
-                        full[sat] = src_s
-                    buf[key] = full
-            self.stats.halos_done = H
-            return merged
+        self._run(
+            centres,
+            search_radius_phys,
+            index,
+            cen_masks,
+            fof_id,
+            enclose_radius_phys,
+            specs,
+            results,
+            H,
+        )
+        self.stats.halos_done = sum(H)
+        return results if list_input else results[0]
 
+    # -- one population through the round/tile machinery -----------------
+
+    def _run(
+        self,
+        centres,
+        search_radius_phys,
+        index,
+        is_central,
+        fof_id,
+        enclose_radius_phys,
+        specs,
+        results,
+        H,
+    ):
         ctx0 = self.ctx_base
         a = ctx0.a
-        boxsize = self.chunk.boxsize
+        C = self.C
 
-        # result buffers filled incrementally
-        results: Dict[str, Dict[str, np.ndarray]] = {}
-
-        radius_phys = np.maximum(
-            search_radius_phys.astype(np.float64), min_physical_radius(specs)
+        radius_phys = [
+            np.maximum(
+                np.asarray(r, np.float64), min_physical_radius(specs)
+            )
+            for r in search_radius_phys
+        ]
+        pending = [np.arange(h) for h in H]
+        halo_seconds = (
+            [np.zeros(h) for h in H] if self.record_halo_timings else None
         )
-        pending = np.arange(H)
-        halo_seconds = np.zeros(H) if self.record_halo_timings else None
-        halo_nloop = np.zeros(H, np.int32) if self.record_halo_timings else None
+        halo_nloop = (
+            [np.zeros(h, np.int32) for h in H]
+            if self.record_halo_timings
+            else None
+        )
+        chi_clo = [geometry.split_hi_lo(np.asarray(c)) for c in centres]
 
-        c_hi, c_lo = geometry.split_hi_lo(centres)
-
-        # SO gather-radius presize: grow central halos' regions until the
-        # enclosed mean density is below the *lowest* SO threshold, so the
-        # density crossing is inside the first gather (the batched form of
-        # the reference's radius-growth loop, ``halo_tasks.py:73-103`` and
-        # minimum-target logic ``halo_tasks.py:302-317``).
+        # SO gather-radius presize targets (see module docstring)
         so_targets = []
         for spec in specs:
             if spec.kind != "SO":
@@ -807,104 +1132,127 @@ class HaloEngine:
             if t is None:
                 continue
             if spec.radius_multiple_of is not None and spec.radius_multiple:
-                # e.g. 5xR500_crit: the gather must reach m x R_parent;
-                # the mean enclosed density there is at least
-                # target_parent / m^3 (mass is non-decreasing in r)
                 t = t / float(spec.radius_multiple) ** 3
             so_targets.append(t)
-        # margin 1.5: the flow-rate shell reaches 1.05 x R_SO and the
-        # crossing interpolation needs particles past the threshold
-        # radius, so presize to a slightly lower density target
         target_com = min(so_targets) * a**3 / 1.5 if so_targets else 0.0
-        so_eligible = (
-            is_central
-            if any(s.centrals_only for s in specs if s.kind == "SO")
-            else np.ones(H, bool)
+        so_centrals_only = any(
+            s.centrals_only for s in specs if s.kind == "SO"
         )
 
+        from soap_tpu.parallel.sharded import _sharded_presize_count
+
         first_round = True
-        while len(pending):
-            # one fused device round-trip: (first round only) SO
-            # gather-radius presizing + exact per-type candidate counts
-            radius_dev, counts_dev = presize_and_count(
-                self.chunk,
-                jnp.asarray(c_hi[pending]),
-                jnp.asarray((radius_phys[pending] / a).astype(np.float32)),
-                jnp.asarray(so_eligible[pending]),
+        while any(len(p) for p in pending):
+            Hp = max(max(len(p) for p in pending), 1)
+            Hp = -(-Hp // self._halos_quant) * self._halos_quant
+            c_pad = np.zeros((C, Hp, 3), np.float32)
+            r_pad = np.full((C, Hp), 1e-3, np.float32)
+            e_pad = np.zeros((C, Hp), bool)
+            for c in range(C):
+                p = pending[c]
+                if len(p) == 0:
+                    continue
+                c_pad[c, : len(p)] = chi_clo[c][0][p]
+                r_pad[c, : len(p)] = (radius_phys[c][p] / a).astype(np.float32)
+                e_pad[c, : len(p)] = (
+                    is_central[c][p] if so_centrals_only else True
+                )
+            radius_dev, counts_dev = _sharded_presize_count(
+                self.stacked,
+                self._put_halos(c_pad),
+                self._put_halos(r_pad),
+                self._put_halos(e_pad),
                 jnp.float32(target_com),
                 ctx0.ptypes,
-                do_presize=bool(so_targets) and first_round,
+                bool(so_targets) and first_round,
             )
-            radius_com = np.asarray(radius_dev)
-            radius_phys[pending] = np.minimum(
-                np.maximum(radius_phys[pending], radius_com.astype(np.float64) * a),
-                MAX_SEARCH_RADIUS,
-            )
-            radius_com = (radius_phys[pending] / a).astype(np.float32)
             first_round = False
-            totals = np.zeros(len(pending), dtype=np.int64)
-            per_type_counts = {}
-            for ptype, cnt_dev in zip(ctx0.ptypes, counts_dev):
-                cnt = np.asarray(cnt_dev)
-                per_type_counts[ptype] = cnt
-                totals = totals + cnt
+            radius_com_all = np.asarray(radius_dev)  # (C, Hp)
+            per_type_counts = {
+                pt: np.asarray(cd) for pt, cd in zip(ctx0.ptypes, counts_dev)
+            }
+            totals = np.zeros((C, Hp), np.int64)
+            for cnt in per_type_counts.values():
+                totals += cnt
 
-            order = np.argsort(totals)
-            next_pending: List[int] = []
-            in_flight: List[Dict] = []
+            orders, rcom = [], []
+            for c in range(C):
+                p = pending[c]
+                rp = np.minimum(
+                    np.maximum(
+                        radius_phys[c][p],
+                        radius_com_all[c, : len(p)].astype(np.float64) * a,
+                    ),
+                    MAX_SEARCH_RADIUS,
+                )
+                radius_phys[c][p] = rp
+                rcom.append((rp / a).astype(np.float32))
+                orders.append(np.argsort(totals[c, : len(p)]))
 
+            # ---- tile segmentation against the max-over-chunks profile ----
+            n_pos = max(len(p) for p in pending)
+            rowmax = np.zeros(n_pos, np.int64)
+            for c in range(C):
+                k = len(pending[c])
+                if k:
+                    rowmax[:k] = np.maximum(rowmax[:k], totals[c, :k][orders[c]])
+
+            plans: List[Dict] = []
             pos = 0
-            while pos < len(order):
-                # build one bucket: extend along the sorted halos while the
-                # padded row budget B * K stays within TARGET_ROWS, where K
-                # tracks the bucket's (quantized) maximum candidate count
+            while pos < n_pos:
                 n_sel = 1
-                cap_total = _next_pow2(int(totals[order[pos]]) + 8)
-                while pos + n_sel < len(order) and n_sel < MAX_BATCH:
-                    cap_next = _next_pow2(int(totals[order[pos + n_sel]]) + 8)
+                cap_total = _next_pow2(int(rowmax[pos]) + 8)
+                while pos + n_sel < n_pos and n_sel < MAX_BATCH:
+                    cap_next = _next_pow2(int(rowmax[pos + n_sel]) + 8)
                     if (n_sel + 1) * max(cap_total, cap_next) > TARGET_ROWS:
                         break
                     cap_total = max(cap_total, cap_next)
                     n_sel += 1
-                sel = order[pos : pos + n_sel]
-                # pad only to the next power of two of the real count — a
-                # small fixed set of (B, K) shapes keeps the jit cache hot
-                # without blowing up padded work
-                B = _next_pow2(len(sel), 8)
-                # capacity per ptype from the bucket's maxima
-                caps = []
-                for ptype in ctx0.ptypes:
-                    caps.append(
-                        _next_pow2(int(per_type_counts[ptype][sel].max()) + 8, 128)
-                    )
-                pos += len(sel)
+                B = _next_pow2(n_sel, max(8, self._halos_quant))
 
-                bucket_global = pending[sel]
-                rcom = radius_com[sel]
-                cubes = tuple(
-                    self._cube_for(pt, float(rcom.max())) for pt in ctx0.ptypes
+                sels = []
+                caps_need = {pt: 8 for pt in ctx0.ptypes}
+                rmax_tile = 1e-3
+                max_enclose = 0.0
+                have_enclose = all(
+                    e is not None for e in enclose_radius_phys
                 )
-                ctx = dataclasses.replace(ctx0, capacities=tuple(caps))
+                for c in range(C):
+                    sel = orders[c][pos : pos + n_sel]
+                    sels.append(sel)
+                    if len(sel):
+                        for pt in ctx0.ptypes:
+                            caps_need[pt] = max(
+                                caps_need[pt],
+                                int(per_type_counts[pt][c, sel].max()) + 8,
+                            )
+                        rmax_tile = max(rmax_tile, float(rcom[c][sel].max()))
+                        if have_enclose:
+                            max_enclose = max(
+                                max_enclose,
+                                float(
+                                    enclose_radius_phys[c][
+                                        pending[c][sel]
+                                    ].max()
+                                ),
+                            )
+                pos += n_sel
 
-                # pad the batch to B
-                nb = len(sel)
-                pad = B - nb
+                caps = tuple(
+                    _next_pow2(caps_need[pt], 128) for pt in ctx0.ptypes
+                )
+                cubes = tuple(
+                    self._cube_for(pt, rmax_tile) for pt in ctx0.ptypes
+                )
+                ctx = dataclasses.replace(ctx0, capacities=caps)
 
-                def padded(x, fill=0):
-                    x = np.asarray(x)
-                    if pad == 0:
-                        return x
-                    return np.concatenate(
-                        [x, np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)]
-                    )
-
-                # aperture-copy optimization: when every halo of the
-                # bucket is fully enclosed by the next-smaller aperture,
-                # compute only the radius-dependent keys and copy the rest
+                # aperture-copy optimization: when every halo of the tile
+                # (across all chunks) is fully enclosed by the
+                # next-smaller aperture, compute only the radius-dependent
+                # keys and copy the rest (``aperture_properties.py:4082``)
                 copied: Dict[str, HaloTypeSpec] = {}
                 bucket_specs: List[HaloTypeSpec] = []
-                if enclose_radius_phys is not None:
-                    max_enclose = float(enclose_radius_phys[bucket_global].max())
+                if have_enclose:
                     for spec in specs:
                         if (
                             spec.copy_from is not None
@@ -923,42 +1271,85 @@ class HaloEngine:
                 else:
                     bucket_specs = list(specs)
                 self.stats.n_copied_specs += len(copied)
+                bucket_specs = tuple(bucket_specs)
+                token = (bucket_specs, B, C)
+                sig = (ctx, bucket_specs, cubes, B)
+                plans.append(
+                    dict(
+                        sels=sels,
+                        B=B,
+                        caps=caps,
+                        cubes=cubes,
+                        ctx=ctx,
+                        specs=bucket_specs,
+                        token=token,
+                        sig=sig,
+                        rcom_tile=[rcom[c][sels[c]] for c in range(C)],
+                    )
+                )
 
-                # DISPATCH ONLY — jax execution is asynchronous; bucket
-                # programs queue back-to-back on the device and the host
-                # keeps building the next bucket.  Materializing outputs
-                # here would serialize one device round-trip per bucket
-                # (ruinous over a remote-TPU link).
-                bucket_args = (
-                    cubes,
-                    float(boxsize),
-                    self.chunk,
-                    jnp.asarray(padded(c_hi[bucket_global])),
-                    jnp.asarray(padded(c_lo[bucket_global])),
-                    jnp.asarray(padded(rcom, 1e-3)),
-                    jnp.asarray(padded(index[bucket_global], -1)),
-                    jnp.asarray(
-                        padded(radius_phys[bucket_global].astype(np.float32), 1e-3)
-                    ),
-                    jnp.asarray(padded(is_central[bucket_global], False)),
-                    jnp.asarray(padded(fof_id[bucket_global], -1)),
+            # ---- compile all distinct signatures of the round in parallel
+            if not self.record_spec_timings:
+                self._precompile(plans)
+
+            # ---- dispatch (async) ----
+            in_flight: List[Dict] = []
+            for pl in plans:
+                B = pl["B"]
+                t_chi = np.zeros((C, B, 3), np.float32)
+                t_clo = np.zeros((C, B, 3), np.float32)
+                t_rcom = np.full((C, B), 1e-3, np.float32)
+                t_idx = np.full((C, B), -1, np.int64)
+                t_srp = np.full((C, B), 1e-3, np.float32)
+                t_cen = np.zeros((C, B), bool)
+                t_fof = np.full((C, B), -1, np.int64)
+                glob = []
+                for c in range(C):
+                    sel = pl["sels"][c]
+                    g = pending[c][sel]
+                    glob.append(g)
+                    nb = len(sel)
+                    if nb == 0:
+                        continue
+                    t_chi[c, :nb] = chi_clo[c][0][g]
+                    t_clo[c, :nb] = chi_clo[c][1][g]
+                    t_rcom[c, :nb] = pl["rcom_tile"][c]
+                    t_idx[c, :nb] = index[c][g]
+                    t_srp[c, :nb] = radius_phys[c][g].astype(np.float32)
+                    t_cen[c, :nb] = is_central[c][g]
+                    t_fof[c, :nb] = fof_id[c][g]
+
+                t_bucket = time.perf_counter()
+                halo_args = (
+                    self.stacked,
+                    self._put_halos(t_chi),
+                    self._put_halos(t_clo),
+                    self._put_halos(t_rcom),
+                    self._put_halos(t_idx),
+                    self._put_halos(t_srp),
+                    self._put_halos(t_cen),
+                    self._put_halos(t_fof),
                     self.aux,
                 )
-                t_bucket = time.perf_counter()
-                token = None
                 if self.record_spec_timings:
                     # profiling mode: one device program per spec, timed
-                    # synchronously (radius-multiple specs recompute their
-                    # parent so the chain stays inside one program)
+                    # synchronously (radius-multiple specs recompute
+                    # their parent so the chain stays in one program)
                     out = {}
                     overflow = None
-                    by_group = {s.group: s for s in bucket_specs}
-                    for spec in bucket_specs:
+                    by_group = {s.group: s for s in pl["specs"]}
+                    for spec in pl["specs"]:
                         tup = (spec,)
                         if spec.radius_multiple_of in by_group:
                             tup = (by_group[spec.radius_multiple_of], spec)
                         t0s = time.perf_counter()
-                        o, ov = _process_bucket(ctx, tup, *bucket_args)
+                        o, ov = _process_bucket_multi_raw(
+                            pl["ctx"],
+                            tup,
+                            pl["cubes"],
+                            float(self.boxsize),
+                            *halo_args,
+                        )
                         jax.block_until_ready(o)
                         self.stats.spec_seconds[spec.group] = (
                             self.stats.spec_seconds.get(spec.group, 0.0)
@@ -967,107 +1358,151 @@ class HaloEngine:
                         )
                         out[spec.group] = o[spec.group]
                         overflow = ov
+                    token = None
                 else:
-                    # packed dispatch: every property lands in one dense
-                    # pool per dtype family, so materialization costs
-                    # <= 4 device->host transfers per bucket
-                    token = (tuple(bucket_specs), B)
-                    out, overflow = _process_bucket_packed(
-                        ctx, tuple(bucket_specs), token, *bucket_args
+                    compiled = self._aot_compile(
+                        pl["sig"],
+                        pl["ctx"],
+                        pl["specs"],
+                        pl["token"],
+                        pl["cubes"],
+                        B,
                     )
+                    out, overflow = compiled(*halo_args)
+                    token = pl["token"]
                 self.stats.n_bucket_calls += 1
                 in_flight.append(
                     dict(
-                        bucket_global=bucket_global,
-                        nb=nb,
+                        glob=glob,
                         B=B,
-                        caps=caps,
-                        cubes=cubes,
+                        caps=pl["caps"],
+                        cubes=pl["cubes"],
+                        specs=pl["specs"],
                         out=out,
                         token=token,
                         overflow=overflow,
                         t_dispatch=t_bucket,
-                        halo_counts=totals[sel],
+                        halo_counts=[
+                            totals[c, pl["sels"][c]] for c in range(C)
+                        ],
+                        tile_specs=specs,
                     )
                 )
 
-            # ---- materialize all buckets of this round at once ----
+            # ---- materialize all tiles of this round at once ----
+            next_pending: List[List[int]] = [[] for _ in range(C)]
             for fl in in_flight:
-                bucket_global = fl["bucket_global"]
-                nb = fl["nb"]
                 if fl["token"] is not None:
                     pools = {k: np.asarray(v) for k, v in fl["out"].items()}
-                    out = _unpack_bucket(fl["token"], pools)
+                    out = _unpack_bucket_multi(fl["token"], pools)
                 else:
-                    out = fl["out"]
-                overflow_h = np.asarray(fl["overflow"])[:nb]
+                    out = {
+                        g: {k: np.asarray(v) for k, v in d.items()}
+                        for g, d in fl["out"].items()
+                    }
+                overflow_np = np.asarray(fl["overflow"])  # (C, B)
                 dt_bucket = time.perf_counter() - fl["t_dispatch"]
+                n_real = sum(len(g) for g in fl["glob"])
                 self.stats.bucket_records.append(
-                    (nb, fl["B"], sum(fl["caps"]), max(fl["cubes"]), dt_bucket)
+                    (
+                        n_real,
+                        fl["B"] * C,
+                        sum(fl["caps"]),
+                        max(fl["cubes"]),
+                        dt_bucket,
+                    )
                 )
-                if halo_seconds is not None:
-                    # attribute bucket wall time ~ candidate-count share
-                    w = fl["halo_counts"].astype(np.float64) + 1.0
-                    halo_seconds[bucket_global] += dt_bucket * w / w.sum()
-                    halo_nloop[bucket_global] += 1
-                # resolve per-bucket outputs in spec order so copied
-                # apertures can chain off earlier (possibly also copied)
-                # apertures
-                needs = np.zeros(nb, dtype=bool)
-                bucket_out: Dict[str, Dict[str, np.ndarray]] = {}
-                for spec in specs:
-                    g = out.get(spec.group, {})
-                    source = bucket_out.get(spec.copy_from or "", {})
-                    res: Dict[str, np.ndarray] = {}
-                    for key in spec.keys:
-                        if key in g:
-                            res[key] = np.asarray(g[key])[:nb]
+                for c in range(C):
+                    g = fl["glob"][c]
+                    nb = len(g)
+                    if nb == 0:
+                        continue
+                    if halo_seconds is not None:
+                        w = fl["halo_counts"][c].astype(np.float64) + 1.0
+                        halo_seconds[c][g] += (
+                            dt_bucket * (nb / max(n_real, 1)) * w / w.sum()
+                        )
+                        halo_nloop[c][g] += 1
+                    # resolve outputs in spec order so copied apertures
+                    # chain off earlier (possibly also copied) apertures
+                    needs = np.zeros(nb, dtype=bool)
+                    bucket_out: Dict[str, Dict[str, np.ndarray]] = {}
+                    for spec in specs:
+                        gdict = out.get(spec.group, {})
+                        source = bucket_out.get(spec.copy_from or "", {})
+                        res: Dict[str, np.ndarray] = {}
+                        for key in spec.keys:
+                            if key in gdict:
+                                res[key] = gdict[key][c, :nb]
+                            else:
+                                res[key] = source[key]
+                        if "__needs_bigger__" in gdict:
+                            res["__needs_bigger__"] = gdict[
+                                "__needs_bigger__"
+                            ][c, :nb]
                         else:
-                            res[key] = source[key]
-                    if "__needs_bigger__" in g:
-                        res["__needs_bigger__"] = np.asarray(
-                            g["__needs_bigger__"]
-                        )[:nb]
-                    else:
-                        res["__needs_bigger__"] = source["__needs_bigger__"]
-                    bucket_out[spec.group] = res
+                            res["__needs_bigger__"] = source["__needs_bigger__"]
+                        bucket_out[spec.group] = res
 
-                for spec in specs:
-                    res = bucket_out[spec.group]
-                    needs |= res["__needs_bigger__"]
-                    buf = results.setdefault(spec.group, {})
-                    for key in spec.keys:
-                        arr = res[key]
-                        if key not in buf:
-                            buf[key] = np.zeros((H,) + arr.shape[1:], arr.dtype)
+                    for spec in specs:
+                        res = bucket_out[spec.group]
+                        nb_flags = res["__needs_bigger__"]
                         if spec.centrals_only:
-                            arr = np.where(
-                                _expand_mask(
-                                    is_central[bucket_global], arr.shape
-                                ),
-                                arr,
-                                0,
-                            )
-                        buf[key][bucket_global] = arr
+                            nb_flags = nb_flags & is_central[c][g]
+                        needs |= nb_flags
+                        buf = results[c].setdefault(spec.group, {})
+                        for key in spec.keys:
+                            arr = res[key]
+                            if key not in buf:
+                                buf[key] = np.zeros(
+                                    (H[c],) + arr.shape[1:], arr.dtype
+                                )
+                            if spec.centrals_only:
+                                arr = np.where(
+                                    _expand_mask(is_central[c][g], arr.shape),
+                                    arr,
+                                    0,
+                                )
+                            buf[key][g] = arr
 
-                retry = overflow_h | (
-                    needs & (radius_phys[bucket_global] < MAX_SEARCH_RADIUS)
-                )
-                self.stats.n_overflow += int(overflow_h.sum())
-                if retry.any():
-                    grown = bucket_global[retry]
-                    radius_phys[grown] *= READ_RADIUS_FACTOR
-                    next_pending.extend(grown.tolist())
-                    self.stats.n_retries += len(grown)
+                    ov = overflow_np[c, :nb]
+                    retry = ov | (
+                        needs & (radius_phys[c][g] < MAX_SEARCH_RADIUS)
+                    )
+                    self.stats.n_overflow += int(ov.sum())
+                    if retry.any():
+                        grown = g[retry]
+                        radius_phys[c][grown] *= READ_RADIUS_FACTOR
+                        next_pending[c].extend(grown.tolist())
+                        self.stats.n_retries += len(grown)
 
-            pending = np.array(sorted(next_pending), dtype=np.int64)
+            pending = [
+                np.array(sorted(npd), dtype=np.int64) for npd in next_pending
+            ]
 
         if halo_seconds is not None:
-            self.stats.halo_timing_chunks.append(
-                (np.asarray(index, np.int64).copy(), halo_seconds, halo_nloop)
-            )
-        self.stats.halos_done = H
-        return results
+            for c in range(C):
+                self.stats.halo_timing_chunks.append(
+                    (
+                        np.asarray(index[c], np.int64).copy(),
+                        halo_seconds[c],
+                        halo_nloop[c],
+                    )
+                )
+
+
+#: non-packed multi program for the per-spec timing mode
+def _process_bucket_multi_raw_impl(
+    ctx, specs, cubes, boxsize, stacked, *halo_args
+):
+    aux = halo_args[-1]
+    f = partial(_process_bucket_impl, ctx, specs, cubes, boxsize)
+    return jax.vmap(f, in_axes=(0,) * 8 + (None,))(stacked, *halo_args)
+
+
+_process_bucket_multi_raw = partial(
+    jax.jit, static_argnames=("ctx", "specs", "cubes", "boxsize")
+)(_process_bucket_multi_raw_impl)
 
 
 def _expand_mask(mask_1d: np.ndarray, shape) -> np.ndarray:
