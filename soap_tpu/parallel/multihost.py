@@ -19,6 +19,7 @@ arguments or the SLURM environment.
 from __future__ import annotations
 
 import os
+import socket
 from collections.abc import MutableMapping
 from typing import Dict, List, Optional, Tuple
 
@@ -123,6 +124,58 @@ class LazyScratchColumns(MutableMapping):
 
     def __len__(self) -> int:
         return sum(1 for _ in self)
+
+
+def check_scratch_complete(scratch_dir: str, specs, n_halos: int) -> None:
+    """Raise unless every chunk scratch file is present, complete and
+    together covers every halo (the pre-condition for combining)."""
+    import h5py
+
+    chunk_files = sorted(
+        f for f in os.listdir(scratch_dir)
+        if f.startswith("chunk_") and f.endswith(".hdf5")
+    )
+    if not chunk_files:
+        raise FileNotFoundError(f"no chunk scratch files in {scratch_dir}")
+    covered = np.zeros(n_halos, dtype=bool)
+    for fname in chunk_files:
+        with h5py.File(os.path.join(scratch_dir, fname), "r") as f:
+            if not f.attrs.get("Write complete", False):
+                raise RuntimeError(f"incomplete scratch file {fname}")
+            covered[f["rows"][...]] = True
+    if not covered.all():
+        missing = int((~covered).sum())
+        raise RuntimeError(
+            f"{missing} halos not covered by scratch files — "
+            "some hosts have not finished"
+        )
+
+
+def claim_combine(scratch_dir: str) -> bool:
+    """Atomically claim the combine+write phase for this process.
+
+    O_CREAT|O_EXCL on ``combine.lock`` — exactly one host of a
+    multi-host run wins and writes the output catalogue (the reference
+    serializes this on rank 0, ``combine_chunks.py:206-369``).  A stale
+    lock from a crashed combiner must be deleted manually before a
+    retry (the lock records host/pid for diagnosis).
+    """
+    path = os.path.join(scratch_dir, "combine.lock")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(f"{socket.gethostname()} pid={os.getpid()}\n")
+    return True
+
+
+def release_combine(scratch_dir: str) -> None:
+    """Release a previously claimed combine (failed attempt)."""
+    try:
+        os.unlink(os.path.join(scratch_dir, "combine.lock"))
+    except FileNotFoundError:
+        pass
 
 
 def combine_scratch(

@@ -412,16 +412,36 @@ def compute_halo_properties(
     )
     if chunk_subset is not None:
         # compute phase of a multi-host run: this host only covers its
-        # chunk subset; the combine phase (host 0 or a follow-up job)
-        # merges all scratch and writes the catalogue
+        # chunk subset.  EXACTLY ONE host performs the combine+write: the
+        # first to find every scratch file complete claims the combine
+        # with an O_EXCL lockfile (the atomic-claim analogue of the
+        # reference's rank-0 serialization, ``combine_chunks.py:206-369``
+        # — two hosts finishing near-simultaneously must not both write
+        # the output catalogue / used-parameters mirror).
         if host_index != 0 or len(chunk_subset) < nr_chunks:
+            try:
+                multihost.check_scratch_complete(
+                    scratch_dir, specs, cat.nr_halos
+                )
+            except (FileNotFoundError, RuntimeError) as e:
+                if verbose:
+                    print(f"skipping combine ({e}); partial results only")
+                return RunResult(results, cat, np.arange(cat.nr_halos), engine_stats, None, ctx)
+            if not multihost.claim_combine(scratch_dir):
+                if verbose:
+                    print(
+                        "another host claimed the combine; returning "
+                        "partial results (delete combine.lock to re-run)"
+                    )
+                return RunResult(results, cat, np.arange(cat.nr_halos), engine_stats, None, ctx)
             try:
                 results = multihost.combine_scratch(
                     scratch_dir, specs, cat.nr_halos, lazy=True
                 )
                 if verbose:
-                    print("combined all hosts' scratch files")
+                    print("combined all hosts' scratch files (combine claimed)")
             except (FileNotFoundError, RuntimeError) as e:
+                multihost.release_combine(scratch_dir)
                 if verbose:
                     print(f"skipping combine ({e}); partial results only")
                 return RunResult(results, cat, np.arange(cat.nr_halos), engine_stats, None, ctx)

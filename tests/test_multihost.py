@@ -119,3 +119,55 @@ def test_two_host_run(tmp_path):
     np.testing.assert_array_equal(
         r0.results["BoundSubhalo"]["Ndm"], ref.results["BoundSubhalo"]["Ndm"]
     )
+
+
+def test_combine_claim_single_writer(tmp_path):
+    """Exactly one host wins the combine claim; the loser returns
+    partial results and writes no catalogue (the O_EXCL analogue of the
+    reference's rank-0 combine serialization)."""
+    from soap_tpu.utils.mock_data import make_mock_simulation
+
+    sim = make_mock_simulation(
+        str(tmp_path), n_halos=8, n_field=4000, boxsize=20.0, seed=23
+    )
+    mem = str(tmp_path / "mem.hdf5")
+    run_group_membership(sim["snapshot"], sim["hbt_basename"], mem)
+    scratch = str(tmp_path / "scratch")
+    out0 = str(tmp_path / "cat0.hdf5")
+    out1 = str(tmp_path / "cat1.hdf5")
+
+    common = dict(
+        snapshot_file=sim["snapshot"],
+        membership_file=mem,
+        halo_basename=sim["hbt_basename"],
+        dmo=True,
+        specs=SPECS,
+        nr_chunks=4,
+        scratch_dir=scratch,
+        verbose=False,
+    )
+    r1 = compute_halo_properties(
+        host_index=1, host_count=2, output_file=out1, **common
+    )
+    assert r1.output_path is None  # chunks incomplete: no combine yet
+    # host 0 finishes its share and claims the combine
+    r0 = compute_halo_properties(
+        host_index=0, host_count=2, output_file=out0, **common
+    )
+    assert r0.output_path == out0
+    import os
+
+    assert os.path.exists(out0)
+    assert os.path.exists(os.path.join(scratch, "combine.lock"))
+    # host 1 re-runs (e.g. a requeued job): chunks are all complete,
+    # but the claim is taken -> it must NOT write a second catalogue
+    r1b = compute_halo_properties(
+        host_index=1, host_count=2, output_file=out1, **common
+    )
+    assert r1b.output_path is None
+    assert not os.path.exists(out1)
+
+    # claim primitives: exactly one winner, release allows re-claim
+    assert not multihost.claim_combine(scratch)
+    multihost.release_combine(scratch)
+    assert multihost.claim_combine(scratch)
