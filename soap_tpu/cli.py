@@ -104,6 +104,13 @@ def main(argv=None):
         help="write per-halo process_time/n_loop/n_process datasets into "
         "InputHalos (reference --record-halo-timings)",
     )
+    hp.add_argument(
+        "--record-property-timings",
+        action="store_true",
+        help="write a <name>_time dataset next to every property "
+        "(reference --record-property-timings; runs one device program "
+        "per calculation, slower — profiling only)",
+    )
 
     mem = sub.add_parser("membership", help="compute group membership files")
     _add_common(mem)
@@ -404,6 +411,7 @@ def main(argv=None):
             host_count=args.host_count,
             reference_snapshot=args.reference_snapshot,
             record_halo_timings=args.record_halo_timings,
+            record_property_timings=args.record_property_timings,
         )
         if args.profile:
             import jax

@@ -92,6 +92,7 @@ def write_catalogue(
     dataset_extra_attrs: Optional[Mapping[str, Mapping[str, object]]] = None,
     group_attrs: Optional[Mapping[str, Mapping[str, object]]] = None,
     run_parameters: Optional[Mapping[str, object]] = None,
+    property_timings: Optional[Mapping[str, np.ndarray]] = None,
 ):
     """Write the final catalogue file."""
     if table is None:
@@ -220,6 +221,7 @@ def write_catalogue(
         # --- computed halo-type groups ---
         extra = dataset_extra_attrs or {}
         for group, props in results.items():
+            timings = (property_timings or {}).get(group)
             for key, raw in props.items():
                 prop = table[key]
                 data = _convert_for_output(np.asarray(raw)[order], prop, a, reg)
@@ -227,6 +229,20 @@ def write_catalogue(
                 write_property(
                     f, full_name, data, prop, reg, extra_attrs=extra.get(full_name)
                 )
+                if timings is not None:
+                    # per-property ``_time`` dataset (reference
+                    # ``--record-property-timings``, README.md:203-211);
+                    # attribution granularity is the fused per-spec
+                    # program, so every property of a group shares its
+                    # group's per-halo seconds
+                    ds = f.create_dataset(
+                        f"{full_name}_time",
+                        data=np.asarray(timings, np.float32)[order],
+                    )
+                    ds.attrs["Description"] = np.bytes_(
+                        "Compute seconds attributed to this halo for "
+                        "this property's calculation group"
+                    )
             # per-variation mask metadata on the group itself
             # (reference combine_chunks.py:365-368)
             for k, v in (group_attrs or {}).get(group, {}).items():

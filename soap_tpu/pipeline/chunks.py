@@ -156,6 +156,7 @@ def process_chunks(
     t0: Optional[float] = None,
     verbose: bool = True,
     record_halo_timings: bool = False,
+    record_property_timings: bool = False,
 ) -> Tuple[Dict[str, Dict[str, np.ndarray]], EngineStats]:
     """Process all halos chunk by chunk; returns merged {group: {key: (H,...)}}."""
     if t0 is None:
@@ -281,6 +282,7 @@ def process_chunks(
             engine = HaloEngine(
                 ctx, chunk, specs, aux=aux, mesh=_local_mesh(),
                 record_halo_timings=record_halo_timings,
+                record_spec_timings=record_property_timings,
             )
             chunk_results = engine.process(
                 centres=cat.cofp[rows],
@@ -300,6 +302,12 @@ def process_chunks(
             total_stats.halos_done += s.halos_done
             total_stats.bucket_records.extend(s.bucket_records)
             total_stats.halo_timing_chunks.extend(s.halo_timing_chunks)
+            total_stats.spec_halo_chunks.extend(s.spec_halo_chunks)
+            total_stats.compile_seconds += s.compile_seconds
+            for g, sec in s.spec_seconds.items():
+                total_stats.spec_seconds[g] = (
+                    total_stats.spec_seconds.get(g, 0.0) + sec
+                )
             if verbose:
                 print(
                     f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: processed "

@@ -651,6 +651,22 @@ class EngineStats:
     compile_seconds: float = 0.0
     # per-spec device seconds (only with record_spec_timings)
     spec_seconds: Dict[str, float] = field(default_factory=dict)
+    # per-halo per-spec attribution (record_spec_timings): tuples of
+    # (group, catalogue index array, attributed seconds) — feeds the
+    # reference's per-property ``_time`` catalogue datasets
+    # (``aperture_properties.py:4226-4242``, README.md:203-211)
+    spec_halo_chunks: List[Tuple[str, np.ndarray, np.ndarray]] = field(
+        default_factory=list
+    )
+
+    def property_timings(self) -> Dict[str, Dict[int, float]]:
+        """{group: {catalogue index: seconds}} from the per-spec runs."""
+        out: Dict[str, Dict[int, float]] = {}
+        for group, idx, sec in self.spec_halo_chunks:
+            d = out.setdefault(group, {})
+            for i, s in zip(idx.tolist(), sec.tolist()):
+                d[i] = d.get(i, 0.0) + s
+        return out
     # per-bucket records: (n_halos, padded_B, capacity_K, cube, seconds)
     bucket_records: List[Tuple[int, int, int, int, float]] = field(
         default_factory=list
@@ -1351,11 +1367,32 @@ class HaloEngine:
                             *halo_args,
                         )
                         jax.block_until_ready(o)
+                        dt_spec = time.perf_counter() - t0s
                         self.stats.spec_seconds[spec.group] = (
                             self.stats.spec_seconds.get(spec.group, 0.0)
-                            + time.perf_counter()
-                            - t0s
+                            + dt_spec
                         )
+                        # attribute the spec's wall time over the tile's
+                        # halos by candidate-count share (per chunk)
+                        n_tile = sum(len(g) for g in glob)
+                        for c in range(C):
+                            g = glob[c]
+                            if len(g) == 0:
+                                continue
+                            w = (
+                                totals[c, pl["sels"][c]].astype(np.float64)
+                                + 1.0
+                            )
+                            self.stats.spec_halo_chunks.append(
+                                (
+                                    spec.group,
+                                    np.asarray(index[c][g], np.int64),
+                                    dt_spec
+                                    * (len(g) / max(n_tile, 1))
+                                    * w
+                                    / w.sum(),
+                                )
+                            )
                         out[spec.group] = o[spec.group]
                         overflow = ov
                     token = None

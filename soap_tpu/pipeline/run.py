@@ -307,6 +307,7 @@ def compute_halo_properties(
     host_count: Optional[int] = None,
     reference_snapshot: Optional[str] = None,
     record_halo_timings: bool = False,
+    record_property_timings: bool = False,
     verbose: bool = True,
 ) -> RunResult:
     """Run the full pipeline on one snapshot (single chunk).
@@ -409,6 +410,7 @@ def compute_halo_properties(
         t0=t0,
         verbose=verbose,
         record_halo_timings=record_halo_timings,
+        record_property_timings=record_property_timings,
     )
     if chunk_subset is not None:
         # compute phase of a multi-host run: this host only covers its
@@ -563,6 +565,22 @@ def compute_halo_properties(
             input_halos["n_loop"] = nl
             input_halos["n_process"] = ok.astype(np.int32)
 
+    property_timings = None
+    if record_property_timings and engine_stats.spec_halo_chunks:
+        # per-group per-halo seconds -> the writer emits one ``_time``
+        # dataset per property (reference ``--record-property-timings``,
+        # ``aperture_properties.py:4226-4242``; per-spec attribution is
+        # the granularity of one fused device program per calculation)
+        property_timings = {}
+        pos_of = {int(i): p for p, i in enumerate(cat.index)}
+        for group, tmap in engine_stats.property_timings().items():
+            arr = np.zeros(cat.nr_halos, np.float32)
+            for i, s in tmap.items():
+                p = pos_of.get(int(i))
+                if p is not None:
+                    arr[p] = s
+            property_timings[group] = arr
+
     if output_file and parameter_file is not None:
         # mirror of SWIFT's .used_parameters output
         # (reference ``parameter_file.py:74-83``)
@@ -583,6 +601,7 @@ def compute_halo_properties(
             git_hash=_git_hash(),
             dataset_extra_attrs=filter_attrs,
             group_attrs=group_attrs,
+            property_timings=property_timings,
             run_parameters={
                 "swift_filename": snapshot_file,
                 "membership_filename": membership_file or "",

@@ -54,6 +54,28 @@ def analyze(catalogue: str) -> Dict[str, object]:
     return out
 
 
+def analyze_properties(catalogue: str, top: int = 15) -> Dict[str, float]:
+    """Per-calculation-group seconds from ``<name>_time`` datasets
+    (``--record-property-timings``); one representative ``_time``
+    dataset per group (all properties of a group share its fused
+    program's attribution)."""
+    groups: Dict[str, float] = {}
+    with h5py.File(catalogue, "r") as f:
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset) and name.endswith("_time"):
+                group = name.rsplit("/", 1)[0]
+                if group not in groups:
+                    groups[group] = float(
+                        np.asarray(obj, np.float64).sum()
+                    )
+
+        f.visititems(visit)
+    return dict(
+        sorted(groups.items(), key=lambda kv: -kv[1])[: top or None]
+    )
+
+
 def report(catalogue: str) -> str:
     s = analyze(catalogue)
     lines = [
@@ -72,4 +94,9 @@ def report(catalogue: str) -> str:
             f"time ~ N^{s['time_vs_size_exponent']:.2f} "
             "(log-log fit vs bound particle count)"
         )
+    per_prop = analyze_properties(catalogue)
+    if per_prop:
+        lines.append("per-calculation time (from _time datasets):")
+        for group, sec in per_prop.items():
+            lines.append(f"  {sec:8.3f}s  {group}")
     return "\n".join(lines)

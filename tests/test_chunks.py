@@ -98,3 +98,51 @@ def test_scratch_rejects_stale_calc_names(sim, tmp_path):
     # scratch invalid for the new calc set -> recomputed
     assert r.stats.halos_done == 10
     assert "vcom" in r.results["BoundSubhalo"]
+
+
+def test_record_property_timings(tmp_path, mock_sim):
+    """--record-property-timings writes a ``<name>_time`` dataset per
+    property and timing-analysis can drill into them (reference
+    ``aperture_properties.py:4226-4242``, README.md:203-211)."""
+    import h5py
+
+    from soap_tpu.pipeline.engine import HaloTypeSpec
+    from soap_tpu.pipeline.membership import run_group_membership
+    from soap_tpu.pipeline.run import compute_halo_properties
+    from soap_tpu.tools.timing_analysis import analyze_properties
+
+    mem = str(tmp_path / "mem.hdf5")
+    run_group_membership(
+        mock_sim["snapshot"], mock_sim["hbt_basename"], mem
+    )
+    out = str(tmp_path / "cat.hdf5")
+    specs = [
+        HaloTypeSpec(kind="bound", group="BoundSubhalo", keys=("Mtot", "Ndm")),
+        HaloTypeSpec(
+            kind="SO",
+            group="SO/200_crit",
+            keys=("Mtot",),
+            so_type="crit",
+            so_multiple=200.0,
+            centrals_only=True,
+        ),
+    ]
+    compute_halo_properties(
+        snapshot_file=mock_sim["snapshot"],
+        membership_file=mem,
+        halo_basename=mock_sim["hbt_basename"],
+        output_file=out,
+        dmo=True,
+        specs=specs,
+        record_property_timings=True,
+        verbose=False,
+    )
+    with h5py.File(out) as f:
+        t_mass = np.asarray(f["BoundSubhalo/TotalMass_time"])
+        t_n = np.asarray(f["BoundSubhalo/NumberOfDarkMatterParticles_time"])
+        t_so = np.asarray(f["SO/200_crit/TotalMass_time"])
+    assert (t_mass >= 0).all() and t_mass.sum() > 0
+    np.testing.assert_array_equal(t_mass, t_n)  # per-spec granularity
+    assert t_so.sum() > 0
+    per_prop = analyze_properties(out)
+    assert per_prop["BoundSubhalo"] > 0 and per_prop["SO/200_crit"] > 0
