@@ -258,6 +258,16 @@ def build_mock_universe(
                 fields["TotalDustMassFractions"] = (
                     0.1 * fields["MetalMassFractions"]
                 ).astype(np.float32)
+                # COLIBRE-style dust-excluded element fractions + grain
+                # species columns (exercise the chemistry/dust tail)
+                fields["ElementMassFractionsDiffuse"] = (
+                    fields["ElementMassFractions"]
+                    * rng.uniform(0.6, 0.95, (n, 1)).astype(np.float32)
+                ).astype(np.float32)
+                grain = rng.dirichlet(np.ones(6), n).astype(np.float32)
+                fields["DustMassFractions"] = (
+                    grain * fields["TotalDustMassFractions"][:, None]
+                ).astype(np.float32)
                 fields["ComptonYParameters"] = 10.0 ** rng.uniform(
                     -10.0, -6.0, n
                 ).astype(np.float32)
@@ -403,6 +413,8 @@ _FIELD_UNITS = {
     "LastAGNFeedbackScaleFactors": dict(),
     "ElementMassFractions": dict(),
     "SpeciesFractions": dict(),
+    "ElementMassFractionsDiffuse": dict(),
+    "DustMassFractions": dict(),
     "Densities": dict(m=1.0, l=-3.0, a_exp=-3.0),
     "InternalEnergies": dict(l=2.0, t=-2.0, physical=True),
     "Pressures": dict(m=1.0, l=-1.0, t=-2.0, physical=True),
@@ -416,6 +428,14 @@ NAMED_COLUMNS = {
         "Neon", "Magnesium", "Silicon", "Iron",
     ],
     "SpeciesFractions": ["elec", "HI", "HII", "H2", "H2p"],
+    "ElementMassFractionsDiffuse": [
+        "Hydrogen", "Helium", "Carbon", "Nitrogen", "Oxygen",
+        "Neon", "Magnesium", "Silicon", "Iron",
+    ],
+    "DustMassFractions": [
+        "GraphiteLarge", "MgSilicatesLarge", "FeSilicatesLarge",
+        "GraphiteSmall", "MgSilicatesSmall", "FeSilicatesSmall",
+    ],
     "Luminosities": [
         "GAMA_u", "GAMA_g", "GAMA_r", "GAMA_i", "GAMA_z",
         "GAMA_Y", "GAMA_J", "GAMA_H", "GAMA_K",
