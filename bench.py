@@ -1,15 +1,22 @@
 """Benchmark: halos/sec through the full property engine on one chip.
 
-Workload: a synthetic DMO volume (NFW halos + uniform background, same
-generator as the tests), processed with the FULL production default
-spec set — BoundSubhalo + all 9 SO variations (incl. BN98 and the
-5xR500_crit radius multiple) + all 16 exclusive/inclusive 3D apertures
-+ 4 projected apertures x 3 axes = 38 calculations, exactly the
-reference's default ``halo_prop_list``
-(``compute_halo_properties.py:224-511``), DMO-filtered keys.  The first
-pass compiles (cached persistently across runs); the second pass
-measures steady-state throughput, which is what a production run over
-millions of halos sees.
+Three configurations (BASELINE.json configs 1/3-4/5):
+
+ 1. **DMO** (headline metric): a synthetic DMO volume (NFW halos +
+    uniform background), processed in-memory with the FULL production
+    default spec set — BoundSubhalo + all 9 SO variations (incl. BN98
+    and the 5xR500_crit radius multiple) + 16 exclusive/inclusive 3D
+    apertures + 4 projected apertures x 3 axes = 38 calculations,
+    exactly the reference's default ``halo_prop_list``
+    (``compute_halo_properties.py:224-511``), DMO-filtered keys.
+ 2. **Hydro**: the same spec set with the hydro property tail
+    (gas/star/BH species, temperatures, chemistry, X-ray, ...) through
+    the PRODUCTION pipeline (snapshot read -> staging -> engine) on a
+    mock hydro universe — the gas-field gather cost at bench scale.
+ 3. **Giant halo**: a DMO config whose largest halo exceeds 1e6
+    particles — the ``separate_chunks``-scale regime
+    (``domain_decomposition.py:29-62``); exercises the large-K bucket
+    ladder and is reported as a per-bucket record.
 
 Baseline: the reference publishes no benchmark numbers (BASELINE.md);
 the only quantitative envelope is FLAMINGO L1000N0900 — ~2.5e6 halos,
@@ -18,11 +25,15 @@ full property set, <= 4 h on one 128-core COSMA8 node
 >= ~174 halos/s/node.  ``vs_baseline`` is measured halos/s per chip
 divided by that envelope number.
 
-Prints ONE JSON line on stdout; progress goes to stderr.
+Prints ONE JSON line (the DMO headline) on stdout; hydro/giant numbers
+go to stderr (captured in the driver's tail).  SOAP_TPU_BENCH=dmo
+restricts to the headline config.
 """
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -34,30 +45,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    t0 = time.time()
+def _dmo_engine_setup(n_halos, mass_range, n_field, boxsize, seed):
     from soap_tpu.models.context import HaloContext
     from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
-    from soap_tpu.pipeline.engine import HaloEngine, HaloTypeSpec
     from soap_tpu.utils import mock_data
 
     G = mock_data.G_INTERNAL
-    n_halos = 2048
-    # log-uniform halo masses from ~32 to ~30000 particles: matches the
-    # production situation where the small-halo majority dominates the
-    # count (the reference envelope is per halo over the full mass
-    # function, ``scripts/FLAMINGO/...``); enough halos that fixed
-    # dispatch latency amortizes as it would in a production run
     uni = mock_data.build_mock_universe(
         n_halos=n_halos,
-        n_field=400_000,
-        boxsize=170.0,
-        seed=20260816,
-        mass_range=(3.2, 3000.0),
+        n_field=n_field,
+        boxsize=boxsize,
+        seed=seed,
+        mass_range=mass_range,
     )
-    log(f"[{time.time()-t0:6.1f}s] mock universe: {len(uni.pos)} particles, "
-        f"{uni.n_halos} halos")
-
     groupnr = np.full(len(uni.ids), -1, dtype=np.int64)
     id_to_row = np.empty(uni.ids.max() + 1, dtype=np.int64)
     id_to_row[uni.ids] = np.arange(len(uni.ids))
@@ -93,16 +93,11 @@ def main():
         capacities=(0,),
         dmo=True,
     )
-    # full production default calculation list (38 specs); BN98 bracket
-    # density at z=0 for this cosmology: x = Omega_m(z) - 1,
-    # Delta = 18 pi^2 + 82x - 39x^2 (Bryan & Norman 1998)
     from soap_tpu.pipeline.specs import build_specs
 
     x = uni.omega_m / E2 - 1.0
     bn98 = 18.0 * np.pi**2 + 82.0 * x - 39.0 * x * x
     specs = build_specs(None, dmo=True, bn98_value=bn98)
-    log(f"spec set: {len(specs)} calculations "
-        f"({sum(len(s.keys) for s in specs)} property keys)")
     args = dict(
         centres=uni.halo_pos,
         search_radius_phys=uni.halo_renclose * uni.a * 1.01,
@@ -112,22 +107,133 @@ def main():
         # enables the production aperture-copy optimization
         enclose_radius_phys=uni.halo_renclose * uni.a,
     )
+    return uni, chunk, ctx, specs, args
 
-    log(f"[{time.time()-t0:6.1f}s] warmup (compile) pass...")
+
+def bench_dmo(t0):
+    """Headline config: 2048-halo DMO volume, in-memory engine."""
+    from soap_tpu.pipeline.engine import HaloEngine
+
+    uni, chunk, ctx, specs, args = _dmo_engine_setup(
+        n_halos=2048,
+        # log-uniform halo masses from ~32 to ~30000 particles: matches
+        # the production situation where the small-halo majority
+        # dominates the count
+        mass_range=(3.2, 3000.0),
+        n_field=400_000,
+        boxsize=170.0,
+        seed=20260816,
+    )
+    log(f"[{time.time()-t0:6.1f}s] DMO universe: {len(uni.pos)} particles, "
+        f"{uni.n_halos} halos")
+    log(f"spec set: {len(specs)} calculations "
+        f"({sum(len(s.keys) for s in specs)} property keys)")
+
+    log(f"[{time.time()-t0:6.1f}s] DMO warmup (compile) pass...")
     engine = HaloEngine(ctx, chunk, specs)
     engine.process(**args)
     log(f"[{time.time()-t0:6.1f}s] warmup done "
         f"({engine.stats.n_bucket_calls} bucket calls, "
-        f"{engine.stats.n_retries} retries)")
+        f"{engine.stats.n_retries} retries, "
+        f"compile {engine.stats.compile_seconds:.0f}s)")
 
     engine = HaloEngine(ctx, chunk, specs)
     t1 = time.time()
     engine.process(**args)
     dt = time.time() - t1
-    halos_per_sec = n_halos / dt
-    log(f"[{time.time()-t0:6.1f}s] timed pass: {dt:.3f}s -> "
+    halos_per_sec = uni.n_halos / dt
+    log(f"[{time.time()-t0:6.1f}s] DMO timed pass: {dt:.3f}s -> "
         f"{halos_per_sec:.1f} halos/s")
     log(engine.stats.timing_report())
+    return halos_per_sec
+
+
+def bench_giant(t0):
+    """Giant-halo config: largest halo >= 1e6 particles (config 5's
+    separate-chunks regime)."""
+    from soap_tpu.pipeline.engine import HaloEngine
+
+    uni, chunk, ctx, specs, args = _dmo_engine_setup(
+        n_halos=6,
+        # particle_mass = 0.1 -> masses 1.2e5 = 1.2e6 particles at the top
+        mass_range=(2.0e4, 1.2e5),
+        n_field=200_000,
+        boxsize=170.0,
+        seed=4242,
+    )
+    n_big = max(len(b) for b in uni.bound_ids)
+    log(f"[{time.time()-t0:6.1f}s] giant-halo universe: "
+        f"{len(uni.pos)} particles, biggest halo {n_big} particles")
+    engine = HaloEngine(ctx, chunk, specs)
+    engine.process(**args)  # warmup
+    engine = HaloEngine(ctx, chunk, specs)
+    t1 = time.time()
+    engine.process(**args)
+    dt = time.time() - t1
+    log(f"[{time.time()-t0:6.1f}s] giant config: {uni.n_halos} halos "
+        f"(max {n_big} particles) in {dt:.3f}s "
+        f"({uni.n_halos/dt:.2f} halos/s)")
+    log(engine.stats.timing_report())
+    return n_big, dt
+
+
+def bench_hydro(t0):
+    """Hydro config through the PRODUCTION pipeline (read+stage+engine),
+    full default spec set with the hydro tail (configs 3-4)."""
+    from soap_tpu.pipeline.membership import run_group_membership
+    from soap_tpu.pipeline.run import compute_halo_properties
+    from soap_tpu.utils import mock_data
+
+    workdir = tempfile.mkdtemp(prefix="soap_bench_hydro_")
+    n_halos = 256
+    sim = mock_data.make_mock_simulation(
+        workdir,
+        n_halos=n_halos,
+        n_field=150_000,
+        boxsize=100.0,
+        seed=20260817,
+        hydro=True,
+        mass_range=(10.0, 3000.0),
+    )
+    membership = os.path.join(workdir, "membership.hdf5")
+    run_group_membership(sim["snapshot"], sim["hbt_basename"], membership)
+    npart = sum(
+        len(v["Coordinates"]) for v in sim["universe"].extra_ptypes.values()
+    ) + len(sim["universe"].pos)
+    log(f"[{time.time()-t0:6.1f}s] hydro universe: {npart} particles "
+        f"({n_halos} halos), production pipeline run...")
+    common = dict(
+        snapshot_file=sim["snapshot"],
+        membership_file=membership,
+        halo_basename=sim["hbt_basename"],
+        output_file=None,
+        dmo=False,
+        verbose=False,
+    )
+    compute_halo_properties(**common)  # warmup (compile + cache)
+    log(f"[{time.time()-t0:6.1f}s] hydro warmup done")
+    t1 = time.time()
+    run = compute_halo_properties(**common)
+    dt = time.time() - t1
+    log(f"[{time.time()-t0:6.1f}s] hydro timed pass (read+stage+engine): "
+        f"{dt:.3f}s -> {n_halos/dt:.1f} halos/s "
+        f"({len(run.results)} output groups)")
+    log(run.stats.timing_report())
+    return n_halos / dt
+
+
+def main():
+    t0 = time.time()
+    halos_per_sec = bench_dmo(t0)
+    if os.environ.get("SOAP_TPU_BENCH", "all") != "dmo":
+        try:
+            bench_giant(t0)
+        except Exception as e:  # secondary configs must not kill the headline
+            log(f"giant-halo config failed: {type(e).__name__}: {e}")
+        try:
+            bench_hydro(t0)
+        except Exception as e:
+            log(f"hydro config failed: {type(e).__name__}: {e}")
 
     print(
         json.dumps(
