@@ -588,45 +588,61 @@ class HaloSlice(ChemistryMixin):
                 configs.append((species, red_, it, None))
         if not configs:
             return {}
-        K = self.parts.valid.shape[0]
         lo4, hi4 = self.ctx.segment("PartType4")
-        w_rows, m_rows, r_rows, red_rows, it_rows, chk_rows, gates = (
-            [], [], [], [], [], [], []
-        )
-        search = None
-        for species, red_, it, band in configs:
-            mask, sphere, search_c, gate = self._inertia_cfg(species)
-            if band is None:
-                w = self.parts.mass
-            else:
-                w = jnp.zeros(K, jnp.float32).at[lo4:hi4].set(
-                    self._star_lum[:, band]
-                )
-            w_rows.append(w)
-            m_rows.append(mask)
-            r_rows.append(jnp.asarray(sphere, jnp.float32))
-            red_rows.append(red_)
-            it_rows.append(it)
-            chk_rows.append(search_c is not None)
-            gates.append(gate)
-            if search_c is not None:
-                search = search_c
-        result = inertia_ops.inertia_tensor_multi(
-            jnp.stack(w_rows),
-            self.parts.pos,
-            jnp.stack(m_rows),
-            jnp.stack(r_rows),
-            jnp.asarray(np.asarray(red_rows)),
-            jnp.asarray(np.asarray(it_rows)),
-            search_radius=search,
-            check_search=jnp.asarray(np.asarray(chk_rows)) if search is not None else None,
-        )
-        if search is not None:
-            self.add_flag(jnp.any(result.needs_bigger))
-        return {
-            cfg: jnp.where(gate > 0, result.tensor[i], 0.0)
-            for i, (cfg, gate) in enumerate(zip(configs, gates))
-        }
+        out: Dict[tuple, jnp.ndarray] = {}
+
+        def run_batch(cfgs, pos, seg):
+            """One batched kernel call; ``seg`` restricts to the star
+            segment (luminosity-band configs never select other rows, so
+            streaming only the segment keeps the per-iteration work and
+            the (C, K) mask block small)."""
+            m_rows, r_rows, red_rows, it_rows, chk_rows, gates = (
+                [], [], [], [], [], []
+            )
+            w_rows = []
+            search = None
+            for species, red_, it, band in cfgs:
+                mask, sphere, search_c, gate = self._inertia_cfg(species)
+                if seg:
+                    mask = mask[lo4:hi4]
+                    w_rows.append(self._star_lum[:, band])
+                m_rows.append(mask)
+                r_rows.append(jnp.asarray(sphere, jnp.float32))
+                red_rows.append(red_)
+                it_rows.append(it)
+                chk_rows.append(search_c is not None)
+                gates.append(gate)
+                if search_c is not None:
+                    search = search_c
+            # mass-weighted configs share ONE (K,) weight vector — no
+            # (C, K) weight block is ever materialized
+            weights = jnp.stack(w_rows) if seg else self.parts.mass
+            result = inertia_ops.inertia_tensor_multi(
+                weights,
+                pos,
+                jnp.stack(m_rows),
+                jnp.stack(r_rows),
+                jnp.asarray(np.asarray(red_rows)),
+                jnp.asarray(np.asarray(it_rows)),
+                search_radius=search,
+                check_search=(
+                    jnp.asarray(np.asarray(chk_rows))
+                    if search is not None
+                    else None
+                ),
+            )
+            if search is not None:
+                self.add_flag(jnp.any(result.needs_bigger))
+            for i, (cfg, gate) in enumerate(zip(cfgs, gates)):
+                out[cfg] = jnp.where(gate > 0, result.tensor[i], 0.0)
+
+        mass_cfgs = [c for c in configs if c[3] is None]
+        lum_cfgs = [c for c in configs if c[3] is not None]
+        if mass_cfgs:
+            run_batch(mass_cfgs, self.parts.pos, seg=False)
+        if lum_cfgs:
+            run_batch(lum_cfgs, self.parts.pos[lo4:hi4], seg=True)
+        return out
 
     @lazy_property
     def TotalInertiaTensor(self):
@@ -2604,35 +2620,41 @@ class ProjectedApertureSlice(HaloSlice):
                 configs.append((species, red_, it, None))
         if not configs:
             return {}
-        K = self.parts.valid.shape[0]
         lo4, hi4 = self.ctx.segment("PartType4")
-        w_rows, m_rows, r_rows, red_rows, it_rows, gates = [], [], [], [], [], []
-        for species, red_, it, band in configs:
-            mask, gate = self._proj_mask_gate(species)
-            if band is None:
-                w = self.parts.mass
-            else:
-                w = jnp.zeros(K, jnp.float32).at[lo4:hi4].set(
-                    self._star_lum[:, band]
-                )
-            w_rows.append(w)
-            m_rows.append(mask)
-            r_rows.append(jnp.asarray(self.aperture_radius, jnp.float32))
-            red_rows.append(red_)
-            it_rows.append(it)
-            gates.append(gate)
-        result = inertia_ops.projected_inertia_tensor_multi(
-            jnp.stack(w_rows),
-            self.proj_pos,
-            jnp.stack(m_rows),
-            jnp.stack(r_rows),
-            jnp.asarray(np.asarray(red_rows)),
-            jnp.asarray(np.asarray(it_rows)),
-        )
-        return {
-            cfg: jnp.where(gate > 0, result.tensor[i], 0.0)
-            for i, (cfg, gate) in enumerate(zip(configs, gates))
-        }
+        out: Dict[tuple, jnp.ndarray] = {}
+
+        def run_batch(cfgs, pos2d, seg):
+            m_rows, r_rows, red_rows, it_rows, gates = [], [], [], [], []
+            w_rows = []
+            for species, red_, it, band in cfgs:
+                mask, gate = self._proj_mask_gate(species)
+                if seg:
+                    mask = mask[lo4:hi4]
+                    w_rows.append(self._star_lum[:, band])
+                m_rows.append(mask)
+                r_rows.append(jnp.asarray(self.aperture_radius, jnp.float32))
+                red_rows.append(red_)
+                it_rows.append(it)
+                gates.append(gate)
+            weights = jnp.stack(w_rows) if seg else self.parts.mass
+            result = inertia_ops.projected_inertia_tensor_multi(
+                weights,
+                pos2d,
+                jnp.stack(m_rows),
+                jnp.stack(r_rows),
+                jnp.asarray(np.asarray(red_rows)),
+                jnp.asarray(np.asarray(it_rows)),
+            )
+            for i, (cfg, gate) in enumerate(zip(cfgs, gates)):
+                out[cfg] = jnp.where(gate > 0, result.tensor[i], 0.0)
+
+        mass_cfgs = [c for c in configs if c[3] is None]
+        lum_cfgs = [c for c in configs if c[3] is not None]
+        if mass_cfgs:
+            run_batch(mass_cfgs, self.proj_pos, seg=False)
+        if lum_cfgs:
+            run_batch(lum_cfgs, self.proj_pos[lo4:hi4], seg=True)
+        return out
 
     def _proj_inertia(self, species, reduced, iterative, lum_weighted=False):
         batch = self._inertia_batch2d

@@ -232,7 +232,7 @@ def inertia_tensor(
 
 
 def inertia_tensor_multi(
-    weights: jnp.ndarray,  # (C, K) per-config weights
+    weights: jnp.ndarray,  # (K,) SHARED or (C, K) per-config weights
     pos: jnp.ndarray,  # (K, 3) halo-relative positions (SHARED)
     masks: jnp.ndarray,  # (C, K) per-config selection
     sphere_radius: jnp.ndarray,  # (C,) aperture radii
@@ -249,13 +249,19 @@ def inertia_tensor_multi(
     into one loop makes each iteration stream the shared positions ONCE
     for all configs (the per-config loops re-read (K, 3) positions every
     iteration) and collapses ~10 compiled while loops per DAG into one.
+
+    Memory discipline: the tensor entries are computed as SIX fused
+    elementwise-masked reductions, never a dot — a dot_general would
+    materialize its (C, K) operand per vmapped halo/lane (a 21 GB
+    allocation in the hydro SO family); reduce fusions rematerialize
+    the producers instead.  Pass ``weights`` as (K,) whenever configs
+    share one weight vector so no (C, K) weight block exists at all.
     """
-    C = weights.shape[0]
+    C = masks.shape[0]
+    w_in = weights if weights.ndim == 2 else weights[None, :]
     r2 = jnp.sum(pos * pos, axis=1)  # (K,)
     zero_r = jnp.isclose(r2, 0.0)
     masks = masks & ~(reduced[:, None] & zero_r[None, :])
-    norm = jnp.where(reduced[:, None] & masks, r2[None, :], 1.0)  # (C, K)
-    w_base = jnp.where(masks, weights, 0.0)
 
     R = sphere_radius  # (C,)
     init_inside = masks & (r2[None, :] <= (R * R)[:, None])
@@ -264,6 +270,9 @@ def inertia_tensor_multi(
         n_init >= MIN_PARTICLES
     )
     limit = jnp.where(iterative, max_iterations, 1)
+    inv_norm = jnp.where(
+        reduced[:, None] & masks, 1.0 / jnp.where(zero_r, 1.0, r2)[None, :], 1.0
+    )  # (C, K) expression; fused into the reductions below
 
     def compute_tensor(eig_val, eig_vec):
         # eig_val (C, 3) ascending, eig_vec (C, 3, 3) columns
@@ -273,13 +282,33 @@ def inertia_tensor_multi(
         axis = R[:, None] * jnp.stack(
             [jnp.cbrt(s * p), jnp.cbrt(q / p), 1.0 / jnp.cbrt(q * s)], axis=1
         )  # (C, 3)
-        proj = jnp.einsum("ka,cab->ckb", pos, eig_vec) / axis[:, None, :]
-        rr = jnp.sum(proj * proj, axis=2)  # (C, K)
+        # rr as an explicit per-axis sum of squares (no (C, K, 3) einsum)
+        rr = jnp.zeros((C, 1), pos.dtype)
+        for b in range(3):
+            pb = (
+                pos[None, :, 0] * eig_vec[:, 0, b, None]
+                + pos[None, :, 1] * eig_vec[:, 1, b, None]
+                + pos[None, :, 2] * eig_vec[:, 2, b, None]
+            ) / axis[:, b, None]
+            rr = rr + pb * pb
         inside = masks & (rr <= 1.0)
-        w = jnp.where(inside, w_base, 0.0)
+        w = jnp.where(inside, w_in, 0.0)
         wsum = jnp.sum(w, axis=1)
-        w = w / jnp.maximum(wsum, 1e-37)[:, None]
-        tensor = jnp.einsum("ck,ki,kj->cij", w / norm, pos, pos)
+        wn = w * inv_norm / jnp.maximum(wsum, 1e-37)[:, None]
+        rows = []
+        for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+            rows.append(
+                jnp.sum(wn * pos[None, :, i] * pos[None, :, j], axis=1)
+            )
+        xx, xy, xz, yy, yz, zz = rows
+        tensor = jnp.stack(
+            [
+                jnp.stack([xx, xy, xz], axis=1),
+                jnp.stack([xy, yy, yz], axis=1),
+                jnp.stack([xz, yz, zz], axis=1),
+            ],
+            axis=1,
+        )  # (C, 3, 3)
         return tensor, q
 
     def cond(state):
@@ -350,31 +379,52 @@ def projected_inertia_tensor_multi(
     max_iterations: int = 20,
 ) -> InertiaResult:
     """All of one halo's 2D (projected) inertia configs in ONE loop;
-    per-config semantics identical to ``projected_inertia_tensor``."""
-    C = weights.shape[0]
+    per-config semantics identical to ``projected_inertia_tensor``.
+    Same memory discipline as ``inertia_tensor_multi``: fused masked
+    reductions instead of dots, (K,) shared weights supported."""
+    C = masks.shape[0]
+    w_in = weights if weights.ndim == 2 else weights[None, :]
     r2 = jnp.sum(pos2d * pos2d, axis=1)
     zero_r = jnp.isclose(r2, 0.0)
     masks = masks & ~(reduced[:, None] & zero_r[None, :])
-    norm = jnp.where(reduced[:, None] & masks, r2[None, :], 1.0)
-    w_base = jnp.where(masks, weights, 0.0)
     R = circle_radius
 
     init_inside = masks & (r2[None, :] <= (R * R)[:, None])
     enough = jnp.sum(init_inside.astype(jnp.int32), axis=1) >= MIN_PARTICLES
     limit = jnp.where(iterative, max_iterations, 1)
+    inv_norm = jnp.where(
+        reduced[:, None] & masks, 1.0 / jnp.where(zero_r, 1.0, r2)[None, :], 1.0
+    )
 
     def compute_tensor(eig_val, eig_vec):
         q = jnp.sqrt(eig_val[:, 0] / eig_val[:, 1])
         axis = R[:, None] * jnp.stack(
             [jnp.sqrt(q), 1.0 / jnp.sqrt(q)], axis=1
         )
-        proj = jnp.einsum("ka,cab->ckb", pos2d, eig_vec) / axis[:, None, :]
-        rr = jnp.sum(proj * proj, axis=2)
+        rr = jnp.zeros((C, 1), pos2d.dtype)
+        for b in range(2):
+            pb = (
+                pos2d[None, :, 0] * eig_vec[:, 0, b, None]
+                + pos2d[None, :, 1] * eig_vec[:, 1, b, None]
+            ) / axis[:, b, None]
+            rr = rr + pb * pb
         inside = masks & (rr <= 1.0)
-        w = jnp.where(inside, w_base, 0.0)
+        w = jnp.where(inside, w_in, 0.0)
         wsum = jnp.sum(w, axis=1)
-        w = w / jnp.maximum(wsum, 1e-37)[:, None]
-        tensor = jnp.einsum("ck,ki,kj->cij", w / norm, pos2d, pos2d)
+        wn = w * inv_norm / jnp.maximum(wsum, 1e-37)[:, None]
+        rows = []
+        for i, j in ((0, 0), (0, 1), (1, 1)):
+            rows.append(
+                jnp.sum(wn * pos2d[None, :, i] * pos2d[None, :, j], axis=1)
+            )
+        xx, xy, yy = rows
+        tensor = jnp.stack(
+            [
+                jnp.stack([xx, xy], axis=1),
+                jnp.stack([xy, yy], axis=1),
+            ],
+            axis=1,
+        )
         return tensor, q
 
     def cond(state):

@@ -1205,29 +1205,49 @@ class HaloEngine:
                 rcom.append((rp / a).astype(np.float32))
                 orders.append(np.argsort(totals[c, : len(p)]))
 
-            # ---- tile segmentation against the max-over-chunks profile ----
+            # ---- tile segmentation against the max-over-chunks profile.
+            # The row budget counts the SUM of per-type padded
+            # capacities (what the compiled program actually allocates:
+            # every type is padded to a power of two + minimum
+            # independently), not the padded total — a multi-type run
+            # would otherwise overshoot TARGET_ROWS by ~2x and, with the
+            # per-lane hydro field blocks on top, OOM the device.
             n_pos = max(len(p) for p in pending)
-            rowmax = np.zeros(n_pos, np.int64)
+            # per sorted position, per type: max candidate count over chunks
+            typemax = {
+                pt: np.zeros(n_pos, np.int64) for pt in ctx0.ptypes
+            }
             for c in range(C):
                 k = len(pending[c])
                 if k:
-                    rowmax[:k] = np.maximum(rowmax[:k], totals[c, :k][orders[c]])
+                    for pt in ctx0.ptypes:
+                        typemax[pt][:k] = np.maximum(
+                            typemax[pt][:k],
+                            per_type_counts[pt][c, :k][orders[c]],
+                        )
+
+            def _caps_sum(maxes):
+                return sum(
+                    _next_pow2(int(m) + 8, 128) for m in maxes.values()
+                )
 
             plans: List[Dict] = []
             pos = 0
             while pos < n_pos:
                 n_sel = 1
-                cap_total = _next_pow2(int(rowmax[pos]) + 8)
+                maxes = {pt: typemax[pt][pos] for pt in ctx0.ptypes}
                 while pos + n_sel < n_pos and n_sel < MAX_BATCH:
-                    cap_next = _next_pow2(int(rowmax[pos + n_sel]) + 8)
-                    if (n_sel + 1) * max(cap_total, cap_next) > TARGET_ROWS:
+                    cand = {
+                        pt: max(maxes[pt], typemax[pt][pos + n_sel])
+                        for pt in ctx0.ptypes
+                    }
+                    if (n_sel + 1) * _caps_sum(cand) > TARGET_ROWS:
                         break
-                    cap_total = max(cap_total, cap_next)
+                    maxes = cand
                     n_sel += 1
                 B = _next_pow2(n_sel, max(8, self._halos_quant))
 
                 sels = []
-                caps_need = {pt: 8 for pt in ctx0.ptypes}
                 rmax_tile = 1e-3
                 max_enclose = 0.0
                 have_enclose = all(
@@ -1237,11 +1257,6 @@ class HaloEngine:
                     sel = orders[c][pos : pos + n_sel]
                     sels.append(sel)
                     if len(sel):
-                        for pt in ctx0.ptypes:
-                            caps_need[pt] = max(
-                                caps_need[pt],
-                                int(per_type_counts[pt][c, sel].max()) + 8,
-                            )
                         rmax_tile = max(rmax_tile, float(rcom[c][sel].max()))
                         if have_enclose:
                             max_enclose = max(
@@ -1255,7 +1270,7 @@ class HaloEngine:
                 pos += n_sel
 
                 caps = tuple(
-                    _next_pow2(caps_need[pt], 128) for pt in ctx0.ptypes
+                    _next_pow2(int(maxes[pt]) + 8, 128) for pt in ctx0.ptypes
                 )
                 cubes = tuple(
                     self._cube_for(pt, rmax_tile) for pt in ctx0.ptypes
