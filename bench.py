@@ -155,8 +155,8 @@ def bench_giant(t0):
 
     uni, chunk, ctx, specs, args = _dmo_engine_setup(
         n_halos=6,
-        # particle_mass = 0.1 -> masses 1.2e5 = 1.2e6 particles at the top
-        mass_range=(2.0e4, 1.2e5),
+        # particle_mass = 0.1 -> masses up to 1.6e5 = 1.6e6 particles
+        mass_range=(9.0e4, 1.6e5),
         n_field=200_000,
         boxsize=170.0,
         seed=4242,
