@@ -262,14 +262,29 @@ def stage_ptype(
             off_i += w
     packed_f = jnp.concatenate(parts_f, axis=1)
     packed_i = jnp.concatenate(parts_i, axis=1) if parts_i else None
+    # pad the f32 block's width so whole rows tile 128-lane lines: the
+    # run-length DMA gather copies sub-blocks of rows as (rows*F/128,
+    # 128) lines, which requires F to divide (or be a multiple of) 128.
+    # Trailing pad columns are invisible to ``unpack_field`` (column
+    # offsets are unchanged)
+    from soap_tpu.ops.dma_gather import pad_columns_for_dma
+
+    f_pad = pad_columns_for_dma(packed_f.shape[1])
+    if f_pad != packed_f.shape[1]:
+        packed_f = jnp.pad(
+            packed_f, ((0, 0), (0, f_pad - packed_f.shape[1]))
+        )
     # quantize the device row count (quarter-pow2 steps, <= 25% padding):
     # bucket programs are compiled against the store's static shape, so
     # quantization lets successive chunks (and restarts) reuse compiled
     # programs / hit the persistent cache instead of recompiling per
     # chunk.  Padded rows are unreachable: cell offsets/counts only
     # reference the real rows.
+    # +1024 guard rows: the run-length DMA gather copies fixed-size
+    # sub-blocks and may overrun a range's true end by up to one block
+    # (the tail is marked invalid, but the read must stay in bounds)
     n_rows = packed_f.shape[0]
-    npad = _quantize_rows(n_rows)
+    npad = _quantize_rows(n_rows + 1024)
     if npad != n_rows:
         packed_f = jnp.pad(packed_f, ((0, npad - n_rows), (0, 0)))
         if packed_i is not None:

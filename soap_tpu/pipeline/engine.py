@@ -291,6 +291,7 @@ def _process_bucket_impl(
     is_central: jnp.ndarray,  # (B,) bool
     fof_id: jnp.ndarray,  # (B,) i64
     aux=None,  # pytree of shared (non-batched) device constants
+    dma_s: Optional[int] = None,  # static: DMA-gather sub-block rows
 ):
     """One padded bucket: gather + all property calculations."""
     a = jnp.float32(ctx.a)
@@ -303,20 +304,60 @@ def _process_bucket_impl(
     for ptype, cap, cube in zip(ctx.ptypes, ctx.capacities, cubes):
         pt = chunk.ptypes[ptype]
 
-        def one(c_hi, r):
-            starts, counts = halo_cell_ranges(
-                pt.spec, pt.offsets, pt.counts, c_hi, r, cube
+        if dma_s is not None:
+            # run-length DMA gather: copy whole sub-blocks of each
+            # halo's contiguous cell ranges with the DMA engines
+            # (ops/dma_gather.py) instead of one random access per row —
+            # the XLA row gather runs at ~0.7 GB/s on v5e and dominates
+            # large buckets.  The small i64 block rides a companion XLA
+            # gather on the same layout so row slots stay aligned.
+            from soap_tpu.ops.dma_gather import range_gather_rows
+
+            def ranges(c_hi, r):
+                return halo_cell_ranges(
+                    pt.spec, pt.offsets, pt.counts, c_hi, r, cube
+                )
+
+            starts, counts = jax.vmap(ranges)(centre_hi, radius_com)
+            gf, valid, src_rows, total = range_gather_rows(
+                pt.packed_f,
+                starts,
+                counts,
+                dma_s,
+                cap,
+                # CPU (SOAP_TPU_DMA_GATHER=1 in tests): identical layout
+                # through the XLA fallback — the layout contract is what
+                # the equality tests pin; the kernel itself needs TPU
+                use_dma=jax.devices()[0].platform != "cpu",
             )
-            return expand_ranges(starts, counts, cap)
+            overflow = overflow | (total > cap)
+            gi = (
+                jnp.take(pt.packed_i, src_rows, axis=0)
+                if pt.packed_i is not None
+                else None
+            )
+            idx = src_rows
+        else:
 
-        idx, valid, total = jax.vmap(one)(centre_hi, radius_com)
-        overflow = overflow | (total > cap)
+            def one(c_hi, r):
+                starts, counts = halo_cell_ranges(
+                    pt.spec, pt.offsets, pt.counts, c_hi, r, cube
+                )
+                return expand_ranges(starts, counts, cap)
 
-        # TWO gathers per ptype: all f32 columns and all i64 columns ride
-        # one packed row block each (TPU gathers are per-row-bound; the
-        # previous one-gather-per-field layout was the dominant cost)
-        gf = gather_rows(pt.packed_f, idx)  # (B, K, Ff)
-        gi = gather_rows(pt.packed_i, idx) if pt.packed_i is not None else None
+            idx, valid, total = jax.vmap(one)(centre_hi, radius_com)
+            overflow = overflow | (total > cap)
+
+            # TWO gathers per ptype: all f32 columns and all i64 columns
+            # ride one packed row block each (TPU gathers are
+            # per-row-bound; the previous one-gather-per-field layout
+            # was the dominant cost)
+            gf = gather_rows(pt.packed_f, idx)  # (B, K, Ff)
+            gi = (
+                gather_rows(pt.packed_i, idx)
+                if pt.packed_i is not None
+                else None
+            )
 
         def fld(name):
             return unpack_field(gf, gi, pt.cols_f, pt.cols_i, name)
@@ -533,6 +574,7 @@ def _process_bucket_packed_multi_impl(
     is_central,
     fof_id,
     aux=None,
+    dma_s=None,
 ):
     """The bucket program vmapped over the chunk axis, with packed
     output pools.
@@ -542,19 +584,43 @@ def _process_bucket_packed_multi_impl(
     gathers from its own chunk's particle store for its own halo lanes.
     On a single device the C=1 vmap is free.  Output pools are (C, B,
     cols) — still <= 4 device->host transfers per bucket.
+
+    ``dma_s`` (static) enables the run-length DMA gather; it is only
+    honoured on the un-vmapped C==1 path (a Pallas kernel under the
+    chunk-axis vmap would be replicated by GSPMD rather than
+    partitioned — the mesh path keeps the XLA gather).
     """
     f = partial(_process_bucket_impl, ctx, specs, cubes, boxsize)
-    out, overflow = jax.vmap(f, in_axes=(0,) * 8 + (None,))(
-        stacked,
-        centre_hi,
-        centre_lo,
-        radius_com,
-        index,
-        search_radius_phys,
-        is_central,
-        fof_id,
-        aux,
-    )
+    C = centre_hi.shape[0]
+    if C == 1 and dma_s is not None:
+        out1, ov1 = f(
+            jax.tree_util.tree_map(lambda x: x[0], stacked),
+            centre_hi[0],
+            centre_lo[0],
+            radius_com[0],
+            index[0],
+            search_radius_phys[0],
+            is_central[0],
+            fof_id[0],
+            aux,
+            dma_s=dma_s,
+        )
+        out = {
+            g: {k: v[None] for k, v in d.items()} for g, d in out1.items()
+        }
+        overflow = ov1[None]
+    else:
+        out, overflow = jax.vmap(f, in_axes=(0,) * 8 + (None,))(
+            stacked,
+            centre_hi,
+            centre_lo,
+            radius_com,
+            index,
+            search_radius_phys,
+            is_central,
+            fof_id,
+            aux,
+        )
     layout: List[Tuple[str, str, str, int, int, tuple, object]] = []
     cols = {name: 0 for name in _POOL_DTYPES}
     pieces = {name: [] for name in _POOL_DTYPES}
@@ -579,7 +645,8 @@ def _process_bucket_packed_multi_impl(
 
 
 _process_bucket_packed_multi = partial(
-    jax.jit, static_argnames=("ctx", "specs", "token", "cubes", "boxsize")
+    jax.jit,
+    static_argnames=("ctx", "specs", "token", "cubes", "boxsize", "dma_s"),
 )(_process_bucket_packed_multi_impl)
 
 
@@ -837,11 +904,32 @@ class HaloEngine:
                 ),
             )
 
+        # ---- run-length DMA gather (ops/dma_gather.py) ----
+        # "auto": on when targeting real TPU hardware with an un-meshed
+        # single-chunk store (the Pallas kernel would be replicated, not
+        # partitioned, under the GSPMD chunk axis).  "0" forces off,
+        # "1" forces on (any backend — for interpret-mode debugging).
+        dma_env = _os.environ.get("SOAP_TPU_DMA_GATHER", "auto")
+        use_dma = (
+            dma_env == "1"
+            or (
+                dma_env != "0"
+                and self.C == 1
+                and mesh is None
+                and jax.devices()[0].platform in ("tpu", "axon")
+            )
+        )
+        #: static DMA sub-block rows (None = XLA row gather)
+        self._dma_s = (
+            int(_os.environ.get("SOAP_TPU_DMA_S", 64)) if use_dma else None
+        )
+
         self._prog_key = (
             _shapes(self.stacked),
             _shapes(self.aux),
             mesh_key,
             float(self.boxsize),
+            self._dma_s,
         )
 
     # -- helpers ---------------------------------------------------------
@@ -869,7 +957,7 @@ class HaloEngine:
 
         return jax.tree_util.tree_map(leaf, tree)
 
-    def _aot_compile(self, sig, ctx, bucket_specs, token, cubes, B):
+    def _aot_compile(self, sig, ctx, bucket_specs, token, cubes, B, dma_s):
         """Lower+compile one bucket program (thread-safe, cached)."""
         cache_key = (self._prog_key, sig)
         if cache_key in _AOT_CACHE:
@@ -897,6 +985,7 @@ class HaloEngine:
             halo_av((C, B), jnp.bool_),
             halo_av((C, B), jnp.int64),
             aux_av,
+            dma_s,
         )
         compiled = lowered.compile()
         _AOT_CACHE[cache_key] = compiled
@@ -919,7 +1008,8 @@ class HaloEngine:
             pl = next(iter(todo.values()))
             t0 = time.perf_counter()
             self._aot_compile(
-                pl["sig"], pl["ctx"], pl["specs"], pl["token"], pl["cubes"], pl["B"]
+                pl["sig"], pl["ctx"], pl["specs"], pl["token"], pl["cubes"],
+                pl["B"], pl["dma_s"]
             )
             self.stats.compile_seconds += time.perf_counter() - t0
             return
@@ -936,6 +1026,7 @@ class HaloEngine:
                     pl["token"],
                     pl["cubes"],
                     pl["B"],
+                    pl["dma_s"],
                 )
                 for pl in todo.values()
             ]
@@ -1231,17 +1322,26 @@ class HaloEngine:
                     _next_pow2(int(m) + 8, 128) for m in maxes.values()
                 )
 
+            # hydro programs hold several live (B, lanes, K, 3) vector
+            # temporaries per fused family (lane-relative velocities
+            # etc.) that a DMO program does not — the row budget shrinks
+            # accordingly so peak HBM stays bounded
+            budget = TARGET_ROWS // (4 if len(ctx0.ptypes) > 1 else 1)
+
             plans: List[Dict] = []
             pos = 0
             while pos < n_pos:
                 n_sel = 1
                 maxes = {pt: typemax[pt][pos] for pt in ctx0.ptypes}
+                bq = max(8, self._halos_quant)
                 while pos + n_sel < n_pos and n_sel < MAX_BATCH:
                     cand = {
                         pt: max(maxes[pt], typemax[pt][pos + n_sel])
                         for pt in ctx0.ptypes
                     }
-                    if (n_sel + 1) * _caps_sum(cand) > TARGET_ROWS:
+                    # the program allocates the PADDED batch (pow2): use
+                    # it in the budget, not the raw selection count
+                    if _next_pow2(n_sel + 1, bq) * _caps_sum(cand) > budget:
                         break
                     maxes = cand
                     n_sel += 1
@@ -1269,12 +1369,49 @@ class HaloEngine:
                             )
                 pos += n_sel
 
-                caps = tuple(
-                    _next_pow2(int(maxes[pt]) + 8, 128) for pt in ctx0.ptypes
-                )
                 cubes = tuple(
                     self._cube_for(pt, rmax_tile) for pt in ctx0.ptypes
                 )
+                tile_dma_s = None
+                if self._dma_s is not None:
+                    # DMA-gather layout slack: each of the cube^3 cell
+                    # ranges may pad up to (S-1) tail rows + (align-1)
+                    # head rows (ops/dma_gather.py layout contract).
+                    # S scales up per tile so one halo's block-table
+                    # row (cap/S i32 entries, the kernel's per-program
+                    # SMEM block) stays within SMEM (1 MiB per core;
+                    # budget 48K entries = 192 KiB)
+                    from soap_tpu.ops.dma_gather import row_alignment
+
+                    def _dma_caps(S):
+                        return tuple(
+                            _next_pow2(
+                                int(maxes[pt])
+                                + 8
+                                + cube**3
+                                * (
+                                    S
+                                    + row_alignment(
+                                        self.stacked.ptypes[
+                                            pt
+                                        ].packed_f.shape[-1]
+                                    )
+                                ),
+                                128,
+                            )
+                            for pt, cube in zip(ctx0.ptypes, cubes)
+                        )
+
+                    tile_dma_s = self._dma_s
+                    caps = _dma_caps(tile_dma_s)
+                    while max(caps) // tile_dma_s > 48 * 1024:
+                        tile_dma_s *= 2
+                        caps = _dma_caps(tile_dma_s)
+                else:
+                    caps = tuple(
+                        _next_pow2(int(maxes[pt]) + 8, 128)
+                        for pt in ctx0.ptypes
+                    )
                 ctx = dataclasses.replace(ctx0, capacities=caps)
 
                 # aperture-copy optimization: when every halo of the tile
@@ -1304,7 +1441,7 @@ class HaloEngine:
                 self.stats.n_copied_specs += len(copied)
                 bucket_specs = tuple(bucket_specs)
                 token = (bucket_specs, B, C)
-                sig = (ctx, bucket_specs, cubes, B)
+                sig = (ctx, bucket_specs, cubes, B, tile_dma_s)
                 plans.append(
                     dict(
                         sels=sels,
@@ -1315,6 +1452,7 @@ class HaloEngine:
                         specs=bucket_specs,
                         token=token,
                         sig=sig,
+                        dma_s=tile_dma_s,
                         rcom_tile=[rcom[c][sels[c]] for c in range(C)],
                     )
                 )
@@ -1419,6 +1557,7 @@ class HaloEngine:
                         pl["token"],
                         pl["cubes"],
                         B,
+                        pl["dma_s"],
                     )
                     out, overflow = compiled(*halo_args)
                     token = pl["token"]
