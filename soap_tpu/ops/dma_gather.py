@@ -132,6 +132,54 @@ def expand_table_rows(
     return src_row, valid
 
 
+def merge_adjacent_ranges(
+    starts: jnp.ndarray,  # (C,) i32
+    counts: jnp.ndarray,  # (C,) i32 (0 = skip)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coalesce ranges that are contiguous in the source into one.
+
+    ``halo_cell_ranges`` emits the search cube's cells z-minor, and the
+    cell-sorted store lays flat cell indices out contiguously — so the
+    ``cube`` cells of a z-run usually form ONE contiguous row range
+    (except across periodic wraps).  Merging cuts the range count from
+    cube^3 toward 2*cube^2: fewer alignment heads / sub-block tails
+    (less destination slack) and fewer DMAs.  Zero-count ranges never
+    break a chain.  Output is (C,) padded with zero counts; merged
+    order preserves concatenation order, so the gather layout contract
+    is unchanged apart from smaller padding.
+    """
+    C = counts.shape[0]
+    nz = counts > 0
+    ends = starts + counts
+
+    # end of the last non-empty range BEFORE i ("carry last valid")
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    ends_in = (jnp.where(nz, ends, 0), nz)
+    carry_val, carry_ok = jax.lax.associative_scan(op, ends_in)
+    prev_val = jnp.concatenate([jnp.zeros(1, ends.dtype), carry_val[:-1]])
+    prev_ok = jnp.concatenate([jnp.zeros(1, bool), carry_ok[:-1]])
+
+    new_seg = nz & (~prev_ok | (starts != prev_val))
+    seg = jnp.cumsum(new_seg) - 1  # segment id per range (-1 before 1st)
+    seg = jnp.where(nz, jnp.maximum(seg, 0), C - 1)
+
+    big = jnp.iinfo(starts.dtype).max
+    m_start = (
+        jnp.full(C, big, starts.dtype)
+        .at[seg]
+        .min(jnp.where(nz, starts, big))
+    )
+    m_count = jnp.zeros(C, counts.dtype).at[seg].add(
+        jnp.where(nz, counts, 0)
+    )
+    m_start = jnp.where(m_count > 0, m_start, 0)
+    return m_start.astype(starts.dtype), m_count
+
+
 #: in-flight DMA depth (one semaphore slot each)
 _DMA_DEPTH = 8
 

@@ -311,12 +311,19 @@ def _process_bucket_impl(
             # the XLA row gather runs at ~0.7 GB/s on v5e and dominates
             # large buckets.  The small i64 block rides a companion XLA
             # gather on the same layout so row slots stay aligned.
-            from soap_tpu.ops.dma_gather import range_gather_rows
+            from soap_tpu.ops.dma_gather import (
+                merge_adjacent_ranges,
+                range_gather_rows,
+            )
 
             def ranges(c_hi, r):
-                return halo_cell_ranges(
+                s, c = halo_cell_ranges(
                     pt.spec, pt.offsets, pt.counts, c_hi, r, cube
                 )
+                # z-runs of the cube are contiguous in the cell-sorted
+                # store: coalescing them cuts per-range padding (the
+                # destination slack) and the DMA count by ~cube/2
+                return merge_adjacent_ranges(s, c)
 
             starts, counts = jax.vmap(ranges)(centre_hi, radius_com)
             gf, valid, src_rows, total = range_gather_rows(
@@ -664,6 +671,22 @@ def _unpack_bucket_multi(token: str, pools: Dict[str, np.ndarray]):
 
 def _next_pow2(n: int, floor: int = 256) -> int:
     return max(floor, 1 << int(math.ceil(math.log2(max(n, 1)))))
+
+
+def _quantize_cap(n: int, S: int, floor: int = 128) -> int:
+    """Quarter-pow2 row capacity >= n, a multiple of max(128, S).
+
+    The DMA-gather layout slack would otherwise routinely push a
+    just-under-pow2 candidate count over the boundary and DOUBLE the
+    bucket's row count; quarter steps cap the padding at 25% for a
+    modest increase in distinct compiled shapes."""
+    q = max(128, S)
+    n = max(n, floor, q)
+    k = 1 << int(math.ceil(math.log2(n)))
+    for c in (k // 2 + k // 8, k // 2 + k // 4, k // 2 + 3 * (k // 8), k):
+        if c >= n and c % q == 0:
+            return c
+    return k
 
 
 def min_physical_radius(specs: Sequence[HaloTypeSpec]) -> float:
@@ -1384,11 +1407,15 @@ class HaloEngine:
                     from soap_tpu.ops.dma_gather import row_alignment
 
                     def _dma_caps(S):
+                        # <= 2*cube^2 coalesced ranges after the z-run
+                        # merge (merge_adjacent_ranges), each padded by
+                        # up to S tail + align head rows
                         return tuple(
-                            _next_pow2(
+                            _quantize_cap(
                                 int(maxes[pt])
                                 + 8
-                                + cube**3
+                                + 2
+                                * cube**2
                                 * (
                                     S
                                     + row_alignment(
@@ -1397,7 +1424,7 @@ class HaloEngine:
                                         ].packed_f.shape[-1]
                                     )
                                 ),
-                                128,
+                                S,
                             )
                             for pt, cube in zip(ctx0.ptypes, cubes)
                         )

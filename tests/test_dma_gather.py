@@ -78,3 +78,29 @@ def test_overflow_signalling():
         packed, starts, counts, S, capacity, use_dma=False
     )
     assert int(total[0]) > capacity
+
+
+def test_merge_adjacent_ranges():
+    import jax.numpy as jnp
+
+    # A(0,10) zero B(10,5) C(40,5) D(45,0) E(45,3) -> [A+B, C+E merged?]
+    # C ends at 45, D empty, E starts at 45 -> C,E merge
+    starts = jnp.asarray([0, 0, 10, 40, 45, 45], jnp.int32)
+    counts = jnp.asarray([10, 0, 5, 5, 0, 3], jnp.int32)
+    ms, mc = dma_gather.merge_adjacent_ranges(starts, counts)
+    ms, mc = np.asarray(ms), np.asarray(mc)
+    got = [(s, c) for s, c in zip(ms, mc) if c > 0]
+    assert got == [(0, 15), (40, 8)]
+
+    # non-adjacent stay separate; all-empty stays empty
+    ms, mc = dma_gather.merge_adjacent_ranges(
+        jnp.asarray([5, 100], jnp.int32), jnp.asarray([3, 4], jnp.int32)
+    )
+    assert [(s, c) for s, c in zip(np.asarray(ms), np.asarray(mc)) if c > 0] == [
+        (5, 3),
+        (100, 4),
+    ]
+    ms, mc = dma_gather.merge_adjacent_ranges(
+        jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32)
+    )
+    assert int(np.asarray(mc).sum()) == 0
