@@ -1349,7 +1349,11 @@ class HaloEngine:
             # temporaries per fused family (lane-relative velocities
             # etc.) that a DMO program does not — the row budget shrinks
             # accordingly so peak HBM stays bounded
-            budget = TARGET_ROWS // (4 if len(ctx0.ptypes) > 1 else 1)
+            # hydro OOM headroom: ~20 live (B, lanes, K) f32 temps per
+            # fused family; at TARGET_ROWS/2 rows that is ~2.6 GB peak
+            # on a 16 GB chip (the /4 round-2 setting predates the
+            # quarter-pow2 caps and left B at 8-32 — dispatch-bound)
+            budget = TARGET_ROWS // (2 if len(ctx0.ptypes) > 1 else 1)
 
             plans: List[Dict] = []
             pos = 0
@@ -1357,6 +1361,18 @@ class HaloEngine:
                 n_sel = 1
                 maxes = {pt: typemax[pt][pos] for pt in ctx0.ptypes}
                 bq = max(8, self._halos_quant)
+                tile_budget = budget
+                if bq * _caps_sum(maxes) > budget:
+                    # giant-halo tile (K ~ 1e6): padding a singleton
+                    # tile to the 8-lane floor multiplies the live
+                    # (B, K) program temps 8x and OOMs the chip
+                    # (measured 25.2 GB at B=8, K=1048576 on a 16 GB
+                    # v5e).  Drop the lane floor to the mesh quantum
+                    # and halve the row budget — the huge-K programs
+                    # keep ~2x more live bytes per row than the
+                    # production-K ones (less fusion headroom).
+                    bq = max(1, self._halos_quant)
+                    tile_budget = budget // 2
                 while pos + n_sel < n_pos and n_sel < MAX_BATCH:
                     cand = {
                         pt: max(maxes[pt], typemax[pt][pos + n_sel])
@@ -1364,11 +1380,11 @@ class HaloEngine:
                     }
                     # the program allocates the PADDED batch (pow2): use
                     # it in the budget, not the raw selection count
-                    if _next_pow2(n_sel + 1, bq) * _caps_sum(cand) > budget:
+                    if _next_pow2(n_sel + 1, bq) * _caps_sum(cand) > tile_budget:
                         break
                     maxes = cand
                     n_sel += 1
-                B = _next_pow2(n_sel, max(8, self._halos_quant))
+                B = _next_pow2(n_sel, bq)
 
                 sels = []
                 rmax_tile = 1e-3
