@@ -2794,7 +2794,11 @@ def shared_sort_artifacts(
     mask ever needs a permutation gather (see the sorted-mask block in
     ``HaloSlice``).
     """
-    r = jnp.sqrt(jnp.sum(parts.pos * parts.pos, axis=1))
+    # elementwise row norm: a (K, 3) axis-1 reduce materializes a
+    # trailing-singleton (B, K, 1) temp that the TPU layout pads 128x
+    # (4 GB at K=2^20); the sliced form stays rank-2 and fuses
+    x, y, z = parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
     key = jnp.where(parts.valid, r, jnp.inf)
     iota = jnp.arange(key.shape[0], dtype=jnp.int32)
     bound = parts.valid & (parts.groupnr == scalars.index)

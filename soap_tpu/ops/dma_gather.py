@@ -123,13 +123,18 @@ def expand_table_rows(
 
     The source index reproduces what the DMA copies land in each slot —
     used by the CPU/testing fallback path and for validity masking.
+
+    Broadcast form, deliberately gather-free: ``table[j // S]`` as a
+    vmapped gather materializes an (B, capacity, 1) index temp whose
+    trailing singleton the TPU layout pads 128x (measured 4 GB per temp
+    at B=8, capacity=2^20) — the (R, S) broadcast + collapse reshape
+    fuses into consumers instead.
     """
-    j = jnp.arange(capacity, dtype=jnp.int32)
-    blk = j // S
-    off = j - blk * S
-    src_row = table[blk] + off
-    valid = (off >= head[blk]) & (off - head[blk] < rows_valid[blk])
-    return src_row, valid
+    off = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+    src_row = table[:, None] + off  # (R, S)
+    rel = off - head[:, None]
+    valid = (rel >= 0) & (rel < rows_valid[:, None])
+    return src_row.reshape(capacity), valid.reshape(capacity)
 
 
 def merge_adjacent_ranges(

@@ -1362,7 +1362,7 @@ class HaloEngine:
                 maxes = {pt: typemax[pt][pos] for pt in ctx0.ptypes}
                 bq = max(8, self._halos_quant)
                 tile_budget = budget
-                if bq * _caps_sum(maxes) > budget:
+                if bq * _caps_sum(maxes) >= budget:
                     # giant-halo tile (K ~ 1e6): padding a singleton
                     # tile to the 8-lane floor multiplies the live
                     # (B, K) program temps 8x and OOMs the chip
