@@ -208,7 +208,7 @@ def bench_hydro(t0):
         halo_basename=sim["hbt_basename"],
         output_file=None,
         dmo=False,
-        verbose=False,
+        verbose=True,
     )
     compute_halo_properties(**common)  # warmup (compile + cache)
     log(f"[{time.time()-t0:6.1f}s] hydro warmup done")

@@ -265,6 +265,7 @@ def process_chunks(
                     f"particles ({int(mask.sum())}/{len(mask)} cells), "
                     f"{len(rows)} halos"
                 )
+            t_stage = time.time()
             chunk_ptypes = {}
             for pt in ptypes:
                 fields = {
@@ -278,6 +279,24 @@ def process_chunks(
                     meta.boxsize,
                 )
             chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
+            # drain the staging transfers/sorts before the engine so the
+            # first bucket's timing is compute, not a queue of uploads
+            import jax
+
+            jax.block_until_ready(
+                [p.packed_f for p in chunk_ptypes.values()]
+            )
+            if verbose:
+                n_bytes = sum(
+                    p.packed_f.nbytes
+                    + (p.packed_i.nbytes if p.packed_i is not None else 0)
+                    for p in chunk_ptypes.values()
+                )
+                print(
+                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: staged "
+                    f"{n_bytes/1e6:.0f} MB to device in "
+                    f"{time.time()-t_stage:.1f}s"
+                )
 
             engine = HaloEngine(
                 ctx, chunk, specs, aux=aux, mesh=_local_mesh(),

@@ -113,6 +113,45 @@ class HaloTypeSpec:
         raise ValueError(self.so_type)
 
 
+@jax.tree_util.register_pytree_node_class
+class _FamilyStack:
+    """Family-blocked outputs kept stacked over the member axis.
+
+    The per-member unpack used to happen at trace time — one slice +
+    reshape per (member, key), thousands of HLO ops per program (the
+    dominant graph-size term: 7k ops in the 38-calculation hydro
+    program).  The stack now rides through the output pools whole and
+    members become column offsets in the host-side unpack layout.
+    """
+
+    def __init__(self, groups, data):
+        self.groups = tuple(groups)
+        self.data = dict(data)
+
+    def tree_flatten(self):
+        names = tuple(sorted(self.data))
+        return tuple(self.data[n] for n in names), (self.groups, names)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        groups, names = aux
+        return cls(groups, dict(zip(names, children)))
+
+
+class _MemberView:
+    """Lazy per-member view into a family stack for the ``prior``
+    chain: only the scalars a dependent spec actually reads are
+    sliced out of the stack."""
+
+    __slots__ = ("_data", "_i")
+
+    def __init__(self, data, i):
+        self._data, self._i = data, i
+
+    def __getitem__(self, key):
+        return self._data[key][self._i]
+
+
 def _make_slice(spec, ctx, parts, scalars, prior, dens, aux):
     if spec.kind == "bound":
         return BoundSubhaloSlice(ctx, parts, scalars, aux=aux)
@@ -268,10 +307,12 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
                 return compute_properties(s, keys)
 
             stacked = jax.vmap(one)(pvec)
+            groups = tuple(spec.group for spec, _ in members)
             for i, (spec, _) in enumerate(members):
-                res = {k: v[i] for k, v in stacked.items()}
-                prior[spec.group] = res
-                out[spec.group] = res
+                prior[spec.group] = _MemberView(stacked, i)
+            out["\x00" + groups[0]] = _FamilyStack(
+                groups, {k: v[: len(members)] for k, v in stacked.items()}
+            )
         return out
 
     return fn
@@ -437,19 +478,16 @@ def _process_bucket_impl(
     out = jax.vmap(fn)(parts, scalars)
 
     # zero out and re-flag halos whose candidate buffer overflowed
-    for group in out:
-        nb = out[group]["__needs_bigger__"] & (~overflow)
-        out[group]["__needs_bigger__"] = nb
+    for group, res in out.items():
+        if isinstance(res, _FamilyStack):
+            res.data["__needs_bigger__"] = res.data["__needs_bigger__"] & (
+                ~overflow[:, None]
+            )
+        else:
+            res["__needs_bigger__"] = res["__needs_bigger__"] & (~overflow)
     # SO for satellites: computed but masked at assembly (centrals_only)
     return out, overflow
 
-
-#: jitted single-chunk entry point; the sharded multi-chip path vmaps
-#: ``_process_bucket_impl`` over a stacked chunk axis instead
-#: (``soap_tpu/parallel/sharded.py``).
-_process_bucket = partial(
-    jax.jit, static_argnames=("ctx", "specs", "cubes", "boxsize")
-)(_process_bucket_impl)
 
 #: process-wide AOT bucket-program cache: (store/mesh key, signature) ->
 #: compiled executable.  Engines are constructed per chunk; this cache
@@ -493,77 +531,6 @@ def _pool_for(dtype) -> str:
     if dtype == jnp.float64:
         return "f64"
     return "f32"
-
-
-def _process_bucket_packed_impl(
-    ctx,
-    specs,
-    token,
-    cubes,
-    boxsize,
-    chunk,
-    centre_hi,
-    centre_lo,
-    radius_com,
-    index,
-    search_radius_phys,
-    is_central,
-    fof_id,
-    aux=None,
-):
-    out, overflow = _process_bucket_impl(
-        ctx,
-        specs,
-        cubes,
-        boxsize,
-        chunk,
-        centre_hi,
-        centre_lo,
-        radius_com,
-        index,
-        search_radius_phys,
-        is_central,
-        fof_id,
-        aux,
-    )
-    layout: List[Tuple[str, str, str, int, int, tuple, object]] = []
-    cols = {name: 0 for name in _POOL_DTYPES}
-    pieces = {name: [] for name in _POOL_DTYPES}
-    for group in out:
-        for key, arr in out[group].items():
-            pool = _pool_for(arr.dtype)
-            B = arr.shape[0]
-            flat = arr.reshape(B, -1).astype(_POOL_DTYPES[pool])
-            width = flat.shape[1]
-            layout.append(
-                (group, key, pool, cols[pool], width, arr.shape[1:], arr.dtype)
-            )
-            cols[pool] += width
-            pieces[pool].append(flat)
-    _PACK_LAYOUTS[token] = layout
-    pools = {
-        name: jnp.concatenate(parts, axis=1)
-        for name, parts in pieces.items()
-        if parts
-    }
-    return pools, overflow
-
-
-_process_bucket_packed = partial(
-    jax.jit, static_argnames=("ctx", "specs", "token", "cubes", "boxsize")
-)(_process_bucket_packed_impl)
-
-
-def _unpack_bucket(token: str, pools: Dict[str, np.ndarray]):
-    """Rebuild {group: {key: array}} from materialized pools."""
-    out: Dict[str, Dict[str, np.ndarray]] = {}
-    for group, key, pool, col, width, row_shape, dtype in _PACK_LAYOUTS[token]:
-        flat = pools[pool][:, col : col + width]
-        arr = flat.reshape((flat.shape[0],) + tuple(row_shape)).astype(
-            np.dtype(dtype), copy=False
-        )
-        out.setdefault(group, {})[key] = arr
-    return out
 
 
 def _process_bucket_packed_multi_impl(
@@ -612,8 +579,14 @@ def _process_bucket_packed_multi_impl(
             aux,
             dma_s=dma_s,
         )
+        def _lift(d):
+            return {k: v[None] for k, v in d.items()}
+
         out = {
-            g: {k: v[None] for k, v in d.items()} for g, d in out1.items()
+            g: _FamilyStack(v.groups, _lift(v.data))
+            if isinstance(v, _FamilyStack)
+            else _lift(v)
+            for g, v in out1.items()
         }
         overflow = ov1[None]
     else:
@@ -631,8 +604,34 @@ def _process_bucket_packed_multi_impl(
     layout: List[Tuple[str, str, str, int, int, tuple, object]] = []
     cols = {name: 0 for name in _POOL_DTYPES}
     pieces = {name: [] for name in _POOL_DTYPES}
-    for group in out:
-        for key, arr in out[group].items():
+    for group, val in out.items():
+        if isinstance(val, _FamilyStack):
+            # stacked family: ONE flatten per key; members become
+            # column offsets in the host-side unpack layout
+            for key, arr in val.data.items():
+                pool = _pool_for(arr.dtype)
+                C, B, n = arr.shape[0], arr.shape[1], arr.shape[2]
+                row_shape = arr.shape[3:]
+                wpm = 1
+                for d in row_shape:
+                    wpm *= int(d)
+                flat = arr.reshape(C, B, -1).astype(_POOL_DTYPES[pool])
+                for i, grp in enumerate(val.groups):
+                    layout.append(
+                        (
+                            grp,
+                            key,
+                            pool,
+                            cols[pool] + i * wpm,
+                            wpm,
+                            row_shape,
+                            arr.dtype,
+                        )
+                    )
+                cols[pool] += wpm * n
+                pieces[pool].append(flat)
+            continue
+        for key, arr in val.items():
             pool = _pool_for(arr.dtype)
             C, B = arr.shape[0], arr.shape[1]
             flat = arr.reshape(C, B, -1).astype(_POOL_DTYPES[pool])
@@ -1729,9 +1728,19 @@ class HaloEngine:
 def _process_bucket_multi_raw_impl(
     ctx, specs, cubes, boxsize, stacked, *halo_args
 ):
-    aux = halo_args[-1]
     f = partial(_process_bucket_impl, ctx, specs, cubes, boxsize)
-    return jax.vmap(f, in_axes=(0,) * 8 + (None,))(stacked, *halo_args)
+    out, overflow = jax.vmap(f, in_axes=(0,) * 8 + (None,))(
+        stacked, *halo_args
+    )
+    # profiling path: expand family stacks into plain per-group dicts
+    real = {}
+    for g, val in out.items():
+        if isinstance(val, _FamilyStack):
+            for i, grp in enumerate(val.groups):
+                real[grp] = {k: a[:, :, i] for k, a in val.data.items()}
+        else:
+            real[g] = val
+    return real, overflow
 
 
 _process_bucket_multi_raw = partial(
