@@ -45,10 +45,13 @@ class PTypeChunk:
     spec: GridSpec  # static
     n: int  # real particle count (NOT part of the jit signature: row
     # counts are shape-quantized so chunks share compiled programs)
-    packed_f: jnp.ndarray  # (N, Ff) f32: pos_hi | pos_lo | f32 fields
-    packed_i: Optional[jnp.ndarray]  # (N, Fi) i64 (None when no int fields)
+    packed_f: jnp.ndarray  # (N, Ff) f32: pos_hi | pos_lo | f32 fields |
+    # int fields as bitcast f32 bit-halves (one gather serves all fields)
+    packed_i: Optional[jnp.ndarray]  # retired: always None (ints ride
+    # packed_f as bit-halves); kept for pytree layout stability
     cols_f: Tuple  # static ((name, start, row_shape), ...) into packed_f
     cols_i: Tuple  # static ((name, start, row_shape, dtype_str), ...)
+    # with start indexing packed_f (2 columns per int)
     offsets: jnp.ndarray  # (C,) i32 first row of each cell
     counts: jnp.ndarray  # (C,) i32
     sat: jnp.ndarray  # (d0+1, d1+1, d2+1) i32 summed-area table
@@ -135,7 +138,11 @@ def unpack_field(packed_f, packed_i, cols_f, cols_i, name):
     for cname, start, shape, dtype_str in cols_i:
         if cname == name:
             w = _row_width(shape)
-            out = packed_i[..., start : start + w]
+            # int columns are stored as f32 bit-halves inside packed_f
+            # (see stage_ptype): reassemble i64 from consecutive pairs
+            bits = packed_f[..., start : start + 2 * w]
+            pairs = bits.reshape(bits.shape[:-1] + (w, 2))
+            out = jax.lax.bitcast_convert_type(pairs, jnp.int64)
             dt = jnp.dtype(dtype_str)
             if dt == jnp.uint64:
                 out = jax.lax.bitcast_convert_type(out, jnp.uint64)
@@ -240,9 +247,7 @@ def stage_ptype(
     parts_f = [pos_hi[order], pos_lo[order]]
     cols_f = []
     off_f = 6
-    parts_i = []
     cols_i = []
-    off_i = 0
     for name in sorted(dev_fields):
         arr = dev_fields[name]
         shape = tuple(int(s) for s in arr.shape[1:])
@@ -257,11 +262,18 @@ def stage_ptype(
                 a = jax.lax.bitcast_convert_type(a, jnp.int64)
             else:
                 a = a.astype(jnp.int64)
-            parts_i.append(a)
-            cols_i.append((name, off_i, shape, str(arr.dtype)))
-            off_i += w
+            # integer columns live INSIDE the f32 block as bitcast
+            # bit-halves: ONE row gather (or DMA copy) serves every
+            # field — the separate (N, Fi) i64 block previously rode
+            # its own XLA row gather per bucket (~0.7 GB/s, 10+% of a
+            # DMO bucket).  Only copy/slice ops ever touch the bits
+            # before ``unpack_field`` bitcasts them back, so NaN
+            # payloads survive.
+            bits = jax.lax.bitcast_convert_type(a, jnp.float32)  # (N, w, 2)
+            parts_f.append(bits.reshape(arr.shape[0], -1))
+            cols_i.append((name, off_f, shape, str(arr.dtype)))
+            off_f += 2 * w
     packed_f = jnp.concatenate(parts_f, axis=1)
-    packed_i = jnp.concatenate(parts_i, axis=1) if parts_i else None
     # pad the f32 block's width so whole rows tile 128-lane lines: the
     # run-length DMA gather copies sub-blocks of rows as (rows*F/128,
     # 128) lines, which requires F to divide (or be a multiple of) 128.
@@ -287,13 +299,11 @@ def stage_ptype(
     npad = _quantize_rows(n_rows + 1024)
     if npad != n_rows:
         packed_f = jnp.pad(packed_f, ((0, npad - n_rows), (0, 0)))
-        if packed_i is not None:
-            packed_i = jnp.pad(packed_i, ((0, npad - n_rows), (0, 0)))
     return PTypeChunk(
         spec=spec,
         n=n,
         packed_f=packed_f,
-        packed_i=packed_i,
+        packed_i=None,
         cols_f=tuple(cols_f),
         cols_i=tuple(cols_i),
         offsets=offsets,
