@@ -1998,16 +1998,21 @@ class SOSlice(HaloSlice):
     def _flow_rate_mass(self, mask_species, weights, fast_outflows=False):
         return self._flow_rate(mask_species, weights, "mass", fast_outflows)
 
-    def _flow_rate(self, mask_species, weights, flow_type, fast_outflows=False):
-        """In/outflow mass rates through shells at 0.1, 0.3, 1.0 x R_SO.
+    #: shell fractions of R_SO for the flow rates
+    _FLOW_FRACS = (0.1, 0.3, 1.0)
 
-        Shell thickness dR = 0.1 R_shell; radial velocity is measured
-        about the CoM velocity of particles within the shell's fraction
-        radius, with the pseudo-evolution term R_dot subtracted
-        (``SO_properties.py:2847-2908``); output is (6,): three inflow
-        then three outflow rates — plus three fast-outflow rates
-        (v_r > 0.25 Vmax_soft) when ``fast_outflows`` is on (shape 9).
-        """
+    @lazy_property
+    def _flow_shells(self):
+        """Config-independent shell kinematics, computed ONCE for the
+        ~17 flow-rate configs (species x metal x 4 T-bands x 3 flow
+        types): per shell fraction the radial velocity about the
+        fraction's CoM frame, the geometric shell mask, the shell
+        width, and the kinetic term.  Every config previously rebuilt
+        dv / v_r / the shell window from scratch
+        (``SO_properties.py:2847-2908`` recomputes them per call too —
+        per halo on CPU that is cache-resident; per (B, lanes, K) on
+        TPU it was ~6x redundant HBM traffic and ~100 extra fused
+        reduce chains in the program)."""
         r = self.radius
         rhat = self.parts.pos / jnp.maximum(r, 1e-37)[:, None]
         # pseudo-evolution of the SO radius (``SO_properties.py:2875-2884``)
@@ -2022,23 +2027,41 @@ class SOSlice(HaloSlice):
             0.3: self.vcom_thirty_percent,
             1.0: self.vcom,
         }
-        shells = []
-        for frac in (0.1, 0.3, 1.0):
+        out = {}
+        for frac in self._FLOW_FRACS:
             R = frac * self.r
             dR = 0.1 * R
-            self.add_flag(self.exists & (R + 0.5 * dR > self.scalars.search_radius))
-            in_shell = (
-                mask_species
-                & (r > R - 0.5 * dR)
-                & (r < R + 0.5 * dR)
+            self.add_flag(
+                self.exists & (R + 0.5 * dR > self.scalars.search_radius)
             )
+            geom = (r > R - 0.5 * dR) & (r < R + 0.5 * dR)
             dv = self.parts.vel - vcoms[frac][None, :]
-            v_r = jnp.sum(dv * rhat, axis=1) - frac * Rdot_base
+            vx, vy, vz = dv[:, 0], dv[:, 1], dv[:, 2]
+            v_r = (
+                vx * rhat[:, 0] + vy * rhat[:, 1] + vz * rhat[:, 2]
+            ) - frac * Rdot_base
+            kinetic = 0.5 * (vx * vx + vy * vy + vz * vz)
+            out[frac] = (v_r, geom, dR, kinetic)
+        return out
+
+    def _flow_rate(self, mask_species, weights, flow_type, fast_outflows=False):
+        """In/outflow mass rates through shells at 0.1, 0.3, 1.0 x R_SO.
+
+        Shell thickness dR = 0.1 R_shell; radial velocity is measured
+        about the CoM velocity of particles within the shell's fraction
+        radius, with the pseudo-evolution term R_dot subtracted
+        (``SO_properties.py:2847-2908``); output is (6,): three inflow
+        then three outflow rates — plus three fast-outflow rates
+        (v_r > 0.25 Vmax_soft) when ``fast_outflows`` is on (shape 9).
+        """
+        shells = []
+        for frac in self._FLOW_FRACS:
+            v_r, geom, dR, kinetic = self._flow_shells[frac]
+            in_shell = mask_species & geom
             if flow_type == "mass":
                 fr = weights * jnp.abs(v_r)
             elif flow_type == "energy":
                 # m |v_r| (kinetic + internal); SO_properties.py:2894-2899
-                kinetic = 0.5 * jnp.sum(dv * dv, axis=1)
                 fr = weights * jnp.abs(v_r) * (kinetic + self._u_full)
             elif flow_type == "momentum":
                 # m (v_r^2 + c_s^2/gamma), c_s^2 = gamma(gamma-1) u
