@@ -1111,6 +1111,21 @@ class HaloEngine:
             for s in specs:
                 classes.setdefault(_pass_class(s), []).append(s)
         if len(classes) > 1:
+            # the split only pays when the wide apertures would inflate
+            # the narrow gather radius: when EVERY halo's input search
+            # radius already covers the widest aperture (e.g. cluster
+            # catalogues), both passes would gather identical K ladders
+            # and the split would only double the compiled programs —
+            # run one merged pass instead (keeps copy_from links whole)
+            wide_max = max(
+                s.aperture_radius_mpc for s in classes["wide"]
+            )
+            if all(
+                len(s) == 0 or float(np.min(s)) >= wide_max
+                for s in search_radius_phys
+            ):
+                classes = {}
+        if len(classes) > 1:
 
             def _fix_links(subset):
                 groups = {s.group for s in subset}
