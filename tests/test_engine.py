@@ -357,3 +357,41 @@ def test_record_spec_timings_mode(mock_sim):
                     res_t[group][key], res_f[group][key], rtol=2e-5,
                     err_msg=f"{group}/{key}",
                 )
+
+
+def test_int_fields_bitcast_roundtrip():
+    """Int columns ride packed_f as bitcast f32 bit-halves: arbitrary
+    bit patterns (incl. float-NaN payloads, extremes, uint64 high bit)
+    must survive staging + unpack exactly."""
+    rng = np.random.default_rng(7)
+    n = 257
+    pos = rng.uniform(0, 10.0, (n, 3))
+    group = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+    # values whose f32 bit-halves are NaNs/infs
+    group[:8] = [0, -1, 2**63 - 1, -(2**63), 0x7FC00000_7FC00000,
+                 0x7F800000, -0x7F800000, 42]
+    ids = rng.integers(0, 2**63, n).astype(np.uint64)
+    ids[0] = np.uint64(2**64 - 1)
+    ids[1] = np.uint64(0)
+    from soap_tpu.pipeline.chunk_data import stage_ptype
+
+    pt = stage_ptype(
+        pos,
+        {
+            "Masses": rng.uniform(1, 2, n).astype(np.float32),
+            "GroupNr_bound": group,
+            "ParticleIDs": ids,
+        },
+        10.0,
+    )
+    assert pt.packed_i is None
+    got_g = np.asarray(pt.field("GroupNr_bound"))[: pt.n]
+    got_i = np.asarray(pt.field("ParticleIDs"))[: pt.n]
+    # staging sorts rows by grid cell: compare as multisets, and check
+    # the int columns stay row-paired with each other
+    assert got_g.dtype == np.int64 and got_i.dtype == np.uint64
+    assert np.array_equal(np.sort(got_g), np.sort(group))
+    assert np.array_equal(np.sort(got_i), np.sort(ids))
+    pair_in = sorted(zip(group.tolist(), ids.tolist()))
+    pair_out = sorted(zip(got_g.tolist(), got_i.tolist()))
+    assert pair_in == pair_out
