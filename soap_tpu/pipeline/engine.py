@@ -567,7 +567,7 @@ def _process_bucket_packed_multi_impl(
     f = partial(_process_bucket_impl, ctx, specs, cubes, boxsize)
     C = centre_hi.shape[0]
     if C == 1 and dma_s is not None:
-        out1, ov1 = f(
+        out, overflow = f(
             jax.tree_util.tree_map(lambda x: x[0], stacked),
             centre_hi[0],
             centre_lo[0],
@@ -579,28 +579,32 @@ def _process_bucket_packed_multi_impl(
             aux,
             dma_s=dma_s,
         )
-        def _lift(d):
-            return {k: v[None] for k, v in d.items()}
+        # pack WITHOUT the chunk axis, add it once on the <=4 pools
+        # (lifting every key costs ~1k broadcast ops in the graph)
+        pools = _pack_pools(out, token, lead=1)
+        pools = {name: p[None] for name, p in pools.items()}
+        return pools, overflow[None]
+    out, overflow = jax.vmap(f, in_axes=(0,) * 8 + (None,))(
+        stacked,
+        centre_hi,
+        centre_lo,
+        radius_com,
+        index,
+        search_radius_phys,
+        is_central,
+        fof_id,
+        aux,
+    )
+    return _pack_pools(out, token, lead=2), overflow
 
-        out = {
-            g: _FamilyStack(v.groups, _lift(v.data))
-            if isinstance(v, _FamilyStack)
-            else _lift(v)
-            for g, v in out1.items()
-        }
-        overflow = ov1[None]
-    else:
-        out, overflow = jax.vmap(f, in_axes=(0,) * 8 + (None,))(
-            stacked,
-            centre_hi,
-            centre_lo,
-            radius_com,
-            index,
-            search_radius_phys,
-            is_central,
-            fof_id,
-            aux,
-        )
+
+def _pack_pools(out, token, lead):
+    """Concatenate bucket outputs into one dense pool per dtype family.
+
+    ``lead`` = number of leading batch axes on every output array
+    ((B,) on the un-vmapped C==1 path, (C, B) under the chunk vmap);
+    the unpack layout is written per member key either way.
+    """
     layout: List[Tuple[str, str, str, int, int, tuple, object]] = []
     cols = {name: 0 for name in _POOL_DTYPES}
     pieces = {name: [] for name in _POOL_DTYPES}
@@ -610,12 +614,14 @@ def _process_bucket_packed_multi_impl(
             # column offsets in the host-side unpack layout
             for key, arr in val.data.items():
                 pool = _pool_for(arr.dtype)
-                C, B, n = arr.shape[0], arr.shape[1], arr.shape[2]
-                row_shape = arr.shape[3:]
+                n = arr.shape[lead]
+                row_shape = arr.shape[lead + 1 :]
                 wpm = 1
                 for d in row_shape:
                     wpm *= int(d)
-                flat = arr.reshape(C, B, -1).astype(_POOL_DTYPES[pool])
+                flat = arr.reshape(arr.shape[:lead] + (-1,)).astype(
+                    _POOL_DTYPES[pool]
+                )
                 for i, grp in enumerate(val.groups):
                     layout.append(
                         (
@@ -633,21 +639,29 @@ def _process_bucket_packed_multi_impl(
             continue
         for key, arr in val.items():
             pool = _pool_for(arr.dtype)
-            C, B = arr.shape[0], arr.shape[1]
-            flat = arr.reshape(C, B, -1).astype(_POOL_DTYPES[pool])
-            width = flat.shape[2]
+            flat = arr.reshape(arr.shape[:lead] + (-1,)).astype(
+                _POOL_DTYPES[pool]
+            )
+            width = flat.shape[lead]
             layout.append(
-                (group, key, pool, cols[pool], width, arr.shape[2:], arr.dtype)
+                (
+                    group,
+                    key,
+                    pool,
+                    cols[pool],
+                    width,
+                    arr.shape[lead:],
+                    arr.dtype,
+                )
             )
             cols[pool] += width
             pieces[pool].append(flat)
     _PACK_LAYOUTS[token] = layout
-    pools = {
-        name: jnp.concatenate(parts, axis=2)
+    return {
+        name: jnp.concatenate(parts, axis=lead)
         for name, parts in pieces.items()
         if parts
     }
-    return pools, overflow
 
 
 _process_bucket_packed_multi = partial(
