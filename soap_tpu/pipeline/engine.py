@@ -26,6 +26,7 @@ compiles a handful of programs total.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 import time
 from dataclasses import dataclass, field
@@ -50,6 +51,8 @@ from soap_tpu.ops import geometry
 from soap_tpu.ops.gather import expand_ranges, gather_rows
 from soap_tpu.ops.grid import halo_cell_ranges
 from soap_tpu.pipeline.chunk_data import ChunkData, presize_and_count
+
+_log = logging.getLogger(__name__)
 
 SEARCH_RADIUS_FACTOR = 1.2  # reference halo_tasks.py:14
 READ_RADIUS_FACTOR = 1.5  # reference halo_tasks.py:16
@@ -1023,7 +1026,19 @@ class HaloEngine:
             aux_av,
             dma_s,
         )
+        t0 = time.perf_counter()
         compiled = lowered.compile()
+        dt = time.perf_counter() - t0
+        # heuristic persistent-cache classification: a real XLA compile
+        # of a bucket program takes tens of seconds; a disk-cache hit
+        # deserializes in well under 3
+        _log.info(
+            "compiled bucket program B=%d C=%d in %.1fs (%s)",
+            B,
+            C,
+            dt,
+            "persistent-cache hit" if dt < 3.0 else "cache miss",
+        )
         _AOT_CACHE[cache_key] = compiled
         return compiled
 
