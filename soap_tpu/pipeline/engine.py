@@ -556,16 +556,15 @@ def _process_bucket_packed_multi_impl(
     """The bucket program vmapped over the chunk axis, with packed
     output pools.
 
-    Under a committed ('chunks', 'halos') input sharding XLA partitions
-    both leading axes across the mesh with no collectives: every device
-    gathers from its own chunk's particle store for its own halo lanes.
-    On a single device the C=1 vmap is free.  Output pools are (C, B,
-    cols) — still <= 4 device->host transfers per bucket.
-
-    ``dma_s`` (static) enables the run-length DMA gather; it is only
-    honoured on the un-vmapped C==1 path (a Pallas kernel under the
-    chunk-axis vmap would be replicated by GSPMD rather than
-    partitioned — the mesh path keeps the XLA gather).
+    Mesh engines run this body under ``jax.shard_map`` (one call per
+    device on its local (chunk, halo) block — see
+    ``HaloEngine._aot_compile``), so every device gathers from its own
+    chunk's particle store for its own halo lanes with no collectives,
+    and ``dma_s`` (static) drives the run-length DMA-gather Pallas
+    kernel per device.  On a single device the C=1 vmap is free; the
+    un-meshed multi-chunk path keeps the XLA gather (a Pallas call
+    cannot ride the chunk-axis vmap).  Output pools are (C, B, cols) —
+    still <= 4 device->host transfers per bucket.
     """
     f = partial(_process_bucket_impl, ctx, specs, cubes, boxsize)
     C = centre_hi.shape[0]
@@ -944,17 +943,19 @@ class HaloEngine:
             )
 
         # ---- run-length DMA gather (ops/dma_gather.py) ----
-        # "auto": on when targeting real TPU hardware with an un-meshed
-        # single-chunk store (the Pallas kernel would be replicated, not
-        # partitioned, under the GSPMD chunk axis).  "0" forces off,
-        # "1" forces on (any backend — for interpret-mode debugging).
+        # "auto": on when targeting real TPU hardware.  Mesh engines run
+        # the bucket body under shard_map (see _aot_compile), so the
+        # Pallas kernel executes per device on its local (chunk, halo)
+        # shard; un-meshed multi-chunk engines keep the XLA gather (the
+        # chunk-axis vmap cannot carry a Pallas call).  "0" forces off,
+        # "1" forces on (any backend — the layout-identical XLA fallback
+        # runs where the kernel cannot).
         dma_env = _os.environ.get("SOAP_TPU_DMA_GATHER", "auto")
         use_dma = (
             dma_env == "1"
             or (
                 dma_env != "0"
-                and self.C == 1
-                and mesh is None
+                and (self.C == 1 or mesh is not None)
                 and jax.devices()[0].platform in ("tpu", "axon")
             )
         )
@@ -1009,13 +1010,7 @@ class HaloEngine:
 
         stacked_av = self._avatar(self.stacked, self._chunk_sharding)
         aux_av = self._avatar(self.aux, self._replicated)
-        lowered = _process_bucket_packed_multi.lower(
-            ctx,
-            bucket_specs,
-            token,
-            cubes,
-            float(self.boxsize),
-            stacked_av,
+        halo_avs = (
             halo_av((C, B, 3), f32),
             halo_av((C, B, 3), f32),
             halo_av((C, B), f32),
@@ -1023,9 +1018,53 @@ class HaloEngine:
             halo_av((C, B), f32),
             halo_av((C, B), jnp.bool_),
             halo_av((C, B), jnp.int64),
-            aux_av,
-            dma_s,
         )
+        if self.mesh is not None:
+            # shard_map instead of GSPMD auto-partitioning: each device
+            # runs the C==1 single-shard bucket body on its local
+            # (chunk, halo) block, so the run-length DMA-gather Pallas
+            # kernel executes PER DEVICE (under the chunk-axis vmap
+            # GSPMD would replicate a Pallas call rather than partition
+            # it — the mesh path previously fell back to the XLA row
+            # gather).  Per-halo work has no cross-device dependencies,
+            # so in/out specs are plain block shardings.
+            from jax.sharding import PartitionSpec as _P
+
+            body = partial(
+                _process_bucket_packed_multi_impl,
+                ctx,
+                bucket_specs,
+                token,
+                cubes,
+                float(self.boxsize),
+            )
+            hs = _P("chunks", "halos")
+            smapped = jax.shard_map(
+                lambda stacked, *args: body(*(stacked,) + args, dma_s=dma_s),
+                mesh=self.mesh,
+                in_specs=((_P("chunks"),) + (hs,) * 7 + (_P(),)),
+                out_specs=(hs, hs),
+                # the body is collective-free by design (per-halo work is
+                # embarrassingly parallel); skip varying-axis tracking,
+                # which rejects while_loop carries mixing device-varying
+                # data with replicated loop constants
+                check_vma=False,
+            )
+            lowered = jax.jit(smapped).lower(
+                stacked_av, *halo_avs, aux_av
+            )
+        else:
+            lowered = _process_bucket_packed_multi.lower(
+                ctx,
+                bucket_specs,
+                token,
+                cubes,
+                float(self.boxsize),
+                stacked_av,
+                *halo_avs,
+                aux_av,
+                dma_s,
+            )
         t0 = time.perf_counter()
         compiled = lowered.compile()
         dt = time.perf_counter() - t0
