@@ -630,18 +630,28 @@ class HaloSlice(ChemistryMixin):
                     if search is not None
                     else None
                 ),
+                single_pass=not any(it_rows),
             )
             if search is not None:
                 self.add_flag(jnp.any(result.needs_bigger))
             for i, (cfg, gate) in enumerate(zip(cfgs, gates)):
                 out[cfg] = jnp.where(gate > 0, result.tensor[i], 0.0)
 
-        mass_cfgs = [c for c in configs if c[3] is None]
-        lum_cfgs = [c for c in configs if c[3] is not None]
-        if mass_cfgs:
-            run_batch(mass_cfgs, self.parts.pos, seg=False)
-        if lum_cfgs:
-            run_batch(lum_cfgs, self.parts.pos[lo4:hi4], seg=True)
+        # the iterative flag is static per key: run the non-iterative
+        # configs in a loop-free single pass instead of keeping them in
+        # the while loop, where they'd pay the full per-iteration (C, K)
+        # bandwidth until the iterative configs converge
+        for it_flag in (False, True):
+            mass_cfgs = [
+                c for c in configs if c[3] is None and c[2] == it_flag
+            ]
+            lum_cfgs = [
+                c for c in configs if c[3] is not None and c[2] == it_flag
+            ]
+            if mass_cfgs:
+                run_batch(mass_cfgs, self.parts.pos, seg=False)
+            if lum_cfgs:
+                run_batch(lum_cfgs, self.parts.pos[lo4:hi4], seg=True)
         return out
 
     @lazy_property
@@ -2667,16 +2677,24 @@ class ProjectedApertureSlice(HaloSlice):
                 jnp.stack(r_rows),
                 jnp.asarray(np.asarray(red_rows)),
                 jnp.asarray(np.asarray(it_rows)),
+                single_pass=not any(it_rows),
             )
             for i, (cfg, gate) in enumerate(zip(cfgs, gates)):
                 out[cfg] = jnp.where(gate > 0, result.tensor[i], 0.0)
 
-        mass_cfgs = [c for c in configs if c[3] is None]
-        lum_cfgs = [c for c in configs if c[3] is not None]
-        if mass_cfgs:
-            run_batch(mass_cfgs, self.proj_pos, seg=False)
-        if lum_cfgs:
-            run_batch(lum_cfgs, self.proj_pos[lo4:hi4], seg=True)
+        # static split: non-iterative configs run loop-free (see
+        # _inertia_batch3d)
+        for it_flag in (False, True):
+            mass_cfgs = [
+                c for c in configs if c[3] is None and c[2] == it_flag
+            ]
+            lum_cfgs = [
+                c for c in configs if c[3] is not None and c[2] == it_flag
+            ]
+            if mass_cfgs:
+                run_batch(mass_cfgs, self.proj_pos, seg=False)
+            if lum_cfgs:
+                run_batch(lum_cfgs, self.proj_pos[lo4:hi4], seg=True)
         return out
 
     def _proj_inertia(self, species, reduced, iterative, lum_weighted=False):

@@ -241,6 +241,7 @@ def inertia_tensor_multi(
     search_radius: jnp.ndarray | None = None,  # scalar (None: no check)
     check_search: jnp.ndarray | None = None,  # (C,) bool
     max_iterations: int = 20,
+    single_pass: bool = False,  # static: all configs non-iterative
 ) -> InertiaResult:
     """All of one halo's 3D inertia configs in ONE while loop.
 
@@ -340,15 +341,27 @@ def inertia_tensor_multi(
         old_q = jnp.where(upd, q_now, old_q)
         return (i + 1, eig_val, eig_vec, tensor, old_q, done | (active & stop))
 
-    state = (
-        jnp.int32(0),
-        jnp.ones((C, 3), pos.dtype),
-        jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype), (C, 3, 3)),
-        jnp.zeros((C, 3, 3), pos.dtype),
-        jnp.full((C,), 1000.0, pos.dtype),
-        ~enough,
-    )
-    _, _, _, tensor, _, _ = jax.lax.while_loop(cond, body, state)
+    if single_pass:
+        # every config is non-iterative (static knowledge at the call
+        # site): the result is the sphere moment tensor — one streaming
+        # pass, no while loop.  Inside the mixed loop these configs
+        # finished after iteration 1 but kept paying the full
+        # per-iteration (C, K) bandwidth until the iterative configs
+        # converged.
+        tensor, _ = compute_tensor(
+            jnp.ones((C, 3), pos.dtype),
+            jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype), (C, 3, 3)),
+        )
+    else:
+        state = (
+            jnp.int32(0),
+            jnp.ones((C, 3), pos.dtype),
+            jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype), (C, 3, 3)),
+            jnp.zeros((C, 3, 3), pos.dtype),
+            jnp.full((C,), 1000.0, pos.dtype),
+            ~enough,
+        )
+        _, _, _, tensor, _, _ = jax.lax.while_loop(cond, body, state)
 
     if search_radius is None or check_search is None:
         needs_bigger = jnp.zeros((C,), bool)
@@ -377,6 +390,7 @@ def projected_inertia_tensor_multi(
     reduced: jnp.ndarray,  # (C,) bool
     iterative: jnp.ndarray,  # (C,) bool
     max_iterations: int = 20,
+    single_pass: bool = False,  # static: all configs non-iterative
 ) -> InertiaResult:
     """All of one halo's 2D (projected) inertia configs in ONE loop;
     per-config semantics identical to ``projected_inertia_tensor``.
@@ -455,15 +469,22 @@ def projected_inertia_tensor_multi(
         old_q = jnp.where(upd, q_now, old_q)
         return (i + 1, eig_val, eig_vec, tensor, old_q, done | (active & stop))
 
-    state = (
-        jnp.int32(0),
-        jnp.ones((C, 2), pos2d.dtype),
-        jnp.broadcast_to(jnp.eye(2, dtype=pos2d.dtype), (C, 2, 2)),
-        jnp.zeros((C, 2, 2), pos2d.dtype),
-        jnp.full((C,), 1000.0, pos2d.dtype),
-        ~enough,
-    )
-    _, _, _, tensor, _, _ = jax.lax.while_loop(cond, body, state)
+    if single_pass:
+        # all configs non-iterative: the circle moment tensor, one pass
+        tensor, _ = compute_tensor(
+            jnp.ones((C, 2), pos2d.dtype),
+            jnp.broadcast_to(jnp.eye(2, dtype=pos2d.dtype), (C, 2, 2)),
+        )
+    else:
+        state = (
+            jnp.int32(0),
+            jnp.ones((C, 2), pos2d.dtype),
+            jnp.broadcast_to(jnp.eye(2, dtype=pos2d.dtype), (C, 2, 2)),
+            jnp.zeros((C, 2, 2), pos2d.dtype),
+            jnp.full((C,), 1000.0, pos2d.dtype),
+            ~enough,
+        )
+        _, _, _, tensor, _, _ = jax.lax.while_loop(cond, body, state)
     flat = jnp.stack(
         [tensor[:, 0, 0], tensor[:, 1, 1], tensor[:, 0, 1]], axis=1
     )
