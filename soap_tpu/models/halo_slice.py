@@ -195,8 +195,14 @@ class HaloSlice(ChemistryMixin):
 
     @lazy_property
     def radius(self) -> jnp.ndarray:
-        """Physical radius of every candidate particle."""
-        return jnp.sqrt(jnp.sum(self.parts.pos * self.parts.pos, axis=1))
+        """Physical radius of every candidate particle.
+
+        Elementwise row norm: a (K, 3) axis-1 reduce materializes a
+        trailing-singleton temp the TPU layout pads 128x at giant K
+        (see shared_sort_artifacts)."""
+        p = self.parts.pos
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        return jnp.sqrt(x * x + y * y + z * z)
 
     @lazy_property
     def soft_radius(self) -> jnp.ndarray:
@@ -2550,7 +2556,8 @@ class ProjectedApertureSlice(HaloSlice):
 
     @lazy_property
     def proj_radius(self):
-        return jnp.sqrt(jnp.sum(self.proj_pos * self.proj_pos, axis=1))
+        p = self.proj_pos
+        return jnp.sqrt(p[:, 0] * p[:, 0] + p[:, 1] * p[:, 1])
 
     @lazy_property
     def selection(self):

@@ -37,12 +37,16 @@ def angular_momentum_and_kappa(
     Ltot = jnp.sum(jnp.where(mask[:, None], Lpart, 0.0), axis=0)
     Lnrm = jnp.sqrt(jnp.sum(Ltot * Ltot))
 
-    K = 0.5 * jnp.sum(m * jnp.sum(vel * vel, axis=1))
+    # elementwise row dots/norms: (K, 3) axis-1 reduces materialize
+    # trailing-singleton temps the TPU layout pads 128x at giant K
+    vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
+    K = 0.5 * jnp.sum(m * (vx * vx + vy * vy + vz * vz))
     Ldir = Ltot / jnp.maximum(Lnrm, 1e-37)
-    Li = jnp.sum(Lpart * Ldir[None, :], axis=1)
+    Li = Lpart[:, 0] * Ldir[0] + Lpart[:, 1] * Ldir[1] + Lpart[:, 2] * Ldir[2]
 
-    r2 = jnp.sum(pos * pos, axis=1)
-    rdotL = jnp.sum(pos * Ldir[None, :], axis=1)
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    r2 = px * px + py * py + pz * pz
+    rdotL = px * Ldir[0] + py * Ldir[1] + pz * Ldir[2]
     Ri2 = r2 - rdotL * rdotL
     on_axis = Ri2 == 0.0
     Ri2_safe = jnp.where(on_axis, 1.0, Ri2)
