@@ -31,12 +31,16 @@ restricts to the headline config.
 """
 
 import json
+import logging
 import os
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+# surface the engine's per-program compile-seconds / cache-hit lines
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
 BASELINE_HALOS_PER_SEC = 2.5e6 / (4 * 3600.0)  # reference envelope
 
