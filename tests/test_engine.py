@@ -395,3 +395,74 @@ def test_int_fields_bitcast_roundtrip():
     pair_in = sorted(zip(group.tolist(), ids.tolist()))
     pair_out = sorted(zip(got_g.tolist(), got_i.tolist()))
     assert pair_in == pair_out
+
+
+def test_merged_pass_when_radii_cover_wide(engine_setup):
+    """When every halo's input search radius covers the widest aperture,
+    the wide/narrow split is skipped (one pass, half the programs) and
+    values match the forced-split path."""
+    uni, groupnr, _, rho_crit = engine_setup
+    import soap_tpu.pipeline.engine as eng_mod
+    from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
+
+    chunk = ChunkData(
+        boxsize=uni.boxsize,
+        ptypes={
+            "PartType1": stage_ptype(
+                uni.pos,
+                {
+                    "Masses": uni.mass.astype(np.float32),
+                    "Velocities": uni.vel.astype(np.float32),
+                    "GroupNr_bound": groupnr,
+                    "FOFGroupIDs": uni.fof_ids,
+                },
+                uni.boxsize,
+            )
+        },
+    )
+    ctx = HaloContext(
+        a=uni.a, z=1.0 / uni.a - 1.0, G=G, boxsize=uni.boxsize,
+        critical_density=rho_crit,
+        mean_density=rho_crit * 0.3,
+        softening=(0.01,), ptypes=("PartType1",), capacities=(0,),
+        dmo=True,
+    )
+    specs = [
+        HaloTypeSpec(kind="bound", group="BoundSubhalo",
+                     keys=("Mtot", "Ndm")),
+        HaloTypeSpec(kind="aperture", group="ExclusiveSphere/100kpc",
+                     keys=("Mtot", "Ndm"), aperture_radius_mpc=0.1),
+        HaloTypeSpec(kind="aperture", group="InclusiveSphere/1000kpc",
+                     keys=("Mtot", "Ndm"), aperture_radius_mpc=1.0,
+                     inclusive=True),
+    ]
+    # all radii cover the 1 Mpc wide aperture -> the split must merge
+    big_radius = np.full(uni.n_halos, 1.5, np.float64) * uni.a
+    args = dict(
+        centres=uni.halo_pos,
+        search_radius_phys=big_radius,
+        index=np.arange(uni.n_halos, dtype=np.int64),
+        is_central=np.ones(uni.n_halos, dtype=bool),
+        fof_id=np.arange(1, uni.n_halos + 1, dtype=np.int64),
+    )
+    merged_eng = HaloEngine(ctx, chunk, specs)
+    merged = merged_eng.process(**args)
+
+    # forcing the split: shrink the merge window so it cannot trigger
+    old = eng_mod.WIDE_RADIUS_MPC
+    eng_mod.WIDE_RADIUS_MPC = 0.0  # single-pass reference
+    try:
+        ref_eng = HaloEngine(ctx, chunk, specs)
+        ref = ref_eng.process(**args)
+    finally:
+        eng_mod.WIDE_RADIUS_MPC = old
+
+    # merged run does ONE pass: same bucket-call count as the no-split
+    # reference, not double
+    assert merged_eng.stats.n_bucket_calls == ref_eng.stats.n_bucket_calls
+    for group in ref:
+        for key in ref[group]:
+            np.testing.assert_allclose(
+                merged[group][key], ref[group][key], rtol=2e-5, atol=1e-7,
+                err_msg=f"{group}/{key}",
+            )
