@@ -228,14 +228,20 @@ def bench_hydro(t0):
 
 def main():
     t0 = time.time()
-    halos_per_sec = bench_dmo(t0)
-    if os.environ.get("SOAP_TPU_BENCH", "all") != "dmo":
+    which = os.environ.get("SOAP_TPU_BENCH", "all")
+    halos_per_sec = float("nan")
+    if which in ("all", "dmo"):
+        halos_per_sec = bench_dmo(t0)
+    if which in ("all", "giant"):
         try:
             bench_giant(t0)
         except Exception as e:  # secondary configs must not kill the headline
             log(f"giant-halo config failed: {type(e).__name__}: {e}")
+    if which in ("all", "hydro"):
         try:
-            bench_hydro(t0)
+            hps = bench_hydro(t0)
+            if which == "hydro":
+                halos_per_sec = hps
         except Exception as e:
             log(f"hydro config failed: {type(e).__name__}: {e}")
 

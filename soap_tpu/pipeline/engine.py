@@ -1430,12 +1430,19 @@ class HaloEngine:
             # hydro programs hold several live (B, lanes, K, 3) vector
             # temporaries per fused family (lane-relative velocities
             # etc.) that a DMO program does not — the row budget shrinks
-            # accordingly so peak HBM stays bounded
+            # accordingly so peak HBM stays bounded.  Measured on v5e
+            # (bench hydro config, 38 calculations): B=128 x K=21888
+            # needs 19.8 GB of HLO temps — XLA lays the (B, 4, K)
+            # family-lane temps out with the 4-long lane axis in the
+            # 128-wide minor position (32x padding expansion), so the
+            # usable budget is ~4x smaller than the unpadded-bytes
+            # model suggests.  /4 puts the same program at B=64
+            # (~10 GB), which fits with headroom.
             # hydro OOM headroom: ~20 live (B, lanes, K) f32 temps per
             # fused family; at TARGET_ROWS/2 rows that is ~2.6 GB peak
             # on a 16 GB chip (the /4 round-2 setting predates the
             # quarter-pow2 caps and left B at 8-32 — dispatch-bound)
-            budget = TARGET_ROWS // (2 if len(ctx0.ptypes) > 1 else 1)
+            budget = TARGET_ROWS // (4 if len(ctx0.ptypes) > 1 else 1)
 
             plans: List[Dict] = []
             pos = 0
