@@ -182,6 +182,15 @@ def _summed_area_table(values: jnp.ndarray, dims, dtype) -> jnp.ndarray:
     return jnp.pad(c, ((1, 0), (1, 0), (1, 0)))
 
 
+def _host_sat(counts: np.ndarray, dims, dtype) -> np.ndarray:
+    """Host-side `_summed_area_table` (same semantics, numpy)."""
+    c = counts.reshape(dims).astype(dtype)
+    c = np.cumsum(c, axis=0, dtype=dtype)
+    c = np.cumsum(c, axis=1, dtype=dtype)
+    c = np.cumsum(c, axis=2, dtype=dtype)
+    return np.pad(c, ((1, 0), (1, 0), (1, 0)))
+
+
 def stage_ptype(
     pos: np.ndarray,  # (N, 3) float64 comoving, already inside [0, box)
     fields: Dict[str, np.ndarray],
@@ -192,6 +201,14 @@ def stage_ptype(
 
     The grid always covers the full periodic box (chunks read a masked
     subset of cells but halo queries still wrap around the box edges).
+
+    Everything — the cell sort, the summed-area tables, and the packed
+    column block — is built host-side in numpy so the device sees ONE
+    transfer of the final packed bytes.  The previous device-side
+    staging paid one host->device round trip per field plus a jit
+    compile of the sort program, which dominated chunk latency over a
+    remote-TPU link (222 MB staged in ~115 s; the single-transfer path
+    moves the same chunk in a few seconds).
     """
     n = len(pos)
     empty = n == 0
@@ -217,75 +234,63 @@ def stage_ptype(
         periodic=True,
     )
     hi, lo = geometry.split_hi_lo(pos)
-    pos_hi = jnp.asarray(hi)
-    pos_lo = jnp.asarray(lo)
-    order, offsets, counts = build_grid(spec, pos_hi)
-    sat = _summed_area_table(counts, spec.dims, jnp.int32)
-    dev_fields = {}
-    for name, arr in fields.items():
-        dev_fields[name] = jnp.asarray(np.asarray(arr))[order]
-    # per-cell mass sums -> mass SAT (drives the SO gather-radius presize)
-    from soap_tpu.ops.grid import cell_index_of
 
-    keys = cell_index_of(spec, pos_hi)
-    mass = dev_fields.get("Masses")
+    # flat cell keys in f32 arithmetic (must match `cell_index_of`, which
+    # the engine's query side evaluates on f32 hi positions)
+    cell_f32 = np.asarray(spec.cell_size, np.float32)
+    ijk = np.floor(hi / cell_f32).astype(np.int32)
+    dims_arr = np.asarray(spec.dims, np.int32)
+    ijk = np.mod(ijk, dims_arr)
+    keys = (ijk[:, 0] * spec.dims[1] + ijk[:, 1]) * spec.dims[2] + ijk[:, 2]
+    order = np.argsort(keys, kind="stable")
+    counts_h = np.bincount(keys, minlength=spec.n_cells).astype(np.int32)
+    offsets_h = np.zeros(spec.n_cells, np.int32)
+    np.cumsum(counts_h[:-1], out=offsets_h[1:])
+    mass = fields.get("Masses")
     if mass is None:
-        cell_mass = counts.astype(jnp.float32)
+        cell_mass_h = counts_h.astype(np.float32)
     else:
-        # fields are already in sorted order; scatter with sorted keys
-        cell_mass = (
-            jnp.zeros(spec.n_cells, jnp.float32).at[keys[order]].add(mass)
-        )
+        cell_mass_h = np.bincount(
+            keys, weights=np.asarray(mass, np.float64), minlength=spec.n_cells
+        ).astype(np.float32)
     if empty:
-        counts = jnp.zeros_like(counts)
-        offsets = jnp.zeros_like(offsets)
-        cell_mass = jnp.zeros_like(cell_mass)
-        sat = _summed_area_table(counts, spec.dims, jnp.int32)
-    mass_sat = _summed_area_table(cell_mass, spec.dims, jnp.float32)
+        counts_h = np.zeros_like(counts_h)
+        offsets_h = np.zeros_like(offsets_h)
+        cell_mass_h = np.zeros_like(cell_mass_h)
+    sat_h = _host_sat(counts_h, spec.dims, np.int32)
+    mass_sat_h = _host_sat(cell_mass_h, spec.dims, np.float32)
 
-    # ---- pack into column blocks (see PTypeChunk docstring) ----
-    parts_f = [pos_hi[order], pos_lo[order]]
+    # ---- pack into one host (rows, F) f32 block, then transfer once ----
+    # column layout: pos_hi | pos_lo | f32 fields | int fields as bit-halves
     cols_f = []
-    off_f = 6
     cols_i = []
-    for name in sorted(dev_fields):
-        arr = dev_fields[name]
+    off_f = 6
+    names = sorted(fields)
+    for name in names:
+        arr = np.asarray(fields[name])
         shape = tuple(int(s) for s in arr.shape[1:])
         w = _row_width(shape)
-        if jnp.issubdtype(arr.dtype, jnp.floating):
-            parts_f.append(arr.astype(jnp.float32).reshape(arr.shape[0], -1))
+        if np.issubdtype(arr.dtype, np.floating):
             cols_f.append((name, off_f, shape))
             off_f += w
         else:
-            a = arr.reshape(arr.shape[0], -1)
-            if a.dtype == jnp.uint64:
-                a = jax.lax.bitcast_convert_type(a, jnp.int64)
-            else:
-                a = a.astype(jnp.int64)
             # integer columns live INSIDE the f32 block as bitcast
             # bit-halves: ONE row gather (or DMA copy) serves every
-            # field — the separate (N, Fi) i64 block previously rode
-            # its own XLA row gather per bucket (~0.7 GB/s, 10+% of a
-            # DMO bucket).  Only copy/slice ops ever touch the bits
-            # before ``unpack_field`` bitcasts them back, so NaN
+            # field.  numpy `.view(f32)` on little-endian i64 yields
+            # [lo32, hi32] pairs — the same minor-dimension order as
+            # XLA's i64->f32 bitcast_convert_type, so `unpack_field`'s
+            # device-side reassembly is unchanged.  Only copy/slice ops
+            # ever touch the bits before the bitcast back, so NaN
             # payloads survive.
-            bits = jax.lax.bitcast_convert_type(a, jnp.float32)  # (N, w, 2)
-            parts_f.append(bits.reshape(arr.shape[0], -1))
             cols_i.append((name, off_f, shape, str(arr.dtype)))
             off_f += 2 * w
-    packed_f = jnp.concatenate(parts_f, axis=1)
     # pad the f32 block's width so whole rows tile 128-lane lines: the
     # run-length DMA gather copies sub-blocks of rows as (rows*F/128,
     # 128) lines, which requires F to divide (or be a multiple of) 128.
-    # Trailing pad columns are invisible to ``unpack_field`` (column
-    # offsets are unchanged)
+    # Trailing pad columns are invisible to ``unpack_field``
     from soap_tpu.ops.dma_gather import pad_columns_for_dma
 
-    f_pad = pad_columns_for_dma(packed_f.shape[1])
-    if f_pad != packed_f.shape[1]:
-        packed_f = jnp.pad(
-            packed_f, ((0, 0), (0, f_pad - packed_f.shape[1]))
-        )
+    f_pad = pad_columns_for_dma(off_f)
     # quantize the device row count (quarter-pow2 steps, <= 25% padding):
     # bucket programs are compiled against the store's static shape, so
     # quantization lets successive chunks (and restarts) reuse compiled
@@ -295,10 +300,23 @@ def stage_ptype(
     # +1024 guard rows: the run-length DMA gather copies fixed-size
     # sub-blocks and may overrun a range's true end by up to one block
     # (the tail is marked invalid, but the read must stay in bounds)
-    n_rows = packed_f.shape[0]
+    n_rows = len(pos)
     npad = _quantize_rows(n_rows + 1024)
-    if npad != n_rows:
-        packed_f = jnp.pad(packed_f, ((0, npad - n_rows), (0, 0)))
+    packed_h = np.zeros((npad, f_pad), np.float32)
+    packed_h[:n_rows, 0:3] = hi[order]
+    packed_h[:n_rows, 3:6] = lo[order]
+    for name, start, shape in cols_f:
+        arr = np.asarray(fields[name])
+        packed_h[:n_rows, start : start + _row_width(shape)] = arr[
+            order
+        ].reshape(n_rows, -1)
+    for name, start, shape, dtype_str in cols_i:
+        arr = np.asarray(fields[name]).reshape(n_rows, -1)[order]
+        if arr.dtype != np.int64 and arr.dtype != np.uint64:
+            arr = arr.astype(np.int64)
+        bits = np.ascontiguousarray(arr).view(np.float32)
+        packed_h[:n_rows, start : start + bits.shape[1]] = bits
+    packed_f = jnp.asarray(packed_h)
     return PTypeChunk(
         spec=spec,
         n=n,
@@ -306,10 +324,10 @@ def stage_ptype(
         packed_i=None,
         cols_f=tuple(cols_f),
         cols_i=tuple(cols_i),
-        offsets=offsets,
-        counts=counts,
-        sat=sat,
-        mass_sat=mass_sat,
+        offsets=jnp.asarray(offsets_h),
+        counts=jnp.asarray(counts_h),
+        sat=jnp.asarray(sat_h),
+        mass_sat=jnp.asarray(mass_sat_h),
     )
 
 
