@@ -18,6 +18,7 @@ No dynamic task queue: chunks run in a deterministic order on this host
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -32,6 +33,12 @@ from soap_tpu.pipeline.engine import EngineStats, HaloEngine, HaloTypeSpec
 
 #: fields needed per ptype for the DMO tier (hydro tiers extend this)
 BASE_FIELDS = ["Coordinates", "Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs"]
+
+
+def _progress(msg: str) -> None:
+    """Progress/verbose lines go to stderr: stdout stays reserved for
+    results (bench.py's one-JSON-line contract, CLI outputs)."""
+    print(msg, file=sys.stderr, flush=True)
 
 
 def required_datasets(
@@ -243,7 +250,7 @@ def process_chunks(
         chunk_results = _scratch_for(chunk_nr, rows)
         scratch_cache.pop(chunk_nr, None)
         if chunk_results is not None and verbose:
-            print(
+            _progress(
                 f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: restart — "
                 f"reusing scratch for {len(rows)} halos"
             )
@@ -260,7 +267,7 @@ def process_chunks(
             mask, data = prefetcher.take(chunk_nr, _make_read_fn(rows))
             if verbose:
                 n_read = sum(len(d["Coordinates"]) for d in data.values())
-                print(
+                _progress(
                     f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: read {n_read} "
                     f"particles ({int(mask.sum())}/{len(mask)} cells), "
                     f"{len(rows)} halos"
@@ -292,7 +299,7 @@ def process_chunks(
                     + (p.packed_i.nbytes if p.packed_i is not None else 0)
                     for p in chunk_ptypes.values()
                 )
-                print(
+                _progress(
                     f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: staged "
                     f"{n_bytes/1e6:.0f} MB to device in "
                     f"{time.time()-t_stage:.1f}s"
@@ -328,7 +335,7 @@ def process_chunks(
                     total_stats.spec_seconds.get(g, 0.0) + sec
                 )
             if verbose:
-                print(
+                _progress(
                     f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: processed "
                     f"{s.halos_done} halos in {s.n_bucket_calls} bucket calls "
                     f"({s.n_retries} retries, {s.n_overflow} overflows)"

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import subprocess
+import sys
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
@@ -49,6 +50,12 @@ DEFAULT_CONSTANTS = {
     "C_O_sun": 0.549,
     "Mg_H_sun": 3.98e-5,
 }
+
+
+def _progress(msg: str) -> None:
+    """Progress/verbose lines go to stderr: stdout stays reserved for
+    results (bench.py's one-JSON-line contract, CLI outputs)."""
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _git_hash() -> str:
@@ -392,7 +399,7 @@ def compute_halo_properties(
             nr_chunks, host_index or 0, host_count
         )
         if verbose:
-            print(
+            _progress(
                 f"host {host_index}/{host_count}: chunks {chunk_subset}"
             )
     results, engine_stats = process_chunks(
@@ -427,11 +434,11 @@ def compute_halo_properties(
                 )
             except (FileNotFoundError, RuntimeError) as e:
                 if verbose:
-                    print(f"skipping combine ({e}); partial results only")
+                    _progress(f"skipping combine ({e}); partial results only")
                 return RunResult(results, cat, np.arange(cat.nr_halos), engine_stats, None, ctx)
             if not multihost.claim_combine(scratch_dir):
                 if verbose:
-                    print(
+                    _progress(
                         "another host claimed the combine; returning "
                         "partial results (delete combine.lock to re-run)"
                     )
@@ -441,11 +448,11 @@ def compute_halo_properties(
                     scratch_dir, specs, cat.nr_halos, lazy=True
                 )
                 if verbose:
-                    print("combined all hosts' scratch files (combine claimed)")
+                    _progress("combined all hosts' scratch files (combine claimed)")
             except (FileNotFoundError, RuntimeError) as e:
                 multihost.release_combine(scratch_dir)
                 if verbose:
-                    print(f"skipping combine ({e}); partial results only")
+                    _progress(f"skipping combine ({e}); partial results only")
                 return RunResult(results, cat, np.arange(cat.nr_halos), engine_stats, None, ctx)
 
     # --- category filters: zero masked halos, record metadata ---
@@ -533,7 +540,7 @@ def compute_halo_properties(
                     other_sorted = other.passthrough["HBTplus/TrackId"][o_order]
                 except FileNotFoundError:
                     if verbose:
-                        print(f"no adjacent catalogue for {name}: {basename}")
+                        _progress(f"no adjacent catalogue for {name}: {basename}")
             idx_sorted = derived.progenitor_descendant_index(
                 track_sorted, other_sorted
             )
@@ -617,6 +624,6 @@ def compute_halo_properties(
             },
         )
         if verbose:
-            print(f"[{time.time()-t0:6.1f}s] wrote {output_file}")
+            _progress(f"[{time.time()-t0:6.1f}s] wrote {output_file}")
 
     return RunResult(results, cat, order, engine_stats, output_file, ctx)
