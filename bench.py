@@ -140,6 +140,7 @@ def bench_dmo(t0):
         f"({engine.stats.n_bucket_calls} bucket calls, "
         f"{engine.stats.n_retries} retries, "
         f"compile {engine.stats.compile_seconds:.0f}s)")
+    engine.free()  # deterministic HBM release before the timed engine
 
     engine = HaloEngine(ctx, chunk, specs)
     t1 = time.time()
@@ -170,6 +171,7 @@ def bench_giant(t0):
         f"{len(uni.pos)} particles, biggest halo {n_big} particles")
     engine = HaloEngine(ctx, chunk, specs)
     engine.process(**args)  # warmup
+    engine.free()
     engine = HaloEngine(ctx, chunk, specs)
     t1 = time.time()
     engine.process(**args)

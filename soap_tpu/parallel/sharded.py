@@ -63,11 +63,18 @@ def make_mesh(n_devices: int, n_chunks: int = 1) -> Mesh:
     return Mesh(devices, ("chunks", "halos"))
 
 
-def _pad_axis0(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def _pad_axis0(x, n: int):
     if x.shape[0] == n:
         return x
     pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-    return jnp.pad(x, pad)
+    return np.pad(np.asarray(x), pad)
+
+
+def _stack0(parts):
+    """Host-side stack; a single part becomes a zero-copy numpy view."""
+    if len(parts) == 1:
+        return np.asarray(parts[0])[None]
+    return np.stack([np.asarray(p) for p in parts])
 
 
 def stack_chunks(chunks: Sequence[ChunkData]) -> ChunkData:
@@ -77,6 +84,10 @@ def stack_chunks(chunks: Sequence[ChunkData]) -> ChunkData:
     ``resolution`` over the full periodic box) and field sets.  Particle
     arrays are zero-padded to the largest chunk's count; padded rows are
     unreachable (cell offsets/counts never reference them).
+
+    Stacking happens HOST-side on the host-resident staged arrays
+    (``stage_ptype``); the engine device_puts the stacked result once —
+    HBM never holds both a per-chunk and a stacked copy of the store.
     """
     assert len(chunks) >= 1
     boxsize = chunks[0].boxsize
@@ -92,18 +103,18 @@ def stack_chunks(chunks: Sequence[ChunkData]) -> ChunkData:
         stacked[name] = PTypeChunk(
             spec=spec,
             n=n_max,
-            packed_f=jnp.stack([_pad_axis0(pt.packed_f, n_max) for pt in pts]),
+            packed_f=_stack0([_pad_axis0(pt.packed_f, n_max) for pt in pts]),
             packed_i=(
-                jnp.stack([_pad_axis0(pt.packed_i, n_max) for pt in pts])
+                _stack0([_pad_axis0(pt.packed_i, n_max) for pt in pts])
                 if pts[0].packed_i is not None
                 else None
             ),
             cols_f=pts[0].cols_f,
             cols_i=pts[0].cols_i,
-            offsets=jnp.stack([pt.offsets for pt in pts]),
-            counts=jnp.stack([pt.counts for pt in pts]),
-            sat=jnp.stack([pt.sat for pt in pts]),
-            mass_sat=jnp.stack([pt.mass_sat for pt in pts]),
+            offsets=_stack0([pt.offsets for pt in pts]),
+            counts=_stack0([pt.counts for pt in pts]),
+            sat=_stack0([pt.sat for pt in pts]),
+            mass_sat=_stack0([pt.mass_sat for pt in pts]),
         )
     return ChunkData(boxsize=boxsize, ptypes=stacked)
 

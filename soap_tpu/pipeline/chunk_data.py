@@ -197,18 +197,19 @@ def stage_ptype(
     boxsize: float,
     resolution: Optional[int] = None,
 ) -> PTypeChunk:
-    """Host->device staging of one particle type.
+    """Stage one particle type into the packed cell-sorted store (host).
 
     The grid always covers the full periodic box (chunks read a masked
     subset of cells but halo queries still wrap around the box edges).
 
     Everything — the cell sort, the summed-area tables, and the packed
-    column block — is built host-side in numpy so the device sees ONE
-    transfer of the final packed bytes.  The previous device-side
-    staging paid one host->device round trip per field plus a jit
-    compile of the sort program, which dominated chunk latency over a
-    remote-TPU link (222 MB staged in ~115 s; the single-transfer path
-    moves the same chunk in a few seconds).
+    column block — is built host-side in numpy, and the returned
+    ``PTypeChunk`` holds HOST arrays; the engine transfers the stacked
+    store to the device in ONE ``device_put``.  The previous
+    device-side staging paid one host->device round trip per field plus
+    a jit compile of the sort program, which dominated chunk latency
+    over a remote-TPU link (222 MB staged in ~115 s; the
+    single-transfer path moves the same chunk in a few seconds).
     """
     n = len(pos)
     empty = n == 0
@@ -316,18 +317,21 @@ def stage_ptype(
             arr = arr.astype(np.int64)
         bits = np.ascontiguousarray(arr).view(np.float32)
         packed_h[:n_rows, start : start + bits.shape[1]] = bits
-    packed_f = jnp.asarray(packed_h)
+    # arrays stay HOST-resident: the engine stacks the chunk stores and
+    # device_puts the result ONCE (`HaloEngine.__init__`).  Transferring
+    # here and re-stacking on device would hold two copies of the packed
+    # block in HBM for the engine's lifetime.
     return PTypeChunk(
         spec=spec,
         n=n,
-        packed_f=packed_f,
+        packed_f=packed_h,
         packed_i=None,
         cols_f=tuple(cols_f),
         cols_i=tuple(cols_i),
-        offsets=jnp.asarray(offsets_h),
-        counts=jnp.asarray(counts_h),
-        sat=jnp.asarray(sat_h),
-        mass_sat=jnp.asarray(mass_sat_h),
+        offsets=offsets_h,
+        counts=counts_h,
+        sat=sat_h,
+        mass_sat=mass_sat_h,
     )
 
 

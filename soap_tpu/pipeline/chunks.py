@@ -286,13 +286,6 @@ def process_chunks(
                     meta.boxsize,
                 )
             chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
-            # drain the staging transfers/sorts before the engine so the
-            # first bucket's timing is compute, not a queue of uploads
-            import jax
-
-            jax.block_until_ready(
-                [p.packed_f for p in chunk_ptypes.values()]
-            )
             if verbose:
                 n_bytes = sum(
                     p.packed_f.nbytes
@@ -300,16 +293,30 @@ def process_chunks(
                     for p in chunk_ptypes.values()
                 )
                 _progress(
-                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: staged "
-                    f"{n_bytes/1e6:.0f} MB to device in "
+                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: packed "
+                    f"{n_bytes/1e6:.0f} MB host-side in "
                     f"{time.time()-t_stage:.1f}s"
                 )
 
+            # engine construction performs the ONE host->device transfer
+            # of the stacked store; drain it so the first bucket's
+            # timing is compute, not a queue of uploads
+            import jax
+
+            t_put = time.time()
             engine = HaloEngine(
                 ctx, chunk, specs, aux=aux, mesh=_local_mesh(),
                 record_halo_timings=record_halo_timings,
                 record_spec_timings=record_property_timings,
             )
+            jax.block_until_ready(
+                [p.packed_f for p in engine.stacked.ptypes.values()]
+            )
+            if verbose:
+                _progress(
+                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: staged "
+                    f"to device in {time.time()-t_put:.1f}s"
+                )
             chunk_results = engine.process(
                 centres=cat.cofp[rows],
                 search_radius_phys=search_radius_phys[rows],
@@ -344,6 +351,10 @@ def process_chunks(
                 _write_scratch(
                     _scratch_path(scratch_dir, chunk_nr), specs, rows, chunk_results
                 )
+            # free the chunk's HBM before the next chunk stages (GC of
+            # pytree cycles otherwise delays it — back-to-back runs OOM)
+            engine.free()
+            del engine, chunk, chunk_ptypes
 
         for group, props in chunk_results.items():
             buf = merged.setdefault(group, {})

@@ -906,7 +906,9 @@ class HaloEngine:
             self._chunk_sharding = None
             self._halo_sharding = None
             self._replicated = None
-            self.stacked = stacked
+            # stage_ptype/stack_chunks keep the store host-resident;
+            # this is the ONE host->device transfer of the chunk
+            self.stacked = jax.device_put(stacked)
             self._halos_quant = 1
         aux_tree = (
             {k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in aux.items()}
@@ -974,6 +976,22 @@ class HaloEngine:
 
     # -- helpers ---------------------------------------------------------
 
+    def free(self) -> None:
+        """Release the device-resident chunk store deterministically.
+
+        The store is the engine's dominant HBM footprint; Python GC of
+        pytree/closure cycles can delay its release past the NEXT
+        chunk's staging (observed as RESOURCE_EXHAUSTED on back-to-back
+        production runs).  Call after the last ``process`` of a chunk.
+        """
+        for leaf in jax.tree_util.tree_leaves(self.stacked):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+        self.stacked = None
+
     def _cube_for(self, ptype: str, radius_com: float) -> int:
         spec = self._grid_specs[ptype]
         cell = spec.cell_size[0]
@@ -1019,6 +1037,7 @@ class HaloEngine:
             halo_av((C, B), jnp.bool_),
             halo_av((C, B), jnp.int64),
         )
+        t_lower = time.perf_counter()
         if self.mesh is not None:
             # shard_map instead of GSPMD auto-partitioning: each device
             # runs the C==1 single-shard bucket body on its local
@@ -1066,15 +1085,20 @@ class HaloEngine:
                 dma_s,
             )
         t0 = time.perf_counter()
+        dt_lower = t0 - t_lower
         compiled = lowered.compile()
         dt = time.perf_counter() - t0
         # heuristic persistent-cache classification: a real XLA compile
         # of a bucket program takes tens of seconds; a disk-cache hit
-        # deserializes in well under 3
+        # deserializes in well under 3.  Lowering (the Python trace) is
+        # reported separately: the persistent cache cannot skip it, and
+        # concurrent lowers serialize on the GIL.
         _log.info(
-            "compiled bucket program B=%d C=%d in %.1fs (%s)",
+            "compiled bucket program B=%d C=%d: lower %.1fs, compile "
+            "%.1fs (%s)",
             B,
             C,
+            dt_lower,
             dt,
             "persistent-cache hit" if dt < 3.0 else "cache miss",
         )
@@ -1105,8 +1129,18 @@ class HaloEngine:
             return
         import concurrent.futures as cf
 
+        # Concurrency is bounded by the host, not the program count:
+        # lowering is GIL-bound Python and each compile runs a
+        # tpu_compile_helper subprocess (observed SIGKILLed when 8
+        # piled up on a 1-core host).  2 x cpu_count keeps one trace on
+        # the GIL while one compile runs in a subprocess.
+        workers = int(
+            _os.environ.get(
+                "SOAP_TPU_COMPILE_WORKERS", max(2, 2 * (_os.cpu_count() or 1))
+            )
+        )
         t0 = time.perf_counter()
-        with cf.ThreadPoolExecutor(max_workers=min(8, len(todo))) as ex:
+        with cf.ThreadPoolExecutor(max_workers=min(workers, len(todo))) as ex:
             futs = [
                 ex.submit(
                     self._aot_compile,
