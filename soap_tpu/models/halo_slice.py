@@ -2871,8 +2871,14 @@ def compute_properties(slice_obj: HaloSlice, keys) -> Dict[str, jnp.ndarray]:
     the reserved key ``__needs_bigger__``.
     """
     # pre-registering the key set lets batched evaluators (e.g. the
-    # one-loop inertia kernel) cover exactly the requested configs
-    slice_obj._requested_keys = frozenset(keys)
+    # one-loop inertia kernel) cover exactly the requested configs.
+    # ORDER MATTERS: batched evaluators iterate this collection while
+    # tracing, so it must be deterministic across processes — a
+    # frozenset here iterated in PYTHONHASHSEED order, making the
+    # lowered HLO (lane order of the batched inertia loop) differ per
+    # process and silently invalidating the persistent XLA compilation
+    # cache between runs (~100 s re-compile per bucket program).
+    slice_obj._requested_keys = tuple(dict.fromkeys(keys))
     out = {}
     for key in keys:
         out[key] = getattr(slice_obj, key)

@@ -1413,6 +1413,9 @@ class HaloEngine:
                 bool(so_targets) and first_round,
             )
             first_round = False
+            for v in (radius_dev, *counts_dev):
+                if hasattr(v, "copy_to_host_async"):
+                    v.copy_to_host_async()
             radius_com_all = np.asarray(radius_dev)  # (C, Hp)
             per_type_counts = {
                 pt: np.asarray(cd) for pt, cd in zip(ctx0.ptypes, counts_dev)
@@ -1747,6 +1750,24 @@ class HaloEngine:
                 )
 
             # ---- materialize all tiles of this round at once ----
+            # Start ALL device->host copies first: each np.asarray would
+            # otherwise block on its own transfer, serializing one
+            # round-trip per pool over the (high-latency) device link —
+            # measured as the dominant wall-clock term of a warm DMO
+            # pass (device compute ~3 s, wall ~15 s).  With the async
+            # copies issued up front the transfers pipeline behind each
+            # other and behind the remaining bucket compute.
+            for fl in in_flight:
+                vals = (
+                    fl["out"].values()
+                    if fl["token"] is not None
+                    else (v for d in fl["out"].values() for v in d.values())
+                )
+                for v in vals:
+                    if hasattr(v, "copy_to_host_async"):
+                        v.copy_to_host_async()
+                if hasattr(fl["overflow"], "copy_to_host_async"):
+                    fl["overflow"].copy_to_host_async()
             next_pending: List[List[int]] = [[] for _ in range(C)]
             for fl in in_flight:
                 if fl["token"] is not None:
