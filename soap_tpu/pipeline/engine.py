@@ -1387,6 +1387,18 @@ class HaloEngine:
 
         from soap_tpu.parallel.sharded import _sharded_presize_count
 
+        # SOAP_TPU_TIMING=1: per-phase wall-clock lines (the analogue of
+        # the reference's dead-time fractions, ``task_queue.py:196-205``)
+        _timing = _os.environ.get("SOAP_TPU_TIMING", "0") == "1"
+        _t_phase = time.perf_counter()
+
+        def _phase(name):
+            nonlocal _t_phase
+            if _timing:
+                now = time.perf_counter()
+                _log.info("phase %-22s %7.3fs", name, now - _t_phase)
+                _t_phase = now
+
         first_round = True
         while any(len(p) for p in pending):
             Hp = max(max(len(p) for p in pending), 1)
@@ -1413,6 +1425,7 @@ class HaloEngine:
                 bool(so_targets) and first_round,
             )
             first_round = False
+            _phase("presize dispatch")
             for v in (radius_dev, *counts_dev):
                 if hasattr(v, "copy_to_host_async"):
                     v.copy_to_host_async()
@@ -1626,9 +1639,11 @@ class HaloEngine:
                     )
                 )
 
+            _phase("presize materialize")
             # ---- compile all distinct signatures of the round in parallel
             if not self.record_spec_timings:
                 self._precompile(plans)
+            _phase("precompile")
 
             # ---- dispatch (async) ----
             in_flight: List[Dict] = []
@@ -1730,6 +1745,7 @@ class HaloEngine:
                     )
                     out, overflow = compiled(*halo_args)
                     token = pl["token"]
+                _phase(f"dispatch B={B} K={sum(pl['caps'])}")
                 self.stats.n_bucket_calls += 1
                 in_flight.append(
                     dict(
@@ -1768,6 +1784,7 @@ class HaloEngine:
                         v.copy_to_host_async()
                 if hasattr(fl["overflow"], "copy_to_host_async"):
                     fl["overflow"].copy_to_host_async()
+            _phase("start host copies")
             next_pending: List[List[int]] = [[] for _ in range(C)]
             for fl in in_flight:
                 if fl["token"] is not None:
@@ -1780,6 +1797,7 @@ class HaloEngine:
                     }
                 overflow_np = np.asarray(fl["overflow"])  # (C, B)
                 dt_bucket = time.perf_counter() - fl["t_dispatch"]
+                _phase(f"materialize B={fl['B']}")
                 n_real = sum(len(g) for g in fl["glob"])
                 self.stats.bucket_records.append(
                     (
