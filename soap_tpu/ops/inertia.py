@@ -294,14 +294,27 @@ def inertia_tensor_multi(
             rr = rr + pb * pb
         inside = masks & (rr <= 1.0)
         w = jnp.where(inside, w_in, 0.0)
-        wsum = jnp.sum(w, axis=1)
-        wn = w * inv_norm / jnp.maximum(wsum, 1e-37)[:, None]
-        rows = []
-        for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
-            rows.append(
-                jnp.sum(wn * pos[None, :, i] * pos[None, :, j], axis=1)
-            )
-        xx, xy, xz, yy, yz, zz = rows
+        wi = w * inv_norm
+        # ONE variadic reduce for the 6 tensor components + the weight
+        # sum: XLA otherwise splits these into 7 separate reduce fusions,
+        # each REMATERIALIZING the ~20-flop ellipsoid test per element —
+        # profiled as the dominant per-iteration cost of the loop.  The
+        # normalization moves outside the sum (wn = w/wsum per config is
+        # a scalar factor, so sum(wn·x·x) = sum(w·x·x)/wsum exactly up
+        # to f32 association).
+        ops = tuple(
+            wi * pos[None, :, i] * pos[None, :, j]
+            for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        ) + (w,)
+        zero = jnp.zeros((), pos.dtype)
+        sums = jax.lax.reduce(
+            ops,
+            (zero,) * 7,
+            lambda acc, val: tuple(a + v for a, v in zip(acc, val)),
+            (1,),
+        )
+        inv_wsum = 1.0 / jnp.maximum(sums[6], 1e-37)  # (C,)
+        xx, xy, xz, yy, yz, zz = (t * inv_wsum for t in sums[:6])
         tensor = jnp.stack(
             [
                 jnp.stack([xx, xy, xz], axis=1),
@@ -424,14 +437,22 @@ def projected_inertia_tensor_multi(
             rr = rr + pb * pb
         inside = masks & (rr <= 1.0)
         w = jnp.where(inside, w_in, 0.0)
-        wsum = jnp.sum(w, axis=1)
-        wn = w * inv_norm / jnp.maximum(wsum, 1e-37)[:, None]
-        rows = []
-        for i, j in ((0, 0), (0, 1), (1, 1)):
-            rows.append(
-                jnp.sum(wn * pos2d[None, :, i] * pos2d[None, :, j], axis=1)
-            )
-        xx, xy, yy = rows
+        wi = w * inv_norm
+        # one variadic reduce: 3 tensor components + weight sum share one
+        # pass over the ellipse test (see inertia_tensor_multi)
+        ops = tuple(
+            wi * pos2d[None, :, i] * pos2d[None, :, j]
+            for i, j in ((0, 0), (0, 1), (1, 1))
+        ) + (w,)
+        zero = jnp.zeros((), pos2d.dtype)
+        sums = jax.lax.reduce(
+            ops,
+            (zero,) * 4,
+            lambda acc, val: tuple(a + v for a, v in zip(acc, val)),
+            (1,),
+        )
+        inv_wsum = 1.0 / jnp.maximum(sums[3], 1e-37)
+        xx, xy, yy = (t * inv_wsum for t in sums[:3])
         tensor = jnp.stack(
             [
                 jnp.stack([xx, xy], axis=1),
