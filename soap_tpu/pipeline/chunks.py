@@ -242,7 +242,24 @@ def process_chunks(
                 + 0.5 * float(np.max(meta.cell_size)),
             )
             data = read_masked_cells_parallel(meta, mask, fields_per_type)
-            return mask, data
+            # host-side packing (cell sort + SATs + packed column block)
+            # happens IN the reader thread so it overlaps the previous
+            # chunk's device compute, like the read itself
+            n_read = sum(len(d["Coordinates"]) for d in data.values())
+            chunk_ptypes = {}
+            for pt in ptypes:
+                fields = {
+                    name: arr
+                    for name, arr in data[pt].items()
+                    if name not in ("Coordinates", "__cells__")
+                }
+                chunk_ptypes[pt] = stage_ptype(
+                    np.mod(data[pt]["Coordinates"], meta.boxsize),
+                    fields,
+                    meta.boxsize,
+                )
+            chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
+            return mask, n_read, chunk
 
         return _read
 
@@ -264,38 +281,17 @@ def process_chunks(
                 prefetcher.submit(nxt_nr, _make_read_fn(nxt_rows))
 
         if chunk_results is None:
-            mask, data = prefetcher.take(chunk_nr, _make_read_fn(rows))
-            if verbose:
-                n_read = sum(len(d["Coordinates"]) for d in data.values())
-                _progress(
-                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: read {n_read} "
-                    f"particles ({int(mask.sum())}/{len(mask)} cells), "
-                    f"{len(rows)} halos"
-                )
-            t_stage = time.time()
-            chunk_ptypes = {}
-            for pt in ptypes:
-                fields = {
-                    name: arr
-                    for name, arr in data[pt].items()
-                    if name not in ("Coordinates", "__cells__")
-                }
-                chunk_ptypes[pt] = stage_ptype(
-                    np.mod(data[pt]["Coordinates"], meta.boxsize),
-                    fields,
-                    meta.boxsize,
-                )
-            chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
+            mask, n_read, chunk = prefetcher.take(chunk_nr, _make_read_fn(rows))
             if verbose:
                 n_bytes = sum(
                     p.packed_f.nbytes
                     + (p.packed_i.nbytes if p.packed_i is not None else 0)
-                    for p in chunk_ptypes.values()
+                    for p in chunk.ptypes.values()
                 )
                 _progress(
-                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: packed "
-                    f"{n_bytes/1e6:.0f} MB host-side in "
-                    f"{time.time()-t_stage:.1f}s"
+                    f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: read "
+                    f"{n_read} particles ({int(mask.sum())}/{len(mask)} "
+                    f"cells), packed {n_bytes/1e6:.0f} MB, {len(rows)} halos"
                 )
 
             # engine construction performs the ONE host->device transfer
@@ -354,7 +350,7 @@ def process_chunks(
             # free the chunk's HBM before the next chunk stages (GC of
             # pytree cycles otherwise delays it — back-to-back runs OOM)
             engine.free()
-            del engine, chunk, chunk_ptypes
+            del engine, chunk
 
         for group, props in chunk_results.items():
             buf = merged.setdefault(group, {})
