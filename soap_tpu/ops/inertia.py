@@ -271,9 +271,14 @@ def inertia_tensor_multi(
         n_init >= MIN_PARTICLES
     )
     limit = jnp.where(iterative, max_iterations, 1)
-    inv_norm = jnp.where(
-        reduced[:, None] & masks, 1.0 / jnp.where(zero_r, 1.0, r2)[None, :], 1.0
-    )  # (C, K) expression; fused into the reductions below
+    # reduced-weight vector SHARED across configs: wi_ck selects between
+    # w_in and w_inv by the per-config ``reduced`` SCALAR, so no (C, K)
+    # inv-norm block is ever materialized (the previous form carried one
+    # as a loop operand — its boundary copies were a profiled hot spot)
+    inv_r2 = 1.0 / jnp.where(zero_r, 1.0, r2)  # (K,)
+    w_inv = w_in * inv_r2[None, :]  # same rank as w_in
+
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
 
     def compute_tensor(eig_val, eig_vec):
         # eig_val (C, 3) ascending, eig_vec (C, 3, 3) columns
@@ -283,18 +288,31 @@ def inertia_tensor_multi(
         axis = R[:, None] * jnp.stack(
             [jnp.cbrt(s * p), jnp.cbrt(q / p), 1.0 / jnp.cbrt(q * s)], axis=1
         )  # (C, 3)
-        # rr as an explicit per-axis sum of squares (no (C, K, 3) einsum)
-        rr = jnp.zeros((C, 1), pos.dtype)
-        for b in range(3):
-            pb = (
-                pos[None, :, 0] * eig_vec[:, 0, b, None]
-                + pos[None, :, 1] * eig_vec[:, 1, b, None]
-                + pos[None, :, 2] * eig_vec[:, 2, b, None]
-            ) / axis[:, b, None]
-            rr = rr + pb * pb
+        # ellipsoid test as ONE quadratic form per config:
+        # rr = pos^T Q pos with Q = V diag(1/axis^2) V^T, expanded
+        # directly over the raw x/y/z columns — ~14 flops per element
+        # (no per-element division) vs ~27+ for the 3 explicit axis
+        # projections, and every factor except the pos columns is
+        # loop-varying, so nothing new gets hoisted into big loop-carried
+        # buffers (an earlier shared-products variant materialized 6
+        # (B, K) invariants and DOUBLED the loop's streamed bytes)
+        inv_a2 = 1.0 / (axis * axis)  # (C, 3)
+        Q = jnp.einsum("cib,cjb,cb->cij", eig_vec, eig_vec, inv_a2)
+        q00 = Q[:, 0, 0, None]
+        q11 = Q[:, 1, 1, None]
+        q22 = Q[:, 2, 2, None]
+        q01 = 2.0 * Q[:, 0, 1, None]
+        q02 = 2.0 * Q[:, 0, 2, None]
+        q12 = 2.0 * Q[:, 1, 2, None]
+        xk, yk, zk = px[None, :], py[None, :], pz[None, :]
+        rr = (
+            xk * (q00 * xk + q01 * yk + q02 * zk)
+            + yk * (q11 * yk + q12 * zk)
+            + q22 * zk * zk
+        )
         inside = masks & (rr <= 1.0)
         w = jnp.where(inside, w_in, 0.0)
-        wi = w * inv_norm
+        wi = jnp.where(inside, jnp.where(reduced[:, None], w_inv, w_in), 0.0)
         # ONE variadic reduce for the 6 tensor components + the weight
         # sum: XLA otherwise splits these into 7 separate reduce fusions,
         # each REMATERIALIZING the ~20-flop ellipsoid test per element —
@@ -419,25 +437,30 @@ def projected_inertia_tensor_multi(
     init_inside = masks & (r2[None, :] <= (R * R)[:, None])
     enough = jnp.sum(init_inside.astype(jnp.int32), axis=1) >= MIN_PARTICLES
     limit = jnp.where(iterative, max_iterations, 1)
-    inv_norm = jnp.where(
-        reduced[:, None] & masks, 1.0 / jnp.where(zero_r, 1.0, r2)[None, :], 1.0
-    )
+    # shared reduced-weight vector + shared products: same memory/flop
+    # discipline as ``inertia_tensor_multi`` (no (C, K) inv-norm block,
+    # quadratic-form ellipse test on shared second moments)
+    inv_r2 = 1.0 / jnp.where(zero_r, 1.0, r2)  # (K,)
+    w_inv = w_in * inv_r2[None, :]
+    px, py = pos2d[:, 0], pos2d[:, 1]
 
     def compute_tensor(eig_val, eig_vec):
         q = jnp.sqrt(eig_val[:, 0] / eig_val[:, 1])
         axis = R[:, None] * jnp.stack(
             [jnp.sqrt(q), 1.0 / jnp.sqrt(q)], axis=1
         )
-        rr = jnp.zeros((C, 1), pos2d.dtype)
-        for b in range(2):
-            pb = (
-                pos2d[None, :, 0] * eig_vec[:, 0, b, None]
-                + pos2d[None, :, 1] * eig_vec[:, 1, b, None]
-            ) / axis[:, b, None]
-            rr = rr + pb * pb
+        # quadratic-form ellipse test expanded over the raw columns
+        # (loop-varying coefficients -> no hoisted product buffers)
+        inv_a2 = 1.0 / (axis * axis)  # (C, 2)
+        Q = jnp.einsum("cib,cjb,cb->cij", eig_vec, eig_vec, inv_a2)
+        xk, yk = px[None, :], py[None, :]
+        rr = (
+            xk * (Q[:, 0, 0, None] * xk + 2.0 * Q[:, 0, 1, None] * yk)
+            + Q[:, 1, 1, None] * yk * yk
+        )
         inside = masks & (rr <= 1.0)
         w = jnp.where(inside, w_in, 0.0)
-        wi = w * inv_norm
+        wi = jnp.where(inside, jnp.where(reduced[:, None], w_inv, w_in), 0.0)
         # one variadic reduce: 3 tensor components + weight sum share one
         # pass over the ellipse test (see inertia_tensor_multi)
         ops = tuple(

@@ -60,16 +60,16 @@ def _bisect_cubic(rho_dim, slope_dim, u_hi):
     hi = u_hi
     f_lo = f(lo)
 
-    def body(_, state):
-        lo, hi = state
+    # UNROLLED bisection: the iterates are tiny per-halo scalars, so a
+    # ``fori_loop`` would compile to a while whose entry/exit buffer
+    # copies (~1 ms of fixed overhead each on TPU) dwarf the arithmetic;
+    # 48 unrolled elementwise steps fuse into the surrounding kernel.
+    for _ in range(_BISECT_ITERS):
         mid = 0.5 * (lo + hi)
         f_mid = f(mid)
         same_side = (f_mid > 0) == (f_lo > 0)
         lo = jnp.where(same_side, mid, lo)
         hi = jnp.where(same_side, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
     return 0.5 * (lo + hi)
 
 

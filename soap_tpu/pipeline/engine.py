@@ -890,6 +890,14 @@ class HaloEngine:
         from soap_tpu.parallel.sharded import stack_chunks
 
         stacked = stack_chunks(chunk_list)
+        # NOTE on parameter layouts: XLA's auto-layout picks (0, 2, 1)
+        # for the (C, N, F) packed store, which costs one whole-store
+        # relayout copy inside every bucket call (~9 ms on the bench
+        # store).  Pinning the parameter layout row-major (via
+        # jax.experimental.layout.Format) removes those copies but was
+        # measured a net LOSS: per-program compile time tripled
+        # (~110s vs ~35s on v5e-over-axon) for a within-noise timed-pass
+        # delta (820 vs 837 halos/s), so the pin was removed.
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1133,11 +1141,16 @@ class HaloEngine:
         # lowering is GIL-bound Python and each compile runs a
         # tpu_compile_helper subprocess (observed SIGKILLed when 8
         # piled up on a 1-core host).  2 x cpu_count keeps one trace on
-        # the GIL while one compile runs in a subprocess.
+        # the GIL while one compile runs in a subprocess.  Remote-compile
+        # platforms (axon tunnel) spend the ~100s per program on the
+        # server, not this host — overlap more aggressively there
+        # (measured: 11 programs x ~110s at 2 workers = 430s warmup).
+        remote_compile = jax.devices()[0].platform == "axon"
+        default_workers = max(2, 2 * (_os.cpu_count() or 1))
+        if remote_compile:
+            default_workers = max(6, default_workers)
         workers = int(
-            _os.environ.get(
-                "SOAP_TPU_COMPILE_WORKERS", max(2, 2 * (_os.cpu_count() or 1))
-            )
+            _os.environ.get("SOAP_TPU_COMPILE_WORKERS", default_workers)
         )
         t0 = time.perf_counter()
         with cf.ThreadPoolExecutor(max_workers=min(workers, len(todo))) as ex:

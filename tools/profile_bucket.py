@@ -18,6 +18,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def build_small_halo_workload(max_bound=2500):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
