@@ -20,14 +20,44 @@ flattening matches the reference: (xx, yy, zz, xy, xz, yz) for 3D and
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 TOL = 1.0e-4
 MIN_PARTICLES = 20
+
+
+def _pallas_inertia_mode():
+    """None (XLA loop), "real" (TPU kernel), or "interpret" (CPU test
+    emulation) — SOAP_TPU_PALLAS_INERTIA = auto|0|1|interpret."""
+    mode = _os.environ.get("SOAP_TPU_PALLAS_INERTIA", "auto")
+    if mode == "0":
+        return None
+    if mode in ("interpret", "1"):
+        return "interpret" if mode == "interpret" else "real"
+    try:
+        return (
+            "real"
+            if jax.devices()[0].platform in ("tpu", "axon")
+            else None
+        )
+    except Exception:
+        return None
+
+
+def _static_bools(arr):
+    """Concrete (C,) bool array -> tuple of python bools; None if the
+    values are traced (then the XLA loop handles them)."""
+    try:
+        return tuple(bool(v) for v in np.asarray(arr))
+    except Exception:
+        return None
 
 
 def sym_eigh_3x3(A: jnp.ndarray):
@@ -277,6 +307,74 @@ def inertia_tensor_multi(
     # as a loop operand — its boundary copies were a profiled hot spot)
     inv_r2 = 1.0 / jnp.where(zero_r, 1.0, r2)  # (K,)
     w_inv = w_in * inv_r2[None, :]  # same rank as w_in
+
+    # ---- Pallas TPU path: the whole iteration loop in one kernel ----
+    # (VMEM-resident operands, per-(halo, lane) early exit — see
+    # ops/pallas_inertia.py).  Static per-config flags required; shared
+    # (K,) weights only (the rare per-config luminosity weights keep the
+    # XLA loop).
+    pallas_mode = _pallas_inertia_mode()
+    # K gate: per-instance operand DMA is not amortized at large K —
+    # measured on the DMO bench, the kernel wins the dominant small-halo
+    # buckets (K=5120: -14% bucket time) and loses K >= 12288 buckets
+    # slightly, so large-K buckets keep the XLA loop
+    max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 8192))
+    if (
+        pallas_mode is not None
+        and not single_pass
+        and weights.ndim == 1
+        and C <= 128
+        and pos.dtype == jnp.float32
+        and (pallas_mode == "interpret" or pos.shape[0] <= max_k)
+    ):
+        red_static = _static_bools(reduced)
+        it_static = _static_bools(iterative)
+        if red_static is not None and it_static is not None:
+            from soap_tpu.ops import pallas_inertia as _pk
+
+            K = pos.shape[0]
+            Kp = -(-K // 128) * 128
+            pos3 = jnp.pad(pos, ((0, Kp - K), (0, 0))).T.reshape(
+                3, Kp // 128, 128
+            )
+            # masked-out rows carry NaN (int8 vector compares are not
+            # supported by Mosaic; NaN-encoding also keeps negative
+            # neutrino weights intact)
+            wm = jnp.where(masks, weights[None, :], jnp.float32(jnp.nan))
+            wm = jnp.pad(
+                wm, ((0, 0), (0, Kp - K)), constant_values=jnp.nan
+            ).reshape(C, Kp // 128, 128)
+            invr2 = jnp.pad(inv_r2, (0, Kp - K)).reshape(
+                1, Kp // 128, 128
+            )
+            radii_row = jnp.zeros((8, 128), jnp.float32)
+            radii_row = radii_row.at[0, :C].set(R.astype(jnp.float32))
+            done0_row = jnp.zeros((8, 128), jnp.float32)
+            done0_row = done0_row.at[0, :C].set(
+                jnp.where(enough, 0.0, 1.0)
+            )
+            out = _pk.inertia_loop_pallas(
+                pos3,
+                wm,
+                invr2,
+                radii_row,
+                done0_row,
+                red_static,
+                it_static,
+                max_iterations,
+                interpret=(pallas_mode == "interpret"),
+            )
+            # kernel rows [xx, xy, xz, yy, yz, zz] -> result order
+            # [xx, yy, zz, xy, xz, yz]
+            flat = jnp.stack(
+                [out[k, :C] for k in (0, 3, 5, 1, 2, 4)], axis=1
+            )
+            flat = jnp.where(enough[:, None], flat, 0.0)
+            if search_radius is None or check_search is None:
+                needs_bigger = jnp.zeros((C,), bool)
+            else:
+                needs_bigger = check_search & enough & (R > search_radius)
+            return InertiaResult(flat, enough, needs_bigger)
 
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
 
