@@ -930,6 +930,10 @@ class HaloEngine:
         )
         self.specs = tuple(specs)
         self.stats = EngineStats()
+        #: narrow-pass results serving as copy sources for the wide
+        #: gather pass (set only between the two passes of one
+        #: ``process`` call); list per chunk of {group: {key: (H,...)}}
+        self._cross_copy_sources = None
         # AOT programs live in a GLOBAL cache keyed by (store shapes,
         # mesh, signature): one engine is built per chunk, and staged row
         # counts are shape-quantized precisely so successive chunks reuse
@@ -1242,19 +1246,32 @@ class HaloEngine:
                 classes = {}
         if len(classes) > 1:
 
-            def _fix_links(subset):
-                groups = {s.group for s in subset}
+            def _fix_links(subset, available):
                 return tuple(
                     dataclasses.replace(
                         s, copy_from=None, copy_from_radius_mpc=None
                     )
-                    if s.copy_from is not None and s.copy_from not in groups
+                    if s.copy_from is not None
+                    and s.copy_from not in available
                     else s
                     for s in subset
                 )
 
-            for name in ("narrow", "wide"):
-                if name in classes:
+            narrow_groups = {s.group for s in classes.get("narrow", ())}
+            try:
+                for name in ("narrow", "wide"):
+                    if name not in classes:
+                        continue
+                    groups = {s.group for s in classes[name]}
+                    if name == "wide":
+                        # cross-pass aperture copy: the narrow pass
+                        # already computed the copy sources (the first
+                        # wide aperture copies from the largest narrow
+                        # one when a tile's halos are fully enclosed by
+                        # it, ``aperture_properties.py:4082-4123``) —
+                        # keep those links and serve them from the
+                        # narrow results
+                        groups |= narrow_groups
                     part = self.process(
                         centres,
                         search_radius_phys,
@@ -1262,10 +1279,17 @@ class HaloEngine:
                         is_central,
                         fof_id,
                         enclose_radius_phys,
-                        specs=_fix_links(tuple(classes[name])),
+                        specs=_fix_links(tuple(classes[name]), groups),
                     )
                     for c in range(self.C):
                         results[c].update(part[c])
+                    if name == "narrow":
+                        # wide-pass copy sources (the wide pass has no
+                        # centrals-only specs, so no sat/cen phase
+                        # remaps its halo indexing)
+                        self._cross_copy_sources = results
+            finally:
+                self._cross_copy_sources = None
             self.stats.halos_done = sum(H)
             return results if list_input else results[0]
 
@@ -1848,7 +1872,29 @@ class HaloEngine:
                     bucket_out: Dict[str, Dict[str, np.ndarray]] = {}
                     for spec in specs:
                         gdict = out.get(spec.group, {})
-                        source = bucket_out.get(spec.copy_from or "", {})
+                        source = bucket_out.get(spec.copy_from or "", None)
+                        if (
+                            source is None
+                            and spec.copy_from
+                            and self._cross_copy_sources is not None
+                        ):
+                            # copy source computed in the narrow pass:
+                            # slice its final (H,)-indexed results to
+                            # this tile's halos; narrow retries already
+                            # resolved, so no needs_bigger carries over
+                            xs = self._cross_copy_sources[c].get(
+                                spec.copy_from
+                            )
+                            if xs is not None:
+                                source = {
+                                    key: xs[key][g]
+                                    for key in spec.keys
+                                    if key in xs
+                                }
+                                source["__needs_bigger__"] = np.zeros(
+                                    nb, bool
+                                )
+                        source = source if source is not None else {}
                         res: Dict[str, np.ndarray] = {}
                         for key in spec.keys:
                             if key in gdict:

@@ -77,3 +77,96 @@ def test_default_specs_have_copy_annotations():
     assert proj[1].copy_from == "ProjectedAperture/10kpc/projx"
     assert proj[4].copy_from is None  # first radius of projy
     assert proj[5].copy_from == "ProjectedAperture/10kpc/projy"
+
+
+def _cross_pass_specs(with_copy):
+    """One narrow (0.3 Mpc) + one wide (0.5 Mpc) aperture: the wide/
+    narrow gather-pass split puts them in separate engine sub-calls, so
+    the 500 kpc copy must be served across the pass boundary from the
+    narrow results (reference computes all radii in one ordered chain,
+    ``aperture_properties.py:4082-4123``)."""
+    return [
+        HaloTypeSpec(
+            kind="aperture",
+            group="ExclusiveSphere/300kpc",
+            keys=KEYS,
+            aperture_radius_mpc=0.3,
+            inclusive=False,
+        ),
+        HaloTypeSpec(
+            kind="aperture",
+            group="ExclusiveSphere/500kpc",
+            keys=KEYS,
+            aperture_radius_mpc=0.5,
+            inclusive=False,
+            copy_from="ExclusiveSphere/300kpc" if with_copy else None,
+            copy_from_radius_mpc=0.3 if with_copy else None,
+        ),
+    ]
+
+
+def test_cross_pass_copy_matches_direct():
+    """Engine-level: small search radii force the wide/narrow pass
+    split; small enclose radii make the wide aperture copyable."""
+    from soap_tpu.models.context import HaloContext
+    from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
+    from soap_tpu.pipeline.engine import HaloEngine
+    from soap_tpu.utils import mock_data
+
+    G = mock_data.G_INTERNAL
+    uni = mock_data.build_mock_universe(
+        n_halos=8, n_field=5000, boxsize=25.0, seed=11,
+        mass_range=(5.0, 60.0),
+    )
+    groupnr = np.full(len(uni.ids), -1, dtype=np.int64)
+    id_to_row = {pid: i for i, pid in enumerate(uni.ids)}
+    for hi, ids in enumerate(uni.bound_ids):
+        for pid in ids:
+            groupnr[id_to_row[pid]] = hi
+    rho_crit0 = 3.0 * (100.0 * uni.h) ** 2 / (8.0 * np.pi * G)
+    chunk = ChunkData(
+        boxsize=uni.boxsize,
+        ptypes={
+            "PartType1": stage_ptype(
+                uni.pos,
+                {
+                    "Masses": uni.mass.astype(np.float32),
+                    "Velocities": uni.vel.astype(np.float32),
+                    "GroupNr_bound": groupnr,
+                    "FOFGroupIDs": uni.fof_ids,
+                },
+                uni.boxsize,
+            )
+        },
+    )
+    ctx = HaloContext(
+        a=uni.a, z=1.0 / uni.a - 1.0, G=G, boxsize=uni.boxsize,
+        critical_density=rho_crit0 * (uni.omega_m / uni.a**3 + uni.omega_lambda),
+        mean_density=rho_crit0 * uni.omega_m / uni.a**3,
+        softening=(0.01,), ptypes=("PartType1",), capacities=(0,), dmo=True,
+    )
+    enclose_phys = uni.halo_renclose * uni.a
+    assert (enclose_phys < 0.3).any(), "mock halos too big for the test"
+    search_phys = np.maximum(enclose_phys * 1.01, 0.05)
+    assert float(search_phys.min()) < 0.5, "split condition not exercised"
+    args = dict(
+        centres=uni.halo_pos,
+        search_radius_phys=search_phys,
+        index=np.arange(uni.n_halos, dtype=np.int64),
+        is_central=np.ones(uni.n_halos, dtype=bool),
+        fof_id=np.arange(1, uni.n_halos + 1, dtype=np.int64),
+        enclose_radius_phys=enclose_phys,
+    )
+    eng_copy = HaloEngine(ctx, chunk, _cross_pass_specs(True))
+    res_copy = eng_copy.process(**args)
+    eng_dir = HaloEngine(ctx, chunk, _cross_pass_specs(False))
+    res_dir = eng_dir.process(**args)
+    assert eng_copy.stats.n_copied_specs > 0
+    for key in KEYS:
+        np.testing.assert_allclose(
+            res_copy["ExclusiveSphere/500kpc"][key],
+            res_dir["ExclusiveSphere/500kpc"][key],
+            rtol=1e-5,
+            atol=1e-6,
+            err_msg=f"ExclusiveSphere/500kpc/{key}",
+        )
