@@ -104,27 +104,31 @@ class ChemistryMixin:
     @_lazy
     def HalfMassRadiusAtomicHydrogen(self):
         return self._half_mass_radius_gas_weighted(
-            self._gas_HI_frac, self.AtomicHydrogenMass
+            self._gas_HI_frac, self.AtomicHydrogenMass, "_w_HI_sorted"
         )
 
     @_lazy
     def HalfMassRadiusMolecularHydrogen(self):
         return self._half_mass_radius_gas_weighted(
-            self._gas_H2_frac, self.MolecularHydrogenMass
+            self._gas_H2_frac, self.MolecularHydrogenMass, "_w_H2_sorted"
         )
 
-    def _half_mass_radius_gas_weighted(self, frac, total):
+    def _half_mass_radius_gas_weighted(self, frac, total, seeded=None):
         from soap_tpu.models.halo_slice import _zero
         from soap_tpu.ops import radii as radii_ops
 
         if frac is None:
             return _zero()
-        lo, hi = self.ctx.segment("PartType0")
-        w = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
-        w = w.at[lo:hi].set(self._gas_mass * frac)
+        # engine-seeded sort payload (no per-slice permutation gather)
+        w_sorted = self.__dict__.get(seeded) if seeded else None
+        if w_sorted is None:
+            lo, hi = self.ctx.segment("PartType0")
+            w = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
+            w = w.at[lo:hi].set(self._gas_mass * frac)
+            w_sorted = w[self._rsort_order]
         return radii_ops.half_weight_radius_sorted(
             self._r_sorted,
-            w[self._rsort_order],
+            w_sorted,
             self._gas_sorted,
             total,
         )

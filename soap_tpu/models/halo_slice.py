@@ -476,15 +476,42 @@ class HaloSlice(ChemistryMixin):
         the dominant per-bucket cost on TPU)."""
         return len(set(self.ctx.softening)) <= 1
 
-    def _vmax_soft_for(self, sorted_mask, mask):
-        if self._uniform_softening:
-            soft = jnp.float32(self.ctx.softening[0] if self.ctx.softening else 0.0)
+    def _vmax_soft_for(self, sorted_mask, mask, ptypes=None):
+        """Softened Vmax on the shared radius sort.
+
+        With one softening value ``max(r, s)`` is monotone in r and the
+        shared order IS the softened order; with per-type softenings the
+        step-function formulation (``kin.vmax_sorted_multi_soft``) stays
+        exact on the shared order — no per-call argsort/gathers.
+        ``ptypes`` restricts to the types the selection can contain
+        (e.g. the DM-only Vmax), minimizing the per-type cumsums.
+        """
+        softs = dict(zip(self.ctx.ptypes, self.ctx.softening))
+        pts = [
+            pt
+            for pt in (ptypes if ptypes is not None else self.ctx.ptypes)
+            if pt in softs
+        ]
+        values = sorted({softs[pt] for pt in pts})
+        if len(values) <= 1:
+            soft = jnp.float32(values[0] if values else 0.0)
             return kin.vmax_sorted(
                 self._m_sorted,
                 jnp.maximum(self._r_sorted, soft),
                 sorted_mask,
             )
-        return kin.vmax(self.parts.mass, self.soft_radius, mask)
+        # group ptypes by softening value: one cumsum per distinct value
+        masks = []
+        for s in values:
+            seg = None
+            for pt in pts:
+                if softs[pt] == s:
+                    m = self._seg_sorted(pt)
+                    seg = m if seg is None else (seg | m)
+            masks.append(sorted_mask & seg)
+        return kin.vmax_sorted_multi_soft(
+            self._m_sorted, self._r_sorted, masks, tuple(values)
+        )
 
     @lazy_property
     def _vmax_soft(self):
@@ -1078,7 +1105,12 @@ class HaloSlice(ChemistryMixin):
     @lazy_property
     def _stellar_ages(self):
         """Per-star age from birth scale factor via the age table
-        (reference ``stellar_age_calculator.py:21-113``)."""
+        (reference ``stellar_age_calculator.py:21-113``).  The staged
+        chunk carries the host-precomputed ``StellarAges`` field when it
+        went through the production pipeline; the device interp is the
+        fallback for directly-staged stores."""
+        if self._has("PartType4/StellarAges"):
+            return self.field("PartType4/StellarAges")
         birth_a = self.field("PartType4/BirthScaleFactors")
         age_a, age_t = self.aux["age_table"]
         t_birth = jnp.interp(birth_a, age_a, age_t)
@@ -1796,7 +1828,9 @@ class HaloSlice(ChemistryMixin):
 
     @lazy_property
     def _vmax_dm_soft(self):
-        return self._vmax_soft_for(self._dm_sorted, self.mask_dm)
+        return self._vmax_soft_for(
+            self._dm_sorted, self.mask_dm, ptypes=("PartType1",)
+        )
 
     @lazy_property
     def DM_Vmax_soft(self):
@@ -2828,7 +2862,7 @@ class ProjectedApertureSlice(HaloSlice):
 
 
 def shared_sort_artifacts(
-    parts: HaloParticles, scalars: HaloScalars
+    parts: HaloParticles, scalars: HaloScalars, ctx=None
 ) -> Dict[str, jnp.ndarray]:
     """The per-halo radius sort + its standard payloads, computed ONCE.
 
@@ -2850,10 +2884,42 @@ def shared_sort_artifacts(
     key = jnp.where(parts.valid, r, jnp.inf)
     iota = jnp.arange(key.shape[0], dtype=jnp.int32)
     bound = parts.valid & (parts.groupnr == scalars.index)
-    r_s, order, m_s, b_s = jax.lax.sort(
-        (key, iota, parts.mass, bound), num_keys=1, is_stable=True
+    # optional chemistry payloads: the HI/H2 half-mass radii otherwise
+    # permutation-gather their weight columns per slice instance
+    extra_names = []
+    extra_cols = []
+    if ctx is not None and parts.fields:
+        elem_ds = "PartType0/ElementMassFractions"
+        spec_ds = "PartType0/SpeciesFractions"
+        if (
+            elem_ds in parts.fields
+            and spec_ds in parts.fields
+            and ctx.has_column(elem_ds, "Hydrogen")
+        ):
+            lo, hi = ctx.segment("PartType0")
+            h = parts.fields[elem_ds][
+                :, ctx.column_index(elem_ds, "Hydrogen")
+            ]
+            m_gas = parts.mass[lo:hi]
+            for species, factor, name in (
+                ("HI", 1.0, "_w_HI_sorted"),
+                ("H2", 2.0, "_w_H2_sorted"),
+            ):
+                if not ctx.has_column(spec_ds, species):
+                    continue
+                s = parts.fields[spec_ds][
+                    :, ctx.column_index(spec_ds, species)
+                ]
+                w = jnp.zeros(key.shape[0], jnp.float32)
+                w = w.at[lo:hi].set(m_gas * h * s * factor)
+                extra_names.append(name)
+                extra_cols.append(w)
+    r_s, order, m_s, b_s, *extra_s = jax.lax.sort(
+        (key, iota, parts.mass, bound, *extra_cols),
+        num_keys=1,
+        is_stable=True,
     )
-    return {
+    out = {
         "radius": r,
         "_rsort_order": order,
         "_r_sorted": r_s,
@@ -2862,6 +2928,8 @@ def shared_sort_artifacts(
         # invalid slots carry an inf key, so validity needs no payload
         "_valid_sorted": jnp.isfinite(r_s),
     }
+    out.update(zip(extra_names, extra_s))
+    return out
 
 
 def compute_properties(slice_obj: HaloSlice, keys) -> Dict[str, jnp.ndarray]:

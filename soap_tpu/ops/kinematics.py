@@ -8,7 +8,7 @@ as branch-free masked reductions over padded per-halo particle slices.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax.numpy as jnp
 
@@ -110,6 +110,71 @@ def vmax(
     r_s = jnp.where(mask, radius, big)
     order = jnp.argsort(r_s)
     return vmax_sorted(mass[order], r_s[order], mask[order])
+
+
+def vmax_sorted_multi_soft(
+    m_sorted: jnp.ndarray,  # (K,) masses in shared radius-sorted order
+    r_sorted: jnp.ndarray,  # (K,) UNSOFTENED radii ascending (inf-padded)
+    type_masks: Sequence[jnp.ndarray],  # per-softening-value selection masks
+    softenings: Tuple[float, ...],  # static values, aligned with type_masks
+) -> VmaxResult:
+    """Softened Vmax from the SHARED radius sort with PER-TYPE softenings.
+
+    The reference sorts by the softened radius ``max(r_i, s_t)``
+    (``subhalo_properties.py:1027-1046``); re-sorting per call site costs
+    an argsort plus three (B, lanes, K) permutation gathers — the single
+    hottest op family of a hydro bucket.  Instead use
+    ``max(r_i, s_t) <= x  <=>  r_i <= x AND s_t <= x``: the softened
+    cumulative-mass step function is a sum of per-type cumsums over the
+    EXISTING radius order, gated by static thresholds.  ``M(<=x)/x`` is
+    maximal at a step point — one of the sorted radii or one of the T
+    softening values — so evaluating at those candidates is exact.
+    """
+    # The reference evaluates M(<=x)/x ONLY at selected particles' own
+    # softened radii (skipping near-zero ones) — NOT at every x>0: with a
+    # zero softening the step function's sup is unbounded as x->0+, so
+    # the evaluation set must match exactly.  Candidates are therefore
+    # (a) x=r_i where particle i is selected and r_i >= its own
+    # softening (then r_i IS its softened radius), and (b) x=s_t where
+    # some selected type-t particle has r <= s_t.
+    cums = [jnp.cumsum(jnp.where(tm, m_sorted, 0.0)) for tm in type_masks]
+    finite = jnp.isfinite(r_sorted)
+    M_r = cums[0] * 0.0
+    own_point = None
+    for s, tm, cu in zip(softenings, type_masks, cums):
+        gate = jnp.float32(s) <= r_sorted
+        M_r = M_r + jnp.where(gate, cu, 0.0)
+        o = tm & gate
+        own_point = o if own_point is None else (own_point | o)
+    usable = own_point & finite & (r_sorted > 1e-8)
+    ratio = jnp.where(usable, M_r / jnp.maximum(r_sorted, 1e-37), -jnp.inf)
+    imax = jnp.argmax(ratio)
+    any_usable = jnp.any(usable)
+    best = jnp.take(ratio, imax)
+    best_x = jnp.take(r_sorted, imax)
+    # (b): softening-value points for particles with r below their own
+    # softening (their softened radius is exactly s_t)
+    for t, s in enumerate(softenings):
+        if s <= 1e-8:
+            continue
+        sf = jnp.float32(s)
+        present = jnp.any(type_masks[t] & (r_sorted <= sf))
+        idx = jnp.searchsorted(r_sorted, sf, side="right")
+        M_s = jnp.float32(0.0)
+        for su, cu in zip(softenings, cums):
+            if su <= s:
+                M_s = M_s + jnp.where(
+                    idx > 0, jnp.take(cu, jnp.maximum(idx - 1, 0)), 0.0
+                )
+        val = jnp.where(present, M_s / sf, -jnp.inf)
+        better = val > jnp.where(any_usable, best, -jnp.inf)
+        best = jnp.where(better, val, best)
+        best_x = jnp.where(better, sf, best_x)
+        any_usable = any_usable | present
+    return VmaxResult(
+        radius=jnp.where(any_usable, best_x, 0.0),
+        vmax_sq_over_G=jnp.where(any_usable, jnp.maximum(best, 0.0), 0.0),
+    )
 
 
 def cylindrical_velocities(

@@ -253,6 +253,25 @@ def process_chunks(
                     for name, arr in data[pt].items()
                     if name not in ("Coordinates", "__cells__")
                 }
+                if (
+                    pt == "PartType4"
+                    and aux is not None
+                    and "age_table" in aux
+                    and "BirthScaleFactors" in fields
+                ):
+                    # derived per-particle stellar age, computed ONCE on
+                    # the host: the device DAG otherwise re-interpolates
+                    # the age table per spec instance (reference does it
+                    # once per snapshot too, ``stellar_age_calculator.py``)
+                    age_a, age_t = aux["age_table"]
+                    t_now = np.interp(float(ctx.a), age_a, age_t)
+                    fields["StellarAges"] = np.maximum(
+                        t_now
+                        - np.interp(
+                            fields["BirthScaleFactors"], age_a, age_t
+                        ),
+                        0.0,
+                    ).astype(np.float32)
                 chunk_ptypes[pt] = stage_ptype(
                     np.mod(data[pt]["Coordinates"], meta.boxsize),
                     fields,

@@ -256,7 +256,7 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
         # (the sort + payload gathers dominate device time at large K)
         from soap_tpu.models.halo_slice import shared_sort_artifacts
 
-        shared = shared_sort_artifacts(parts, scalars)
+        shared = shared_sort_artifacts(parts, scalars, ctx)
 
         def seed(s, spec):
             if spec.kind != "projected":

@@ -105,6 +105,57 @@ def test_vmax_point_mass(rng):
     assert np.isclose(float(res.vmax_sq_over_G), want, rtol=1e-5)
 
 
+def test_vmax_multi_soft_matches_bruteforce(rng):
+    """Per-type softened Vmax on the shared (unsoftened) radius order
+    equals the brute-force sort-by-softened-radius kernel."""
+    for seed in range(8):
+        _vmax_multi_soft_case(np.random.default_rng(seed))
+
+
+def _vmax_multi_soft_case(rng):
+    n, K = 700, 1024
+    n_types = 3
+    softs = (0.05, 0.4, 0.0)  # incl. a zero softening
+    radius = rng.uniform(0.0, 5.0, n).astype(np.float32)
+    radius[:5] = 0.0  # some exact-centre particles
+    mass = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    tids = rng.integers(0, n_types, n)
+    sel = rng.random(n) > 0.3
+
+    # brute force: softened radii through the sorting wrapper
+    soft_r = np.maximum(radius, np.asarray(softs, np.float32)[tids])
+    (m_b, r_b), mask_b = _pad([mass, soft_r], K)
+    mask_b = mask_b & np.pad(sel, (0, K - n))
+    want = kinematics.vmax(m_b, r_b, mask_b)
+
+    # shared-sort path: sort once by UNSOFTENED radius, per-type masks
+    r_pad = np.pad(radius, (0, K - n), constant_values=np.inf)
+    order = np.argsort(r_pad)
+    r_sorted = r_pad[order].astype(np.float32)
+    m_sorted = np.pad(mass, (0, K - n))[order].astype(np.float32)
+    sel_pad = np.pad(sel, (0, K - n))
+    tid_pad = np.pad(tids, (0, K - n), constant_values=-1)
+    masks = [
+        (sel_pad & (tid_pad == t))[order] for t in range(n_types)
+    ]
+    got = kinematics.vmax_sorted_multi_soft(
+        jnp.asarray(m_sorted), jnp.asarray(r_sorted),
+        [jnp.asarray(mk) for mk in masks], softs,
+    )
+    assert np.isclose(
+        float(got.vmax_sq_over_G), float(want.vmax_sq_over_G), rtol=1e-5
+    )
+    assert np.isclose(float(got.radius), float(want.radius), rtol=1e-5)
+
+    # nothing selected -> zeros
+    empty = kinematics.vmax_sorted_multi_soft(
+        jnp.asarray(m_sorted), jnp.asarray(r_sorted),
+        [jnp.zeros(K, bool) for _ in range(n_types)], softs,
+    )
+    assert float(empty.vmax_sq_over_G) == 0.0
+    assert float(empty.radius) == 0.0
+
+
 def test_half_mass_radius_analytic(rng):
     """Uniform 1D shell masses: analytic half-mass radius.
 
