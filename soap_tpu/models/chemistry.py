@@ -119,17 +119,18 @@ class ChemistryMixin:
 
         if frac is None:
             return _zero()
-        # engine-seeded sort payload (no per-slice permutation gather)
+        # engine-seeded sort payload (no per-slice permutation gather;
+        # never seeded on projected slices, whose profile order differs)
         w_sorted = self.__dict__.get(seeded) if seeded else None
         if w_sorted is None:
             lo, hi = self.ctx.segment("PartType0")
             w = jnp.zeros(self.parts.valid.shape[0], jnp.float32)
             w = w.at[lo:hi].set(self._gas_mass * frac)
-            w_sorted = w[self._rsort_order]
+            w_sorted = w[self._prof_order]
         return radii_ops.half_weight_radius_sorted(
-            self._r_sorted,
+            self._prof_r_sorted,
             w_sorted,
-            self._gas_sorted,
+            self._prof_gas_sorted,
             total,
         )
 

@@ -281,6 +281,47 @@ class HaloSlice(ChemistryMixin):
     def _star_sorted(self):
         return self._sel_sorted & self._seg_sorted("PartType4")
 
+    # ---------------- profile-radius view ----------------
+    # Half-mass/half-light profile kernels defined on this base class go
+    # through these indirections so ``ProjectedApertureSlice`` can remap
+    # them to its PROJECTED radius sort (the reference's projected
+    # apertures profile in projected radius:
+    # ``projected_aperture_properties.py:1492-1566``).
+
+    @property
+    def _prof_r_sorted(self):
+        return self._r_sorted
+
+    @property
+    def _prof_m_sorted(self):
+        return self._m_sorted
+
+    @property
+    def _prof_order(self):
+        return self._rsort_order
+
+    @property
+    def _prof_sel_sorted(self):
+        return self._sel_sorted
+
+    def _prof_seg_sorted(self, ptype: str) -> jnp.ndarray:
+        return self._seg_sorted(ptype)
+
+    @property
+    def _prof_gas_sorted(self):
+        return self._gas_sorted
+
+    @property
+    def _prof_star_radius(self):
+        """Star-segment profile radius (3D; projected overrides)."""
+        return self._star_r_local
+
+    def _star_sel_sorted(self):
+        """Selection mask in STAR-SORT order, derived elementwise from
+        the engine-seeded star-sort artifacts; None when the class has
+        no elementwise derivation (then the gather path runs)."""
+        return None
+
     # ---------------- needs-bigger-region ladder ----------------
 
     @property
@@ -1077,12 +1118,21 @@ class HaloSlice(ChemistryMixin):
         """
         if not self._has("PartType4/Luminosities"):
             return jnp.zeros(9, jnp.float32)
-        valid = self._seg_arr(self.parts.valid, "PartType4")
-        r = jnp.where(valid, self._star_r_local, jnp.inf)
-        order = jnp.argsort(r)
-        r_s = r[order]
-        sel_s = self._star_sel[order]
-        lum_s = self._star_lum[order]
+        sel_s = (
+            self._star_sel_sorted()
+            if "_star_sort_r" in self.__dict__
+            else None
+        )
+        if sel_s is not None:
+            r_s = self._star_sort_r
+            lum_s = self._star_sort_lum
+        else:
+            valid = self._seg_arr(self.parts.valid, "PartType4")
+            r = jnp.where(valid, self._prof_star_radius, jnp.inf)
+            order = jnp.argsort(r)
+            r_s = r[order]
+            sel_s = self._star_sel[order]
+            lum_s = self._star_lum[order]
         out = []
         for band in range(9):
             w = lum_s[:, band]
@@ -1094,12 +1144,13 @@ class HaloSlice(ChemistryMixin):
 
     @lazy_property
     def HalfMassRadiusBaryon(self):
-        bar_sorted = self._sel_sorted & (
-            self._seg_sorted("PartType0") | self._seg_sorted("PartType4")
+        bar_sorted = self._prof_sel_sorted & (
+            self._prof_seg_sorted("PartType0")
+            | self._prof_seg_sorted("PartType4")
         )
         mbar = self.Mgas + self.Mstar
         return radii_ops.half_weight_radius_sorted(
-            self._r_sorted, self._m_sorted, bar_sorted, mbar
+            self._prof_r_sorted, self._prof_m_sorted, bar_sorted, mbar
         )
 
     @lazy_property
@@ -1536,9 +1587,9 @@ class HaloSlice(ChemistryMixin):
             self._gas_mass * self.field("PartType0/TotalDustMassFractions")
         )
         return radii_ops.half_weight_radius_sorted(
-            self._r_sorted,
-            w[self._rsort_order],
-            self._gas_sorted,
+            self._prof_r_sorted,
+            w[self._prof_order],
+            self._prof_gas_sorted,
             self.DustMass,
         )
 
@@ -1906,6 +1957,9 @@ class BoundSubhaloSlice(HaloSlice):
     def _sel_sorted(self):
         # selection == bound_mask: the sort payload, no gather
         return self._bound_sorted
+
+    def _star_sel_sorted(self):
+        return self._star_sort_bound
 
 
 class SOSlice(HaloSlice):
@@ -2545,6 +2599,15 @@ class ApertureSlice(HaloSlice):
             return inside
         return inside & self._bound_sorted
 
+    def _star_sel_sorted(self):
+        self.add_flag(self.aperture_radius > self.scalars.search_radius)
+        inside = jnp.isfinite(self._star_sort_r) & (
+            self._star_sort_r < self.aperture_radius
+        )
+        if self.inclusive:
+            return inside
+        return inside & self._star_sort_bound
+
     def _type_bound(self, ptype: str) -> jnp.ndarray:
         lo, hi = self.ctx.segment(ptype)
         k = self.parts.valid.shape[0]
@@ -2626,6 +2689,36 @@ class ProjectedApertureSlice(HaloSlice):
         lo, hi = self.ctx.segment(ptype)
         order = self._proj_sort[1]
         return (order >= lo) & (order < hi)
+
+    # profile-radius view: base-class half-mass/half-light kernels
+    # profile in the PROJECTED radius here (reference
+    # ``projected_aperture_properties.py:1492-1566``)
+    @property
+    def _prof_r_sorted(self):
+        return self._proj_sort[0]
+
+    @property
+    def _prof_m_sorted(self):
+        return self._proj_sort[2]
+
+    @property
+    def _prof_order(self):
+        return self._proj_sort[1]
+
+    @property
+    def _prof_sel_sorted(self):
+        return self._proj_sel_sorted
+
+    def _prof_seg_sorted(self, ptype: str) -> jnp.ndarray:
+        return self._proj_seg_sorted(ptype)
+
+    @property
+    def _prof_gas_sorted(self):
+        return self._proj_sel_sorted & self._proj_seg_sorted("PartType0")
+
+    @property
+    def _prof_star_radius(self):
+        return self._seg_arr(self.proj_radius, "PartType4")
 
     def _proj_half_mass(self, sorted_mask, total):
         r_s, order, m_s, _ = self._proj_sort
@@ -2929,6 +3022,28 @@ def shared_sort_artifacts(
         "_valid_sorted": jnp.isfinite(r_s),
     }
     out.update(zip(extra_names, extra_s))
+
+    # star-segment sort with luminosity payloads: HalfLightRadiusStar
+    # otherwise argsorts the star segment and gathers 9 luminosity
+    # columns PER SLICE INSTANCE.  XLA dead-code-eliminates this sort in
+    # programs whose spec set never consumes the seeds.
+    lum_ds = "PartType4/Luminosities"
+    if ctx is not None and parts.fields and lum_ds in parts.fields:
+        lo4, hi4 = ctx.segment("PartType4")
+        if hi4 > lo4:
+            key4 = jnp.where(
+                parts.valid[lo4:hi4], r[lo4:hi4], jnp.inf
+            )
+            lum = parts.fields[lum_ds]
+            sorted4 = jax.lax.sort(
+                (key4, bound[lo4:hi4])
+                + tuple(lum[:, b] for b in range(lum.shape[1])),
+                num_keys=1,
+                is_stable=True,
+            )
+            out["_star_sort_r"] = sorted4[0]
+            out["_star_sort_bound"] = sorted4[1]
+            out["_star_sort_lum"] = jnp.stack(sorted4[2:], axis=1)
     return out
 
 
