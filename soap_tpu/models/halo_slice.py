@@ -696,13 +696,14 @@ class HaloSlice(ChemistryMixin):
                 pos,
                 jnp.stack(m_rows),
                 jnp.stack(r_rows),
-                jnp.asarray(np.asarray(red_rows)),
-                jnp.asarray(np.asarray(it_rows)),
+                # static numpy flags: under jit, jnp.asarray(np_array)
+                # produces a TRACER, which would silently disable the
+                # static-flag Pallas kernel gate in inertia_tensor_multi
+                np.asarray(red_rows),
+                np.asarray(it_rows),
                 search_radius=search,
                 check_search=(
-                    jnp.asarray(np.asarray(chk_rows))
-                    if search is not None
-                    else None
+                    np.asarray(chk_rows) if search is not None else None
                 ),
                 single_pass=not any(it_rows),
             )
@@ -2809,8 +2810,8 @@ class ProjectedApertureSlice(HaloSlice):
                 pos2d,
                 jnp.stack(m_rows),
                 jnp.stack(r_rows),
-                jnp.asarray(np.asarray(red_rows)),
-                jnp.asarray(np.asarray(it_rows)),
+                np.asarray(red_rows),
+                np.asarray(it_rows),
                 single_pass=not any(it_rows),
             )
             for i, (cfg, gate) in enumerate(zip(cfgs, gates)):

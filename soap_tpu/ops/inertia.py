@@ -314,16 +314,14 @@ def inertia_tensor_multi(
     # (K,) weights only (the rare per-config luminosity weights keep the
     # XLA loop).
     pallas_mode = _pallas_inertia_mode()
-    # K gate: per-instance operand DMA is not amortized at large K —
-    # measured on the DMO bench, the kernel wins the dominant small-halo
-    # buckets (K=5120: -14% bucket time) and loses K >= 12288 buckets
-    # slightly, so large-K buckets keep the XLA loop
-    max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 8192))
+    # optional K gate (env escape hatch); since the bit-packed-mask
+    # operand diet the kernel wins at every bucket K, so default = no cap
+    max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 1 << 30))
     if (
         pallas_mode is not None
         and not single_pass
         and weights.ndim == 1
-        and C <= 128
+        and C <= 32  # mask bits must fit one i32 word
         and pos.dtype == jnp.float32
         and (pallas_mode == "interpret" or pos.shape[0] <= max_k)
     ):
@@ -337,16 +335,17 @@ def inertia_tensor_multi(
             pos3 = jnp.pad(pos, ((0, Kp - K), (0, 0))).T.reshape(
                 3, Kp // 128, 128
             )
-            # masked-out rows carry NaN (int8 vector compares are not
-            # supported by Mosaic; NaN-encoding also keeps negative
-            # neutrino weights intact)
-            wm = jnp.where(masks, weights[None, :], jnp.float32(jnp.nan))
-            wm = jnp.pad(
-                wm, ((0, 0), (0, Kp - K)), constant_values=jnp.nan
-            ).reshape(C, Kp // 128, 128)
-            invr2 = jnp.pad(inv_r2, (0, Kp - K)).reshape(
-                1, Kp // 128, 128
-            )
+            # per-config masks as BITS of one i32 word per element
+            # (padded rows stay 0 = deselected everywhere); the shared
+            # weight vector rides once — negative neutrino weights are
+            # fine because selection is explicit, not weight-encoded
+            mw = jnp.zeros((K,), jnp.int32)
+            for c in range(C):
+                mw = mw | (masks[c].astype(jnp.int32) << c)
+            mw = jnp.pad(mw, (0, Kp - K)).reshape(1, Kp // 128, 128)
+            w_row = jnp.pad(
+                weights.astype(jnp.float32), (0, Kp - K)
+            ).reshape(1, Kp // 128, 128)
             radii_row = jnp.zeros((8, 128), jnp.float32)
             radii_row = radii_row.at[0, :C].set(R.astype(jnp.float32))
             done0_row = jnp.zeros((8, 128), jnp.float32)
@@ -355,8 +354,8 @@ def inertia_tensor_multi(
             )
             out = _pk.inertia_loop_pallas(
                 pos3,
-                wm,
-                invr2,
+                w_row,
+                mw,
                 radii_row,
                 done0_row,
                 red_static,

@@ -126,14 +126,15 @@ def _inertia_kernel(
     iterative: Tuple[bool, ...],
     max_iterations: int,
     pos_ref,  # (3, KR, 128) f32
-    wm_ref,  # (C, KR, 128) f32: weight where selected, NaN where masked
-    invr2_ref,  # (1, KR, 128) f32: 1/r^2 (1 at r == 0)
+    w_ref,  # (1, KR, 128) f32: SHARED per-particle weights
+    mw_ref,  # (1, KR, 128) i32: per-config mask bits (bit c = config c)
     radii_ref,  # (8, 128) f32, row 0: per-config sphere radius
     done0_ref,  # (8, 128) f32, row 0: 1.0 where done at start (~enough)
     out_ref,  # (8, 128) f32, rows 0-5: final tensor flat per config lane
     xx_ref,  # scratch (8, KR, 128) f32: position products (6 used)
     st_ref,  # scratch (24, 128) f32: iteration state rows
     tn_ref,  # scratch (8, 128) f32: this iteration's normalized tensor
+    wr_ref,  # scratch (1, KR, 128) f32: reduced weights w / r^2
 ):
     C = len(reduced)
     one = jnp.float32(1.0)
@@ -147,6 +148,14 @@ def _inertia_kernel(
     xx_ref[3] = y * y
     xx_ref[4] = y * z
     xx_ref[5] = z * z
+    if any(reduced):
+        # 1/r^2 computed in-kernel (matches the host-side
+        # ``1 / where(isclose(r2, 0), 1, r2)`` — isclose(r2, 0) with
+        # default atol is r2 <= 1e-8, and r2 >= 0 always); rows excluded
+        # by the reduced-config zero-radius rule already have their mask
+        # bit cleared by the caller
+        r2 = x * x + y * y + z * z
+        wr_ref[0] = w_ref[0] / jnp.where(r2 <= jnp.float32(1e-8), one, r2)
 
     R_row = radii_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
@@ -235,14 +244,18 @@ def _inertia_kernel(
                         + y * (q11 * y + q12 * z)
                         + q22 * z * z
                     )
-                    m = wm_ref[c]
-                    inside = (rr <= one) & (m == m)  # NaN = masked out
+                    sel = ((mw_ref[0] >> c) & 1) == 1
+                    inside = (rr <= one) & sel
                     wi = jnp.where(
                         inside,
-                        m * invr2_ref[0] if reduced[c] else m,
+                        wr_ref[0] if reduced[c] else w_ref[0],
                         0.0,
                     )
-                    wn = jnp.where(inside, m, 0.0) if reduced[c] else wi
+                    wn = (
+                        jnp.where(inside, w_ref[0], 0.0)
+                        if reduced[c]
+                        else wi
+                    )
                     inv = one / jnp.maximum(jnp.sum(wn), tiny)
                     for k in range(6):
                         s_k = jnp.sum(wi * xx_ref[k]) * inv
@@ -293,8 +306,8 @@ def _inertia_kernel(
 
 def inertia_loop_pallas(
     pos3: jnp.ndarray,  # (3, KR, 128) f32
-    wm: jnp.ndarray,  # (C, KR, 128) f32: weight / NaN-masked
-    invr2: jnp.ndarray,  # (1, KR, 128) f32
+    w_row: jnp.ndarray,  # (1, KR, 128) f32: shared weights
+    maskword: jnp.ndarray,  # (1, KR, 128) i32: bit c = config c selected
     radii_row: jnp.ndarray,  # (8, 128) f32
     done0_row: jnp.ndarray,  # (8, 128) f32
     reduced: Tuple[bool, ...],
@@ -303,8 +316,16 @@ def inertia_loop_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the in-kernel ellipsoid loop; returns (8, 128) f32 whose rows
-    0-5 hold the final flat tensors, lanes = configs."""
-    C, KR = wm.shape[0], wm.shape[1]
+    0-5 hold the final flat tensors, lanes = configs.
+
+    Operand diet (vs the first version, which took a (C, KR, 128)
+    NaN-masked weight block + a precomputed 1/r^2 plane): the per-config
+    masks ride as BITS of one i32 word per element and 1/r^2 is derived
+    in-kernel from the positions, so each (halo, lane) instance streams
+    5*K operand words instead of (4 + C)*K — and the caller never
+    materializes a (B, lanes, C, K) HBM block at all.
+    """
+    KR = pos3.shape[1]
     kern = partial(
         _inertia_kernel, tuple(reduced), tuple(iterative), int(max_iterations)
     )
@@ -314,7 +335,7 @@ def inertia_loop_pallas(
     # f32/i32 so the x64 context is irrelevant to its semantics
     with jax.enable_x64(False):
         return _call(kern, KR, interpret)(
-            pos3, wm, invr2, radii_row, done0_row
+            pos3, w_row, maskword, radii_row, done0_row
         )
 
 
@@ -328,6 +349,7 @@ def _call(kern, KR, interpret):
             pltpu.VMEM((8, KR, 128), jnp.float32),
             pltpu.VMEM((24, 128), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((1, KR, 128), jnp.float32),
         ],
         interpret=interpret,
     )
