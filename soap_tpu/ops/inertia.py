@@ -314,9 +314,13 @@ def inertia_tensor_multi(
     # (K,) weights only (the rare per-config luminosity weights keep the
     # XLA loop).
     pallas_mode = _pallas_inertia_mode()
-    # optional K gate (env escape hatch); since the bit-packed-mask
-    # operand diet the kernel wins at every bucket K, so default = no cap
-    max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 1 << 30))
+    # K cap: the kernel's VMEM scratch is 9 planes x K x 4 B (6 cached
+    # position products + spare + reduced weights), and Mosaic's scoped
+    # stack limit is 16 MB — K = 131072 uses 4.7 MB (every DMO bucket
+    # wins under this cap; measured +16% full-set throughput), while the
+    # giant-halo K ~ 1e6 buckets would OOM at compile, so they keep the
+    # XLA loop.  Env escape hatch for experiments.
+    max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 131072))
     if (
         pallas_mode is not None
         and not single_pass

@@ -29,7 +29,12 @@ from soap_tpu.io.halo_catalogue import HaloCatalogue
 from soap_tpu.models.context import HaloContext
 from soap_tpu.parallel.domain import peano_decomposition
 from soap_tpu.pipeline.chunk_data import ChunkData, stage_ptype
-from soap_tpu.pipeline.engine import EngineStats, HaloEngine, HaloTypeSpec
+from soap_tpu.pipeline.engine import (
+    EngineStats,
+    HaloEngine,
+    HaloTypeSpec,
+    StagedStore,
+)
 
 #: fields needed per ptype for the DMO tier (hydro tiers extend this)
 BASE_FIELDS = ["Coordinates", "Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs"]
@@ -278,6 +283,12 @@ def process_chunks(
                     meta.boxsize,
                 )
             chunk = ChunkData(boxsize=meta.boxsize, ptypes=chunk_ptypes)
+            if os.environ.get("SOAP_TPU_PRESTAGE", "1") != "0":
+                # upload from the reader thread: the host->device
+                # transfer of chunk N+1 overlaps chunk N's compute
+                # (peak HBM = two chunk stores during the window);
+                # SOAP_TPU_PRESTAGE=0 restores serial staging
+                chunk = HaloEngine.stage(chunk, mesh=_local_mesh())
             return mask, n_read, chunk
 
         return _read
@@ -302,10 +313,13 @@ def process_chunks(
         if chunk_results is None:
             mask, n_read, chunk = prefetcher.take(chunk_nr, _make_read_fn(rows))
             if verbose:
+                ptypes_view = (
+                    chunk.stacked if isinstance(chunk, StagedStore) else chunk
+                ).ptypes
                 n_bytes = sum(
                     p.packed_f.nbytes
                     + (p.packed_i.nbytes if p.packed_i is not None else 0)
-                    for p in chunk.ptypes.values()
+                    for p in ptypes_view.values()
                 )
                 _progress(
                     f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: read "

@@ -830,6 +830,23 @@ class EngineStats:
         return "\n".join(lines)
 
 
+class StagedStore:
+    """A chunk store already stacked and device-resident.
+
+    Produced by ``HaloEngine.stage`` (typically from a prefetch/reader
+    thread so the host->device transfer of chunk N+1 overlaps chunk N's
+    compute — the TPU analogue of the reference's parallel reader ranks
+    filling node shared memory, ``swift_cells.py:548-734``); accepted by
+    ``HaloEngine`` in place of raw ``ChunkData``.
+    """
+
+    __slots__ = ("stacked", "C")
+
+    def __init__(self, stacked, C: int):
+        self.stacked = stacked
+        self.C = C
+
+
 class HaloEngine:
     """Unified bucketed orchestrator over ``C`` chunks x ``B`` halos.
 
@@ -877,19 +894,28 @@ class HaloEngine:
         #: reference's ``--record-halo-timings``)
         self.record_halo_timings = record_halo_timings
         self.ctx_base = ctx_base
-        single = isinstance(chunks, ChunkData)
-        chunk_list = [chunks] if single else list(chunks)
-        self._single_chunk_api = single
-        self.C = len(chunk_list)
-        self.mesh = mesh
-        self.boxsize = chunk_list[0].boxsize
-        self._grid_specs = {
-            name: chunk_list[0].ptypes[name].spec
-            for name in chunk_list[0].ptypes
-        }
-        from soap_tpu.parallel.sharded import stack_chunks
+        if isinstance(chunks, StagedStore):
+            # pre-staged from a prefetch thread (``HaloEngine.stage``):
+            # the store already carries the leading chunk axis and lives
+            # on device — the device_puts below are no-ops, so engine
+            # construction costs nothing and the host->device transfer
+            # overlapped the PREVIOUS chunk's compute
+            stacked = chunks.stacked
+            self._single_chunk_api = chunks.C == 1
+            self.C = chunks.C
+        else:
+            single = isinstance(chunks, ChunkData)
+            chunk_list = [chunks] if single else list(chunks)
+            self._single_chunk_api = single
+            self.C = len(chunk_list)
+            from soap_tpu.parallel.sharded import stack_chunks
 
-        stacked = stack_chunks(chunk_list)
+            stacked = stack_chunks(chunk_list)
+        self.mesh = mesh
+        self.boxsize = stacked.boxsize
+        self._grid_specs = {
+            name: stacked.ptypes[name].spec for name in stacked.ptypes
+        }
         # NOTE on parameter layouts: XLA's auto-layout picks (0, 2, 1)
         # for the (C, N, F) packed store, which costs one whole-store
         # relayout copy inside every bucket call (~9 ms on the bench
@@ -1003,6 +1029,30 @@ class HaloEngine:
                 except Exception:
                     pass
         self.stacked = None
+
+    @staticmethod
+    def stage(chunks, mesh=None, block: bool = True) -> "StagedStore":
+        """Stack + upload a chunk store ahead of engine construction.
+
+        Call from a reader/prefetch thread so the transfer overlaps the
+        previous chunk's device compute (``jax.device_put`` dispatch is
+        thread-safe); pass the result to ``HaloEngine`` as ``chunks``.
+        Peak HBM holds two chunk stores during the overlap window.
+        """
+        single = isinstance(chunks, ChunkData)
+        chunk_list = [chunks] if single else list(chunks)
+        from soap_tpu.parallel.sharded import stack_chunks
+
+        stacked = stack_chunks(chunk_list)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            staged = jax.device_put(stacked, NamedSharding(mesh, P("chunks")))
+        else:
+            staged = jax.device_put(stacked)
+        if block:
+            jax.block_until_ready(jax.tree_util.tree_leaves(staged))
+        return StagedStore(staged, len(chunk_list))
 
     def _cube_for(self, ptype: str, radius_com: float) -> int:
         spec = self._grid_specs[ptype]
