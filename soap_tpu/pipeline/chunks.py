@@ -346,6 +346,7 @@ def process_chunks(
                     f"[{time.time()-t0:6.1f}s] chunk {chunk_nr}: staged "
                     f"to device in {time.time()-t_put:.1f}s"
                 )
+            t_proc = time.time()
             chunk_results = engine.process(
                 centres=cat.cofp[rows],
                 search_radius_phys=search_radius_phys[rows],
@@ -356,6 +357,7 @@ def process_chunks(
                 # optimization (HBT search radius = 1.01 x REnclose)
                 enclose_radius_phys=cat.search_radius[rows] * meta.a,
             )
+            total_stats.process_seconds += time.time() - t_proc
             s = engine.stats
             total_stats.n_bucket_calls += s.n_bucket_calls
             total_stats.n_retries += s.n_retries

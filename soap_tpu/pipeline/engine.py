@@ -754,6 +754,10 @@ class EngineStats:
     #: wall seconds spent in (parallel) AOT bucket-program compilation;
     #: persistent-cache hits make this near zero on warm starts
     compile_seconds: float = 0.0
+    #: wall seconds inside ``HaloEngine.process`` (device compute +
+    #: dispatch, excluding IO/staging) accumulated by ``process_chunks``
+    #: — the engine-only denominator for pipeline-level throughput
+    process_seconds: float = 0.0
     # per-spec device seconds (only with record_spec_timings)
     spec_seconds: Dict[str, float] = field(default_factory=dict)
     # per-halo per-spec attribution (record_spec_timings): tuples of
