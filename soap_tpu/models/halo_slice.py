@@ -243,6 +243,12 @@ class HaloSlice(ChemistryMixin):
     def _valid_sorted(self):
         return self.parts.valid[self._rsort_order]
 
+    @lazy_property
+    def _pos_sorted(self):
+        # engine-seeded as a shared-sort payload; gather fallback for
+        # unseeded (single-slice / test) paths
+        return self.parts.pos[self._rsort_order]
+
     def _sorted(self, mask: jnp.ndarray) -> jnp.ndarray:
         return mask[self._rsort_order]
 
@@ -616,6 +622,23 @@ class HaloSlice(ChemistryMixin):
         mask, hmr, gate = masks[species]
         return mask, 10.0 * hmr, None, gate
 
+    def _inertia_mask_sorted(self, species: str):
+        """``_inertia_cfg``'s selection mask in RADIUS-SORT order,
+        derived elementwise from shared-sort payloads (no gather)."""
+        return {
+            "tot": lambda: self._sel_sorted,
+            "gas": lambda: self._gas_sorted,
+            "dm": lambda: self._dm_sorted,
+            "star": lambda: self._star_sorted,
+        }[species]()
+
+    def _inertia_star_mask_sorted(self):
+        """Luminosity-inertia selection in STAR-SORT order: bound star
+        particles (``_inertia_cfg('star')``'s mask restricted to the
+        star segment) for bound/aperture slices; SO overrides to all
+        valid candidates."""
+        return self._star_sort_bound
+
     def _inertia(self, species, reduced, iterative):
         """One 3D inertia tensor.  When the engine pre-registered the
         requested key set (``compute_properties``), ALL requested inertia
@@ -665,8 +688,12 @@ class HaloSlice(ChemistryMixin):
         lo4, hi4 = self.ctx.segment("PartType4")
         out: Dict[tuple, jnp.ndarray] = {}
 
-        def run_batch(cfgs, pos, seg):
-            """One batched kernel call; ``seg`` restricts to the star
+        def run_batch(cfgs, seg):
+            """One batched kernel call on RADIUS-SORTED rows (sorted
+            positions/masses are shared-sort payloads, sorted masks are
+            derived elementwise) — the Pallas heavy pass then stops at
+            each config's selection extent / ellipsoid extent instead of
+            sweeping the whole bucket.  ``seg`` restricts to the star
             segment (luminosity-band configs never select other rows, so
             streaming only the segment keeps the per-iteration work and
             the (C, K) mask block small)."""
@@ -675,11 +702,17 @@ class HaloSlice(ChemistryMixin):
             )
             w_rows = []
             search = None
+            star_sorted = seg and "_star_sort_pos" in self.__dict__
             for species, red_, it, band in cfgs:
                 mask, sphere, search_c, gate = self._inertia_cfg(species)
-                if seg:
+                if star_sorted:
+                    mask = self._inertia_star_mask_sorted()
+                    w_rows.append(self._star_sort_lum[:, band])
+                elif seg:
                     mask = mask[lo4:hi4]
                     w_rows.append(self._star_lum[:, band])
+                else:
+                    mask = self._inertia_mask_sorted(species)
                 m_rows.append(mask)
                 r_rows.append(jnp.asarray(sphere, jnp.float32))
                 red_rows.append(red_)
@@ -690,7 +723,12 @@ class HaloSlice(ChemistryMixin):
                     search = search_c
             # mass-weighted configs share ONE (K,) weight vector — no
             # (C, K) weight block is ever materialized
-            weights = jnp.stack(w_rows) if seg else self.parts.mass
+            if star_sorted:
+                pos, weights = self._star_sort_pos, jnp.stack(w_rows)
+            elif seg:
+                pos, weights = self.parts.pos[lo4:hi4], jnp.stack(w_rows)
+            else:
+                pos, weights = self._pos_sorted, self._m_sorted
             result = inertia_ops.inertia_tensor_multi(
                 weights,
                 pos,
@@ -706,6 +744,7 @@ class HaloSlice(ChemistryMixin):
                     np.asarray(chk_rows) if search is not None else None
                 ),
                 single_pass=not any(it_rows),
+                rows_radius_sorted=star_sorted or not seg,
             )
             if search is not None:
                 self.add_flag(jnp.any(result.needs_bigger))
@@ -724,9 +763,9 @@ class HaloSlice(ChemistryMixin):
                 c for c in configs if c[3] is not None and c[2] == it_flag
             ]
             if mass_cfgs:
-                run_batch(mass_cfgs, self.parts.pos, seg=False)
+                run_batch(mass_cfgs, seg=False)
             if lum_cfgs:
-                run_batch(lum_cfgs, self.parts.pos[lo4:hi4], seg=True)
+                run_batch(lum_cfgs, seg=True)
         return out
 
     @lazy_property
@@ -2003,6 +2042,17 @@ class SOSlice(HaloSlice):
         mask, gate = masks[species]
         return mask, self.r, self.scalars.search_radius, gate
 
+    def _inertia_mask_sorted(self, species: str):
+        if species == "tot":
+            return self._valid_sorted
+        pt = {"gas": "PartType0", "dm": "PartType1", "star": "PartType4"}[
+            species
+        ]
+        return self._valid_sorted & self._seg_sorted(pt)
+
+    def _inertia_star_mask_sorted(self):
+        return jnp.isfinite(self._star_sort_r)
+
     @lazy_property
     def _so_solution(self) -> so_ops.SOResult:
         res = so_ops.so_radius_sorted(
@@ -2628,6 +2678,14 @@ class ApertureSlice(HaloSlice):
         mask, gate = masks[species]
         return mask, self.aperture_radius, None, gate
 
+    def _inertia_mask_sorted(self, species: str):
+        if species == "tot":
+            return self._bound_sorted
+        pt = {"gas": "PartType0", "dm": "PartType1", "star": "PartType4"}[
+            species
+        ]
+        return self._bound_sorted & self._seg_sorted(pt)
+
 
 class ProjectedApertureSlice(HaloSlice):
     """``ProjectedAperture/<R>kpc/proj{x,y,z}``: bound particles within the
@@ -3008,8 +3066,11 @@ def shared_sort_artifacts(
                 w = w.at[lo:hi].set(m_gas * h * s * factor)
                 extra_names.append(name)
                 extra_cols.append(w)
-    r_s, order, m_s, b_s, *extra_s = jax.lax.sort(
-        (key, iota, parts.mass, bound, *extra_cols),
+    # position payloads: the batched 3D inertia loop consumes rows in
+    # radius order so its Pallas heavy pass can stop at each config's
+    # selection extent / ellipsoid extent instead of sweeping the bucket
+    r_s, order, m_s, b_s, x_s, y_s, z_s, *extra_s = jax.lax.sort(
+        (key, iota, parts.mass, bound, x, y, z, *extra_cols),
         num_keys=1,
         is_stable=True,
     )
@@ -3019,6 +3080,7 @@ def shared_sort_artifacts(
         "_r_sorted": r_s,
         "_m_sorted": m_s,
         "_bound_sorted": b_s,
+        "_pos_sorted": jnp.stack((x_s, y_s, z_s), axis=1),
         # invalid slots carry an inf key, so validity needs no payload
         "_valid_sorted": jnp.isfinite(r_s),
     }
@@ -3037,14 +3099,15 @@ def shared_sort_artifacts(
             )
             lum = parts.fields[lum_ds]
             sorted4 = jax.lax.sort(
-                (key4, bound[lo4:hi4])
+                (key4, bound[lo4:hi4], x[lo4:hi4], y[lo4:hi4], z[lo4:hi4])
                 + tuple(lum[:, b] for b in range(lum.shape[1])),
                 num_keys=1,
                 is_stable=True,
             )
             out["_star_sort_r"] = sorted4[0]
             out["_star_sort_bound"] = sorted4[1]
-            out["_star_sort_lum"] = jnp.stack(sorted4[2:], axis=1)
+            out["_star_sort_pos"] = jnp.stack(sorted4[2:5], axis=1)
+            out["_star_sort_lum"] = jnp.stack(sorted4[5:], axis=1)
     return out
 
 

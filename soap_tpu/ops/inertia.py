@@ -272,6 +272,7 @@ def inertia_tensor_multi(
     check_search: jnp.ndarray | None = None,  # (C,) bool
     max_iterations: int = 20,
     single_pass: bool = False,  # static: all configs non-iterative
+    rows_radius_sorted: bool = False,  # static: rows ascending in |pos|
 ) -> InertiaResult:
     """All of one halo's 3D inertia configs in ONE while loop.
 
@@ -314,13 +315,14 @@ def inertia_tensor_multi(
     # (K,) weights only (the rare per-config luminosity weights keep the
     # XLA loop).
     pallas_mode = _pallas_inertia_mode()
-    # K cap: the kernel's VMEM scratch is 9 planes x K x 4 B (6 cached
-    # position products + spare + reduced weights), and Mosaic's scoped
-    # stack limit is 16 MB — K = 131072 uses 4.7 MB (every DMO bucket
-    # wins under this cap; measured +16% full-set throughput), while the
-    # giant-halo K ~ 1e6 buckets would OOM at compile, so they keep the
-    # XLA loop.  Env escape hatch for experiments.
-    max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 131072))
+    # K cap: the kernel's VMEM footprint is the 5 operand planes
+    # (3 positions + weights + mask words) = 20 B/row-element — the
+    # position-product scratch is gone (products form in-block inside
+    # the prefix-bounded heavy pass), so K = 262144 fits in ~5.2 MB of
+    # the 16 MB VMEM.  The giant-halo K ~ 2e6 buckets would still OOM
+    # at compile, so they keep the XLA loop.  Env escape hatch for
+    # experiments.
+    max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 262144))
     if (
         pallas_mode is not None
         and not single_pass
@@ -335,7 +337,8 @@ def inertia_tensor_multi(
             from soap_tpu.ops import pallas_inertia as _pk
 
             K = pos.shape[0]
-            Kp = -(-K // 128) * 128
+            blk_elems = 128 * _pk.RB  # heavy-pass block granularity
+            Kp = -(-K // blk_elems) * blk_elems
             pos3 = jnp.pad(pos, ((0, Kp - K), (0, 0))).T.reshape(
                 3, Kp // 128, 128
             )
@@ -352,6 +355,36 @@ def inertia_tensor_multi(
             ).reshape(1, Kp // 128, 128)
             radii_row = jnp.zeros((8, 128), jnp.float32)
             radii_row = radii_row.at[0, :C].set(R.astype(jnp.float32))
+            # occupied-prefix bound per config, in RB-row blocks: bucket
+            # rows arrive radius-sorted, so a selection mask is dense in
+            # a prefix — the kernel's heavy pass stops at the config's
+            # last selected row instead of sweeping the whole bucket
+            occ = jnp.max(
+                jnp.where(
+                    masks, jnp.arange(K, dtype=jnp.int32)[None, :] + 1, 0
+                ),
+                axis=1,
+            )  # (C,) index-after-last-selected
+            nblk = -(-occ // blk_elems)
+            radii_row = radii_row.at[1, :C].set(nblk.astype(jnp.float32))
+            # rows 2-3: per-block minimum radius, enabling the kernel's
+            # dynamic ellipsoid-extent bound.  Only valid when rows are
+            # radius-ascending; -inf otherwise (bound degenerates to the
+            # static prefix).  256-block ceiling = the max_k cap.
+            n_blocks = Kp // blk_elems
+            if rows_radius_sorted and n_blocks <= 256:
+                starts = jnp.arange(n_blocks, dtype=jnp.int32) * blk_elems
+                bp = pos[jnp.minimum(starts, K - 1)]
+                bmin = jnp.sqrt(jnp.sum(bp * bp, axis=1)).astype(
+                    jnp.float32
+                )
+                bm_rows = jnp.full((2, 128), jnp.inf, jnp.float32)
+                bm_rows = bm_rows.reshape(-1).at[:n_blocks].set(bmin)
+                radii_row = radii_row.at[2:4].set(bm_rows.reshape(2, 128))
+            else:
+                radii_row = radii_row.at[2:4].set(
+                    jnp.full((2, 128), -jnp.inf, jnp.float32)
+                )
             done0_row = jnp.zeros((8, 128), jnp.float32)
             done0_row = done0_row.at[0, :C].set(
                 jnp.where(enough, 0.0, 1.0)

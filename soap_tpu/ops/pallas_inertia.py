@@ -30,8 +30,14 @@ halo/lane vmaps lift the call into the Pallas grid.  The config axis
 lives in VECTOR LANES (C <= 128), so all per-config "tiny" math
 (Jacobi rotations, axis ratios, convergence logic) is (128,)-row
 arithmetic, statically unrolled in Python.  The heavy (K,) ellipsoid
-test + moment reduction runs per config on (KR, 128) tiles; position
-products are precomputed once into VMEM scratch.
+test + moment reduction runs per config as a fori over (RB, 128) row
+blocks bounded by that config's OCCUPIED PREFIX: the engine's bucket
+rows are radius-sorted, so an aperture/SO selection mask is dense in a
+prefix of the rows — a 50 kpc lane inside a K=65536 candidate set
+touches only its own few blocks instead of the whole bucket.  The
+caller passes ceil(last_selected/RB*128) per config (radii row 1);
+position products are formed in-block (no K-sized product scratch, so
+the VMEM cap is set by the 5 operand planes alone).
 """
 
 from __future__ import annotations
@@ -48,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TOL = 1.0e-4
 _SWEEPS = 4  # cyclic Jacobi sweeps (3 already reproduces f64 behavior)
+RB = 8  # sublane rows per heavy-pass block (dynamic-slice aligned)
 
 # state-row indices in the (24, 128) scratch
 _VAL = 0  # 0-2: eigenvalues ascending
@@ -128,36 +135,22 @@ def _inertia_kernel(
     pos_ref,  # (3, KR, 128) f32
     w_ref,  # (1, KR, 128) f32: SHARED per-particle weights
     mw_ref,  # (1, KR, 128) i32: per-config mask bits (bit c = config c)
-    radii_ref,  # (8, 128) f32, row 0: per-config sphere radius
+    radii_ref,  # (8, 128) f32, row 0: sphere radius; row 1: prefix blocks
     done0_ref,  # (8, 128) f32, row 0: 1.0 where done at start (~enough)
     out_ref,  # (8, 128) f32, rows 0-5: final tensor flat per config lane
-    xx_ref,  # scratch (8, KR, 128) f32: position products (6 used)
     st_ref,  # scratch (24, 128) f32: iteration state rows
     tn_ref,  # scratch (8, 128) f32: this iteration's normalized tensor
-    wr_ref,  # scratch (1, KR, 128) f32: reduced weights w / r^2
 ):
     C = len(reduced)
     one = jnp.float32(1.0)
     tiny = jnp.float32(1e-37)
-    x = pos_ref[0]
-    y = pos_ref[1]
-    z = pos_ref[2]
-    xx_ref[0] = x * x
-    xx_ref[1] = x * y
-    xx_ref[2] = x * z
-    xx_ref[3] = y * y
-    xx_ref[4] = y * z
-    xx_ref[5] = z * z
-    if any(reduced):
-        # 1/r^2 computed in-kernel (matches the host-side
-        # ``1 / where(isclose(r2, 0), 1, r2)`` — isclose(r2, 0) with
-        # default atol is r2 <= 1e-8, and r2 >= 0 always); rows excluded
-        # by the reduced-config zero-radius rule already have their mask
-        # bit cleared by the caller
-        r2 = x * x + y * y + z * z
-        wr_ref[0] = w_ref[0] / jnp.where(r2 <= jnp.float32(1e-8), one, r2)
 
     R_row = radii_ref[0]
+    nblk_row = radii_ref[1]  # per-config occupied prefix, in RB-row blocks
+    # rows 2-3: per-block MINIMUM radius (radius-sorted callers only;
+    # -inf otherwise, which disables the dynamic ellipsoid-extent bound)
+    bm0 = radii_ref[2]
+    bm1 = radii_ref[3]
     lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
     onehot = [
         (lane == c).astype(jnp.float32) for c in range(C)
@@ -208,6 +201,10 @@ def _inertia_kernel(
             ax0 = R_row * cbrt(ssr * spr)
             ax1 = R_row * cbrt(q_now / jnp.maximum(spr, tiny))
             ax2 = R_row / jnp.maximum(cbrt(q_now * ssr), tiny)
+            # longest semi-axis: no particle beyond it can satisfy the
+            # ellipsoid test, so on radius-sorted rows the heavy pass
+            # stops at the first block whose min radius exceeds it
+            amax_row = jnp.maximum(ax0, jnp.maximum(ax1, ax2))
             ia = [
                 one / jnp.maximum(ax0 * ax0, tiny),
                 one / jnp.maximum(ax1 * ax1, tiny),
@@ -227,7 +224,10 @@ def _inertia_kernel(
                         one if ii == jj else jnp.float32(2.0)
                     )
 
-            # per-config heavy pass, predicated on the config being live
+            # per-config heavy pass, predicated on the config being live;
+            # a fori over RB-row blocks bounded by the config's occupied
+            # prefix (block accumulator planes, ONE cross-lane reduction
+            # per moment after the loop)
             for c in range(C):
                 run_c = jnp.sum(jnp.where(lane == c, one_row - done, 0.0)) > 0.0
 
@@ -239,26 +239,56 @@ def _inertia_kernel(
                     q11 = jnp.sum(qq[(1, 1)] * onehot[c])
                     q12 = jnp.sum(qq[(1, 2)] * onehot[c])
                     q22 = jnp.sum(qq[(2, 2)] * onehot[c])
-                    rr = (
-                        x * (q00 * x + q01 * y + q02 * z)
-                        + y * (q11 * y + q12 * z)
-                        + q22 * z * z
+                    amax_c = jnp.sum(amax_row * onehot[c])
+                    nblk_dyn = (
+                        jnp.sum(jnp.where(bm0 <= amax_c, 1.0, 0.0))
+                        + jnp.sum(jnp.where(bm1 <= amax_c, 1.0, 0.0))
+                    ).astype(jnp.int32)
+                    nblk = jnp.minimum(
+                        jnp.sum(nblk_row * onehot[c]).astype(jnp.int32),
+                        nblk_dyn,
                     )
-                    sel = ((mw_ref[0] >> c) & 1) == 1
-                    inside = (rr <= one) & sel
-                    wi = jnp.where(
-                        inside,
-                        wr_ref[0] if reduced[c] else w_ref[0],
-                        0.0,
+
+                    def blk(b, acc):
+                        r0 = b * RB
+                        xs = pos_ref[0, pl.ds(r0, RB)]
+                        ys = pos_ref[1, pl.ds(r0, RB)]
+                        zs = pos_ref[2, pl.ds(r0, RB)]
+                        rr = (
+                            xs * (q00 * xs + q01 * ys + q02 * zs)
+                            + ys * (q11 * ys + q12 * zs)
+                            + q22 * zs * zs
+                        )
+                        sel = ((mw_ref[0, pl.ds(r0, RB)] >> c) & 1) == 1
+                        inside = (rr <= one) & sel
+                        wb = w_ref[0, pl.ds(r0, RB)]
+                        wn = jnp.where(inside, wb, 0.0)
+                        if reduced[c]:
+                            # w / max(r^2, 1e-8-ish): matches the host
+                            # ``1 / where(isclose(r2, 0), 1, r2)`` rule
+                            r2 = xs * xs + ys * ys + zs * zs
+                            wi = wn / jnp.where(
+                                r2 <= jnp.float32(1e-8), one, r2
+                            )
+                        else:
+                            wi = wn
+                        return (
+                            acc[0] + wi * xs * xs,
+                            acc[1] + wi * xs * ys,
+                            acc[2] + wi * xs * zs,
+                            acc[3] + wi * ys * ys,
+                            acc[4] + wi * ys * zs,
+                            acc[5] + wi * zs * zs,
+                            acc[6] + wn,
+                        )
+
+                    zb = jnp.zeros((RB, 128), jnp.float32)
+                    acc = jax.lax.fori_loop(
+                        jnp.int32(0), nblk, blk, (zb,) * 7
                     )
-                    wn = (
-                        jnp.where(inside, w_ref[0], 0.0)
-                        if reduced[c]
-                        else wi
-                    )
-                    inv = one / jnp.maximum(jnp.sum(wn), tiny)
+                    inv = one / jnp.maximum(jnp.sum(acc[6]), tiny)
                     for k in range(6):
-                        s_k = jnp.sum(wi * xx_ref[k]) * inv
+                        s_k = jnp.sum(acc[k]) * inv
                         tn_ref[k, :] = jnp.where(
                             lane == c, s_k, tn_ref[k, :]
                         )
@@ -305,10 +335,10 @@ def _inertia_kernel(
 
 
 def inertia_loop_pallas(
-    pos3: jnp.ndarray,  # (3, KR, 128) f32
+    pos3: jnp.ndarray,  # (3, KR, 128) f32, KR a multiple of RB
     w_row: jnp.ndarray,  # (1, KR, 128) f32: shared weights
     maskword: jnp.ndarray,  # (1, KR, 128) i32: bit c = config c selected
-    radii_row: jnp.ndarray,  # (8, 128) f32
+    radii_row: jnp.ndarray,  # (8, 128) f32; row 1 = prefix RB-blocks
     done0_row: jnp.ndarray,  # (8, 128) f32
     reduced: Tuple[bool, ...],
     iterative: Tuple[bool, ...],
@@ -323,9 +353,13 @@ def inertia_loop_pallas(
     masks ride as BITS of one i32 word per element and 1/r^2 is derived
     in-kernel from the positions, so each (halo, lane) instance streams
     5*K operand words instead of (4 + C)*K — and the caller never
-    materializes a (B, lanes, C, K) HBM block at all.
+    materializes a (B, lanes, C, K) HBM block at all.  Each config's
+    heavy pass touches only its occupied-prefix blocks (radii row 1),
+    so the per-iteration cost scales with the config's SELECTION, not
+    the bucket's K.
     """
     KR = pos3.shape[1]
+    assert KR % RB == 0, "pad rows to a multiple of RB"
     kern = partial(
         _inertia_kernel, tuple(reduced), tuple(iterative), int(max_iterations)
     )
@@ -346,10 +380,8 @@ def _call(kern, KR, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, KR, 128), jnp.float32),
             pltpu.VMEM((24, 128), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((1, KR, 128), jnp.float32),
         ],
         interpret=interpret,
     )
