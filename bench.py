@@ -25,28 +25,113 @@ full property set, <= 4 h on one 128-core COSMA8 node
 >= ~174 halos/s/node.  ``vs_baseline`` is measured halos/s per chip
 divided by that envelope number.
 
-Prints ONE JSON line (the DMO headline) on stdout; hydro/giant numbers
-go to stderr (captured in the driver's tail).  SOAP_TPU_BENCH=dmo
-restricts to the headline config.
+Robustness contract (the driver kills long runs): exactly ONE JSON
+line is printed to stdout, immediately after the DMO timed pass —
+before the secondary giant/hydro configs, whose numbers go to stderr.
+A watchdog thread enforces a wall-clock budget
+(``SOAP_TPU_BENCH_BUDGET`` seconds, default 1200): if the headline has
+not been printed by the deadline it emits a partial JSON line with the
+current phase (so a stuck device / cold-compile stall is diagnosable)
+and exits 0; if the headline is out, it simply exits 0 so secondary
+configs can never turn a good run into a timeout.  A heartbeat line
+with the current phase is printed to stderr every 20 s.  The headline
+JSON reports BOTH metric scopes: ``engine_halos_per_sec`` (the
+headline ``value``; compute only, chunk store resident — production
+overlaps the one-time upload with the previous chunk's compute) and
+``pipeline_halos_per_sec`` (store upload + engine).
+
+``SOAP_TPU_BENCH=dmo|giant|hydro`` restricts the configs.
 """
 
+import faulthandler
 import json
 import logging
 import os
+import signal
 import sys
 import tempfile
+import threading
 import time
 
 import numpy as np
+
+faulthandler.enable()
+try:
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+except (AttributeError, ValueError):
+    pass
 
 # surface the engine's per-program compile-seconds / cache-hit lines
 logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
 BASELINE_HALOS_PER_SEC = 2.5e6 / (4 * 3600.0)  # reference envelope
 
+_T0 = time.time()
+_STATE = {
+    "phase": "startup",
+    "headline_printed": False,
+    "compile_seconds": None,
+    "engine_hps": None,
+}
+_EMIT_LOCK = threading.Lock()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def set_phase(name):
+    _STATE["phase"] = name
+    log(f"[{time.time()-_T0:6.1f}s] phase: {name}")
+
+
+def emit_headline(fields):
+    """Print the single stdout JSON line (at most once)."""
+    with _EMIT_LOCK:
+        if _STATE["headline_printed"]:
+            return
+        _STATE["headline_printed"] = True
+        print(json.dumps(fields), flush=True)
+
+
+def _watchdog(budget):
+    deadline = _T0 + budget
+    while True:
+        now = time.time()
+        if now >= deadline:
+            break
+        time.sleep(min(20.0, deadline - now))
+        log(
+            f"[{time.time()-_T0:6.1f}s] heartbeat: phase={_STATE['phase']}"
+        )
+        if _STATE["headline_printed"] and now >= _T0 + budget - 60:
+            # headline is out and we are near the deadline: stop early
+            # rather than let a secondary config run into the driver's
+            # timeout (rc must stay 0)
+            break
+    if not _STATE["headline_printed"]:
+        hps = _STATE["engine_hps"]
+        emit_headline(
+            {
+                "metric": "halos_per_sec_per_chip",
+                "value": round(hps, 2) if hps else float("nan"),
+                "unit": "halos/s",
+                "vs_baseline": (
+                    round(hps / BASELINE_HALOS_PER_SEC, 3) if hps else 0.0
+                ),
+                "partial": True,
+                "phase_at_budget": _STATE["phase"],
+                "elapsed_s": round(time.time() - _T0, 1),
+                "compile_seconds": _STATE["compile_seconds"],
+            }
+        )
+        log(
+            f"[{time.time()-_T0:6.1f}s] BUDGET EXCEEDED in phase "
+            f"{_STATE['phase']!r}; partial headline emitted, exiting 0"
+        )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 def _dmo_engine_setup(n_halos, mass_range, n_field, boxsize, seed):
@@ -114,10 +199,13 @@ def _dmo_engine_setup(n_halos, mass_range, n_field, boxsize, seed):
     return uni, chunk, ctx, specs, args
 
 
-def bench_dmo(t0):
-    """Headline config: 2048-halo DMO volume, in-memory engine."""
+def bench_dmo():
+    """Headline config: 2048-halo DMO volume, in-memory engine.
+
+    Returns the headline-JSON field dict (the caller prints it)."""
     from soap_tpu.pipeline.engine import HaloEngine
 
+    set_phase("dmo: build mock universe")
     uni, chunk, ctx, specs, args = _dmo_engine_setup(
         n_halos=2048,
         # log-uniform halo masses from ~32 to ~30000 particles: matches
@@ -128,48 +216,69 @@ def bench_dmo(t0):
         boxsize=170.0,
         seed=20260816,
     )
-    log(f"[{time.time()-t0:6.1f}s] DMO universe: {len(uni.pos)} particles, "
+    log(f"[{time.time()-_T0:6.1f}s] DMO universe: {len(uni.pos)} particles, "
         f"{uni.n_halos} halos")
     log(f"spec set: {len(specs)} calculations "
         f"({sum(len(s.keys) for s in specs)} property keys)")
 
-    log(f"[{time.time()-t0:6.1f}s] DMO warmup (compile) pass...")
+    set_phase("dmo: stage chunk store (device upload)")
     engine = HaloEngine(ctx, chunk, specs)
+    set_phase("dmo: warmup/compile pass")
     engine.process(**args)
-    log(f"[{time.time()-t0:6.1f}s] warmup done "
+    _STATE["compile_seconds"] = round(engine.stats.compile_seconds, 1)
+    log(f"[{time.time()-_T0:6.1f}s] warmup done "
         f"({engine.stats.n_bucket_calls} bucket calls, "
         f"{engine.stats.n_retries} retries, "
         f"compile {engine.stats.compile_seconds:.0f}s)")
     engine.free()  # deterministic HBM release before the timed engine
 
-    engine = HaloEngine(ctx, chunk, specs)
-    # the timed pass measures ENGINE throughput (the headline metric);
-    # the chunk-store upload happens once per chunk and is reported
-    # separately (production overlaps it with the previous chunk's
-    # compute; the hydro config below times the full read+stage+engine
-    # path).  Over the remote-TPU tunnel the ~540 MB store upload is
-    # 15-25 s of pure link bandwidth and would otherwise dominate.
+    # pipeline scope: one-time chunk-store upload + engine compute.
+    # Over the remote-TPU tunnel the ~540 MB store upload is 15-25 s of
+    # pure link bandwidth; production overlaps it with the previous
+    # chunk's compute (reader-thread prestaging), so the engine scope is
+    # the headline and the pipeline scope is reported alongside.
     import jax
 
+    set_phase("dmo: timed pass")
+    t1 = time.time()
+    engine = HaloEngine(ctx, chunk, specs)
     jax.block_until_ready(
         [p.packed_f for p in engine.stacked.ptypes.values()]
     )
-    log(f"[{time.time()-t0:6.1f}s] chunk store staged (timed engine)")
-    t1 = time.time()
+    t_staged = time.time()
+    log(f"[{time.time()-_T0:6.1f}s] chunk store staged in "
+        f"{t_staged-t1:.1f}s (timed engine)")
     engine.process(**args)
-    dt = time.time() - t1
-    halos_per_sec = uni.n_halos / dt
-    log(f"[{time.time()-t0:6.1f}s] DMO timed pass: {dt:.3f}s -> "
-        f"{halos_per_sec:.1f} halos/s")
+    t2 = time.time()
+    dt_engine = t2 - t_staged
+    dt_pipeline = t2 - t1
+    engine_hps = uni.n_halos / dt_engine
+    pipeline_hps = uni.n_halos / dt_pipeline
+    _STATE["engine_hps"] = engine_hps
+    log(f"[{time.time()-_T0:6.1f}s] DMO timed pass: engine {dt_engine:.3f}s"
+        f" -> {engine_hps:.1f} halos/s; pipeline (upload+engine) "
+        f"{dt_pipeline:.3f}s -> {pipeline_hps:.1f} halos/s")
     log(engine.stats.timing_report())
-    return halos_per_sec
+    return {
+        "metric": "halos_per_sec_per_chip",
+        "value": round(engine_hps, 2),
+        "unit": "halos/s",
+        "vs_baseline": round(engine_hps / BASELINE_HALOS_PER_SEC, 3),
+        "engine_halos_per_sec": round(engine_hps, 2),
+        "pipeline_halos_per_sec": round(pipeline_hps, 2),
+        "n_halos": uni.n_halos,
+        "n_particles": len(uni.pos),
+        "compile_seconds_cold": _STATE["compile_seconds"],
+        "spec_calculations": len(specs),
+    }
 
 
-def bench_giant(t0):
+def bench_giant():
     """Giant-halo config: largest halo >= 1e6 particles (config 5's
     separate-chunks regime)."""
     from soap_tpu.pipeline.engine import HaloEngine
 
+    set_phase("giant: build mock universe")
     uni, chunk, ctx, specs, args = _dmo_engine_setup(
         n_halos=6,
         # particle_mass = 0.1 -> masses up to 1.6e5 = 1.6e6 particles
@@ -179,11 +288,13 @@ def bench_giant(t0):
         seed=4242,
     )
     n_big = max(len(b) for b in uni.bound_ids)
-    log(f"[{time.time()-t0:6.1f}s] giant-halo universe: "
+    log(f"[{time.time()-_T0:6.1f}s] giant-halo universe: "
         f"{len(uni.pos)} particles, biggest halo {n_big} particles")
+    set_phase("giant: warmup/compile pass")
     engine = HaloEngine(ctx, chunk, specs)
     engine.process(**args)  # warmup
     engine.free()
+    set_phase("giant: timed pass")
     engine = HaloEngine(ctx, chunk, specs)
     import jax
 
@@ -193,20 +304,21 @@ def bench_giant(t0):
     t1 = time.time()
     engine.process(**args)
     dt = time.time() - t1
-    log(f"[{time.time()-t0:6.1f}s] giant config: {uni.n_halos} halos "
+    log(f"[{time.time()-_T0:6.1f}s] giant config: {uni.n_halos} halos "
         f"(max {n_big} particles) in {dt:.3f}s "
         f"({uni.n_halos/dt:.2f} halos/s)")
     log(engine.stats.timing_report())
     return n_big, dt
 
 
-def bench_hydro(t0):
+def bench_hydro():
     """Hydro config through the PRODUCTION pipeline (read+stage+engine),
     full default spec set with the hydro tail (configs 3-4)."""
     from soap_tpu.pipeline.membership import run_group_membership
     from soap_tpu.pipeline.run import compute_halo_properties
     from soap_tpu.utils import mock_data
 
+    set_phase("hydro: build mock simulation")
     workdir = tempfile.mkdtemp(prefix="soap_bench_hydro_")
     n_halos = 256
     sim = mock_data.make_mock_simulation(
@@ -223,7 +335,7 @@ def bench_hydro(t0):
     npart = sum(
         len(v["Coordinates"]) for v in sim["universe"].extra_ptypes.values()
     ) + len(sim["universe"].pos)
-    log(f"[{time.time()-t0:6.1f}s] hydro universe: {npart} particles "
+    log(f"[{time.time()-_T0:6.1f}s] hydro universe: {npart} particles "
         f"({n_halos} halos), production pipeline run...")
     common = dict(
         snapshot_file=sim["snapshot"],
@@ -233,8 +345,10 @@ def bench_hydro(t0):
         dmo=False,
         verbose=True,
     )
+    set_phase("hydro: warmup/compile pass")
     compute_halo_properties(**common)  # warmup (compile + cache)
-    log(f"[{time.time()-t0:6.1f}s] hydro warmup done")
+    log(f"[{time.time()-_T0:6.1f}s] hydro warmup done")
+    set_phase("hydro: timed pass")
     t1 = time.time()
     run = compute_halo_properties(**common)
     dt = time.time() - t1
@@ -243,7 +357,7 @@ def bench_hydro(t0):
     # remote-tunnel staging transfer, which production overlaps with
     # the previous chunk's compute and which local PCIe makes ~free)
     dt_engine = run.stats.process_seconds or dt
-    log(f"[{time.time()-t0:6.1f}s] hydro timed pass: pipeline "
+    log(f"[{time.time()-_T0:6.1f}s] hydro timed pass: pipeline "
         f"(read+stage+engine) {dt:.3f}s -> {n_halos/dt:.1f} halos/s; "
         f"engine {dt_engine:.3f}s -> {n_halos/dt_engine:.1f} halos/s "
         f"({len(run.results)} output groups)")
@@ -252,34 +366,50 @@ def bench_hydro(t0):
 
 
 def main():
-    t0 = time.time()
     which = os.environ.get("SOAP_TPU_BENCH", "all")
-    halos_per_sec = float("nan")
+    budget = float(os.environ.get("SOAP_TPU_BENCH_BUDGET", "1200"))
+    threading.Thread(
+        target=_watchdog, args=(budget,), daemon=True
+    ).start()
+
     if which in ("all", "dmo"):
-        halos_per_sec = bench_dmo(t0)
+        fields = bench_dmo()
+        # the headline goes out the moment the DMO number exists —
+        # secondary configs can no longer cost us the round
+        emit_headline(fields)
     if which in ("all", "giant"):
         try:
-            bench_giant(t0)
+            bench_giant()
         except Exception as e:  # secondary configs must not kill the headline
             log(f"giant-halo config failed: {type(e).__name__}: {e}")
     if which in ("all", "hydro"):
         try:
-            hps = bench_hydro(t0)
+            hps = bench_hydro()
             if which == "hydro":
-                halos_per_sec = hps
+                emit_headline(
+                    {
+                        "metric": "halos_per_sec_per_chip",
+                        "value": round(hps, 2),
+                        "unit": "halos/s",
+                        "vs_baseline": round(
+                            hps / BASELINE_HALOS_PER_SEC, 3
+                        ),
+                        "config": "hydro",
+                    }
+                )
         except Exception as e:
             log(f"hydro config failed: {type(e).__name__}: {e}")
-
-    print(
-        json.dumps(
+    if which == "giant":
+        emit_headline(
             {
                 "metric": "halos_per_sec_per_chip",
-                "value": round(halos_per_sec, 2),
+                "value": float("nan"),
                 "unit": "halos/s",
-                "vs_baseline": round(halos_per_sec / BASELINE_HALOS_PER_SEC, 3),
+                "vs_baseline": 0.0,
+                "config": "giant (per-bucket records on stderr)",
             }
         )
-    )
+    set_phase("done")
 
 
 if __name__ == "__main__":

@@ -33,10 +33,25 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--halo-basename", help="halo catalogue basename")
     p.add_argument("--halo-format", default="HBTplus")
     p.add_argument("--output", help="output file")
+    p.add_argument(
+        "--fof-filename",
+        help="separate FOF snapshot (overrides Snapshots/fof_filename); "
+        "membership files then carry matched FOFGroupIDs",
+    )
 
 
 def _resolve_paths(args):
-    """Parameter-file templating or direct paths."""
+    """Parameter-file templating or direct paths.
+
+    Returns (snapshot, membership, halo_basename, output, params,
+    fof_snapshot, fof_catalogue).  The FOF *snapshot* (per-particle
+    FOFGroupIDs for membership matching) comes from ``--fof-filename``
+    or ``Snapshots/fof_filename`` (reference ``group_membership.py:181``);
+    the FOF *catalogue* (group centres/masses for the combine join)
+    from ``--fof-group-filename`` or ``HaloFinder/fof_filename``
+    (reference ``soap_args.py:127``)."""
+    fof_cli = getattr(args, "fof_filename", None)
+    fof_group_cli = getattr(args, "fof_group_filename", None)
     if args.snapshot:
         return (
             args.snapshot,
@@ -44,6 +59,8 @@ def _resolve_paths(args):
             args.halo_basename,
             args.output,
             None,
+            fof_cli,
+            fof_group_cli,
         )
     from soap_tpu.core.params import ParameterFile, substitute_parameters
 
@@ -61,7 +78,13 @@ def _resolve_paths(args):
     mem = raw.get("GroupMembership", {}).get("filename", "")
     halo = raw.get("HaloFinder", {}).get("filename", "")
     out = raw.get("HaloProperties", {}).get("filename", args.output or "")
-    return snap, mem, halo, out, params
+    fof = fof_cli or snaps.get("fof_filename", "") or None
+    fof_group = (
+        fof_group_cli
+        or raw.get("HaloFinder", {}).get("fof_filename", "")
+        or None
+    )
+    return snap, mem, halo, out, params, fof, fof_group
 
 
 def main(argv=None):
@@ -77,6 +100,11 @@ def main(argv=None):
         "--halo-indices",
         type=lambda s: np.array([int(x) for x in s.split(",")]),
         help="comma-separated catalogue indices (debugging)",
+    )
+    hp.add_argument(
+        "--fof-group-filename",
+        help="FOF group catalogue for the FOF/* combine join "
+        "(overrides HaloFinder/fof_filename)",
     )
     hp.add_argument("--chunks", type=int, default=1)
     hp.add_argument("--scratch-dir", help="chunk scratch/restart directory")
@@ -368,17 +396,18 @@ def main(argv=None):
     if args.command == "membership":
         from soap_tpu.pipeline.membership import run_group_membership
 
-        snap, mem_file, halo, out, _params = _resolve_paths(args)
+        snap, mem_file, halo, out, _params, fof, _fof_group = _resolve_paths(args)
         run_group_membership(
             snap, args.halo_basename or halo, args.output or mem_file,
             halo_format=args.halo_format,
+            fof_filename=fof,
         )
         return 0
 
     if args.command == "halo-properties":
         from soap_tpu.pipeline.run import compute_halo_properties
 
-        snap, mem_file, halo, out, params = _resolve_paths(args)
+        snap, mem_file, halo, out, params, _fof, fof_group = _resolve_paths(args)
         if args.output_parameters:
             # expand defaults and write the effective parameters, then
             # exit (reference --output-parameters, soap_args.py:44-106)
@@ -410,6 +439,7 @@ def main(argv=None):
             host_index=args.host_index,
             host_count=args.host_count,
             reference_snapshot=args.reference_snapshot,
+            fof_filename=fof_group,
             record_halo_timings=args.record_halo_timings,
             record_property_timings=args.record_property_timings,
         )

@@ -2107,13 +2107,26 @@ class SOSlice(HaloSlice):
     # -- satellite / external fractions (``SO_properties.py:459-466,675-697``)
 
     @lazy_property
+    def _halo_fofid(self):
+        """FOF id of the halo = FOFGroupID of the closest non-neutrino
+        particle (reference ``SO_properties.py:408-409``), NOT the
+        catalogue's HostHaloId: in production the snapshot's SWIFT FOF
+        ids and the halo finder's host ids are different id spaces, so
+        only the central particle's own label is comparable to the
+        other particles' labels."""
+        p = self.parts
+        ok = p.valid & ~self.type_mask("PartType6")
+        i = jnp.argmin(jnp.where(ok, self.radius, jnp.inf))
+        return p.fofid[i]
+
+    @lazy_property
     def _bound_to_satellite(self):
         p = self.parts
         return (
             self.selection
             & (p.groupnr >= 0)
             & (p.groupnr != self.scalars.index)
-            & (p.fofid == self.scalars.fof_id)
+            & (p.fofid == self._halo_fofid)
         )
 
     @lazy_property
@@ -2123,7 +2136,7 @@ class SOSlice(HaloSlice):
             self.selection
             & (p.groupnr >= 0)
             & (p.groupnr != self.scalars.index)
-            & (p.fofid != self.scalars.fof_id)
+            & (p.fofid != self._halo_fofid)
         )
 
     @lazy_property

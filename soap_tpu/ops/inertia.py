@@ -323,19 +323,27 @@ def inertia_tensor_multi(
     # at compile, so they keep the XLA loop.  Env escape hatch for
     # experiments.
     max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 262144))
+    # structural ceiling, independent of VMEM: the kernel's bound rows
+    # (static prefix + block-min radii) hold at most 2*128 = 256 block
+    # lanes, so a bucket beyond 256 heavy-pass blocks would silently
+    # truncate (the -inf fallback rows still yield a 256-block dynamic
+    # bound).  Applies in interpret mode too — only the VMEM cap may be
+    # bypassed there.
+    from soap_tpu.ops import pallas_inertia as _pk
+
+    hard_max_k = 256 * 128 * _pk.RB
     if (
         pallas_mode is not None
         and not single_pass
         and weights.ndim == 1
         and C <= 32  # mask bits must fit one i32 word
         and pos.dtype == jnp.float32
+        and pos.shape[0] <= hard_max_k
         and (pallas_mode == "interpret" or pos.shape[0] <= max_k)
     ):
         red_static = _static_bools(reduced)
         it_static = _static_bools(iterative)
         if red_static is not None and it_static is not None:
-            from soap_tpu.ops import pallas_inertia as _pk
-
             K = pos.shape[0]
             blk_elems = 128 * _pk.RB  # heavy-pass block granularity
             Kp = -(-K // blk_elems) * blk_elems

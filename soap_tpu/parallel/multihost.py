@@ -151,23 +151,59 @@ def check_scratch_complete(scratch_dir: str, specs, n_halos: int) -> None:
         )
 
 
+def _lock_holder_alive(path: str) -> bool:
+    """True if the ``combine.lock`` at ``path`` belongs to a live
+    process ON THIS HOST.  A lock written by another host is always
+    treated as live (no cross-host liveness probe exists — the
+    conservative choice; the reference has no takeover at all)."""
+    try:
+        with open(path) as f:
+            content = f.read().strip()
+        host, _, pidpart = content.partition(" pid=")
+        pid = int(pidpart)
+    except (OSError, ValueError):
+        return True  # unreadable/foreign lock: do not steal
+    if host != socket.gethostname():
+        return True
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def claim_combine(scratch_dir: str) -> bool:
     """Atomically claim the combine+write phase for this process.
 
     O_CREAT|O_EXCL on ``combine.lock`` — exactly one host of a
     multi-host run wins and writes the output catalogue (the reference
-    serializes this on rank 0, ``combine_chunks.py:206-369``).  A stale
-    lock from a crashed combiner must be deleted manually before a
-    retry (the lock records host/pid for diagnosis).
+    serializes this on rank 0, ``combine_chunks.py:206-369``).  The
+    lock records host/pid; a lock left by a CRASHED combiner on the
+    same host (pid no longer alive) is taken over automatically, so a
+    retry never wedges on a stale lock.
     """
     path = os.path.join(scratch_dir, "combine.lock")
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return False
-    with os.fdopen(fd, "w") as f:
-        f.write(f"{socket.gethostname()} pid={os.getpid()}\n")
-    return True
+    for attempt in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if attempt == 0 and not _lock_holder_alive(path):
+                # stale local lock: remove and retry the atomic claim
+                # (another waiter may win the race — that is fine)
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{socket.gethostname()} pid={os.getpid()}\n")
+        return True
+    return False
 
 
 def release_combine(scratch_dir: str) -> None:
@@ -205,13 +241,40 @@ def combine_scratch(
         raise FileNotFoundError(f"no chunk scratch files in {scratch_dir}")
     covered = np.zeros(n_halos, dtype=bool)
     chunk_rows: Dict[str, np.ndarray] = {}
+    # cross-chunk metadata consistency (reference
+    # ``core/result_set.py:275-418`` asserts units/dtype/shape agreement
+    # across ranks/chunks/nodes): every column must have the same dtype
+    # and trailing shape in every scratch file, and every file must come
+    # from the same soap_tpu version — scratch produced by different
+    # hosts running different code versions must not silently merge
+    col_meta: Dict[str, tuple] = {}
+    version_seen: Dict[str, str] = {}
     for fname in chunk_files:
         with h5py.File(os.path.join(scratch_dir, fname), "r") as f:
             if not f.attrs.get("Write complete", False):
                 raise RuntimeError(f"incomplete scratch file {fname}")
             rows = f["rows"][...]
+            ver = f.attrs.get("soap_tpu_version", b"").decode()
+            version_seen[fname] = ver
+            for spec in specs:
+                for key in spec.keys:
+                    name = f"{spec.group}/{key}"
+                    ds = f[name]
+                    meta = (ds.dtype.str, ds.shape[1:])
+                    prev = col_meta.setdefault(name, meta)
+                    if prev != meta:
+                        raise RuntimeError(
+                            f"scratch metadata mismatch for {name}: "
+                            f"{fname} has dtype/shape {meta}, earlier "
+                            f"chunks have {prev}"
+                        )
         chunk_rows[fname] = rows
         covered[rows] = True
+    if len(set(version_seen.values())) > 1:
+        raise RuntimeError(
+            "scratch files written by different soap_tpu versions: "
+            + ", ".join(f"{k}={v or '?'}" for k, v in version_seen.items())
+        )
     if not covered.all():
         missing = int((~covered).sum())
         raise RuntimeError(

@@ -149,6 +149,14 @@ def _write_scratch(
         f.attrs["calc_names"] = [
             np.bytes_(f"{s.group}/{k}") for s in specs for k in s.keys
         ]
+        # version stamp: combine refuses to merge scratch written by a
+        # different soap_tpu version (the analogue of the reference's
+        # cross-rank/chunk/node metadata consistency asserts,
+        # ``core/result_set.py:275-418`` — units here are static table
+        # lookups, so only dtype/shape/version skew can disagree)
+        import soap_tpu
+
+        f.attrs["soap_tpu_version"] = np.bytes_(soap_tpu.__version__)
         f.attrs["Write complete"] = True
     os.replace(tmp, path)
 

@@ -66,6 +66,43 @@ def compute_membership(
     return (grnr, rank) if pot is None else (grnr, rank, pot)
 
 
+#: SWIFT's "not in any FOF group" null id (the FOF snapshot writes this
+#: for ungrouped particles; unmatched snapshot particles get it too)
+FOF_NULL_ID = 2147483647
+
+
+def compute_fof_groups(
+    snap_ids: np.ndarray,
+    fof_particle_ids: np.ndarray,
+    fof_group_ids: np.ndarray,
+) -> np.ndarray:
+    """Per-snapshot-particle FOFGroupIDs from a separate FOF snapshot.
+
+    The reference matches ParticleIDs against the FOF snapshot and
+    carries its FOFGroupIDs into the membership files
+    (``group_membership.py:54-63,150-151``); a snapshot/snipshot without
+    an in-file FOFGroupIDs dataset would otherwise lose
+    ``Mfrac_satellites``/``Mfrac_external`` and the FOF join
+    (``SO_properties.py:459-466``).
+    """
+    n = len(snap_ids)
+    out = np.full(n, FOF_NULL_ID, dtype=np.asarray(fof_group_ids).dtype)
+    if len(fof_particle_ids) == 0:
+        return out
+    hay = jnp.asarray(fof_particle_ids)
+    gids = np.asarray(fof_group_ids)
+    for start in range(0, n, BATCH):
+        stop = min(start + BATCH, n)
+        idx = np.asarray(
+            match_index(jnp.asarray(snap_ids[start:stop]), hay)
+        )
+        hit = idx >= 0
+        out[start:stop] = np.where(
+            hit, gids[np.maximum(idx, 0)], FOF_NULL_ID
+        )
+    return out
+
+
 def _snapshot_files(snap_filename: str):
     """All files of a (possibly multi-file) snapshot template."""
     first = snap_filename.format(file_nr=0)
@@ -82,6 +119,7 @@ def write_membership_file(
     grnr_by_type: Dict[str, np.ndarray],
     rank_by_type: Dict[str, np.ndarray],
     pot_by_type: Optional[Dict[str, np.ndarray]] = None,
+    fof_by_type: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
     """Write membership datasets as ONE file whose rows follow the
     snapshot's global cell order, carrying the global cell metadata so
@@ -139,6 +177,15 @@ def write_membership_file(
                     "Binding potential energy from the halo finder, "
                     "(km/s)^2; 0 for unbound particles"
                 )
+            if fof_by_type and ptype in fof_by_type:
+                ds = g.create_dataset(
+                    "FOFGroupIDs", data=fof_by_type[ptype]
+                )
+                ds.attrs["Description"] = np.bytes_(
+                    "Friends-Of-Friends ID of the group the particles "
+                    "belong to, matched from the FOF snapshot; "
+                    f"{FOF_NULL_ID} if none"
+                )
 
 
 def run_group_membership(
@@ -148,12 +195,21 @@ def run_group_membership(
     halo_format: str = "HBTplus",
     ptypes=("PartType0", "PartType1", "PartType4", "PartType5", "PartType6"),
     with_potentials: bool = False,
+    fof_filename: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """Full membership pipeline for a single-file snapshot.
 
     ``with_potentials`` passes per-particle binding potential energies
     through from the halo finder when available (HBTplus; reference
     ``group_membership.py:98-134``, units (km/s)^2).
+
+    ``fof_filename`` names a separate FOF snapshot
+    (``Snapshots/fof_filename`` in the reference's parameter file,
+    ``group_membership.py:181,325-343``): its FOFGroupIDs are matched
+    onto the snapshot by ParticleIDs and written into the membership
+    file, so snapshots without an in-file FOFGroupIDs dataset still get
+    the FOF-dependent properties (the pipeline reads membership files
+    as extra input).
 
     Returns {ptype: GroupNr_bound} for convenience/testing.
     """
@@ -170,7 +226,15 @@ def run_group_membership(
         nr_halos, ids_bound, grnr_bound = res[:3]
         rank_bound = res[3] if len(res) > 3 else None
     meta = SnapshotMetadata(snap_filename)
-    grnr_by_type, rank_by_type, pot_by_type = {}, {}, {}
+    fof_meta = fof_ptypes = None
+    if fof_filename:
+        fof_meta = SnapshotMetadata(fof_filename)
+        fof_ptypes = [
+            pt
+            for pt, names in fof_meta.datasets.items()
+            if "ParticleIDs" in names and "FOFGroupIDs" in names
+        ]
+    grnr_by_type, rank_by_type, pot_by_type, fof_by_type = {}, {}, {}, {}
     for ptype in ptypes:
         if ptype not in meta.datasets or "ParticleIDs" not in meta.datasets[ptype]:
             continue
@@ -186,11 +250,20 @@ def run_group_membership(
         rank_by_type[ptype] = out[1]
         if pot_bound is not None:
             pot_by_type[ptype] = out[2]
+        if fof_meta is not None and ptype in fof_ptypes:
+            fof_mask = np.ones(fof_meta.nr_cells, bool)
+            fof_data = read_masked_cells(
+                fof_meta, fof_mask, {ptype: ["ParticleIDs", "FOFGroupIDs"]}
+            )[ptype]
+            fof_by_type[ptype] = compute_fof_groups(
+                snap_ids, fof_data["ParticleIDs"], fof_data["FOFGroupIDs"]
+            )
     write_membership_file(
         snap_filename,
         output_filename,
         grnr_by_type,
         rank_by_type,
         pot_by_type if pot_bound is not None else None,
+        fof_by_type if fof_by_type else None,
     )
     return grnr_by_type

@@ -94,6 +94,7 @@ def build_mock_universe(
     hydro: bool = False,
     gas_fraction: float = 0.15,
     star_fraction: float = 0.06,
+    n_satellites: int = 0,
 ) -> MockUniverse:
     rng = np.random.default_rng(seed)
     omega_lambda = 1.0 - omega_m
@@ -182,6 +183,48 @@ def build_mock_universe(
         halo_track.append(i)
         halo_depth.append(0)
         bound_counts.append(npart)
+
+    # satellite subhalos orbiting halo 0 (the most massive): inside its
+    # R200, sharing its FOF group, HBT Rank >= 1 (the reference's
+    # Mfrac_satellites counts exactly these, ``SO_properties.py:459-466``)
+    halo_fofgrp = [i + 1 for i in range(n_halos)]
+    host_centre = np.array(halo_pos[0])
+    host_r200 = (
+        3.0 * m200[0] / (4.0 * np.pi * 200.0 * rho_crit)
+    ) ** (1.0 / 3.0) / a
+    for s in range(n_satellites):
+        u = rng.normal(size=3)
+        u /= np.linalg.norm(u)
+        centre = host_centre + (0.25 + 0.2 * s / max(n_satellites, 1)) * (
+            host_r200 * u
+        )
+        m_sat = mass_range[0]
+        npart = max(int(round(m_sat / particle_mass)), 32)
+        c = rng.uniform(6.0, 10.0)
+        r_sat = (
+            3.0 * m_sat / (4.0 * np.pi * 200.0 * rho_crit)
+        ) ** (1.0 / 3.0) / a
+        sigma = np.sqrt(G_INTERNAL * m_sat / (2.0 * r_sat * a))
+        rr = _sample_nfw_radii(rng, npart, c, r_sat)
+        uu = rng.normal(size=(npart, 3))
+        uu /= np.linalg.norm(uu, axis=1, keepdims=True)
+        ppos = centre[None, :] + rr[:, None] * uu
+        ppos[0] = centre
+        positions.append(np.mod(ppos, boxsize))
+        velocities.append(rng.normal(0.0, sigma, (npart, 3)))
+        halo_pos.append(centre % boxsize)
+        halo_renclose.append(
+            np.linalg.norm(ppos - centre[None, :], axis=1).max()
+        )
+        halo_nbound.append(npart)
+        halo_rank.append(1 + s)
+        halo_host.append(0)
+        halo_track.append(n_halos + s)
+        halo_depth.append(1)
+        bound_counts.append(npart)
+        halo_fofgrp.append(halo_fofgrp[0])
+        for kind in ("gas", "star", "bh"):
+            hy[kind]["cnt"].append(0)
 
     field = rng.uniform(0.0, boxsize, (n_field, 3))
     field_vel = rng.normal(0.0, 100.0, (n_field, 3))
@@ -326,7 +369,8 @@ def build_mock_universe(
     offsets = {k: 0 for k in hy}
     for i, cnt in enumerate(bound_counts):
         members = [ids[start : start + cnt].copy()]
-        fof[start : start + cnt] = i + 1  # FOF ids are 1-based here
+        # FOF ids are 1-based; satellites share their host's group
+        fof[start : start + cnt] = halo_fofgrp[i]
         start += cnt
         if hydro:
             for kind in ("gas", "star", "bh"):
@@ -344,9 +388,9 @@ def build_mock_universe(
             n = len(extra_ptypes[ptype]["Coordinates"])
             f = np.full(n, -1, dtype=np.int64)
             o = 0
-            for i in range(n_halos):
+            for i in range(len(bound_counts)):
                 n_k = hy[kind]["cnt"][i]
-                f[o : o + n_k] = i + 1
+                f[o : o + n_k] = halo_fofgrp[i]
                 o += n_k
             extra_ptypes[ptype]["FOFGroupIDs"] = f
 

@@ -174,3 +174,35 @@ def test_record_halo_timings(tmp_path):
     assert stats["total_seconds"] > 0
     assert "p99_ms" in stats and "retried_halos" in stats
     assert "halos: 6" in report(cat_file)
+
+
+def test_golden_catalogue_regression(e2e):
+    """Frozen-value regression: the e2e catalogue must match the golden
+    catalogue committed at round 4 to lossy-compression tolerance (the
+    offline stand-in for SURVEY §4(e)'s reference comparison).
+
+    Regenerate after an INTENTIONAL numeric change with:
+        SOAP_TPU_REGEN_GOLDEN=1 python -m pytest \
+            tests/test_end_to_end.py::test_golden_catalogue_regression
+    """
+    import os
+    import shutil
+
+    from soap_tpu.tools.compare import compare_catalogues
+
+    _, _, _, catalogue = e2e
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden", "e2e_dmo_seed11.hdf5"
+    )
+    if os.environ.get("SOAP_TPU_REGEN_GOLDEN") == "1":
+        shutil.copy(catalogue, golden)
+        pytest.skip("golden catalogue regenerated")
+    assert os.path.exists(golden), "golden catalogue missing from repo"
+    # rtol floor absorbs platform/version-dependent f32 reduction-order
+    # jitter; per-dataset lossy-filter tolerances apply on top
+    res = compare_catalogues(
+        golden, catalogue, use_compression_tolerance=True,
+        rtol=1.0e-3, atol=1.0e-30,
+    )
+    assert res.n_compared > 400, res.n_compared
+    assert res.identical, res.report()

@@ -99,3 +99,115 @@ def test_kernel_edge_cases():
     np.testing.assert_allclose(
         np.asarray(ker.tensor), np.asarray(ref.tensor), rtol=2e-5, atol=1e-6
     )
+
+
+def _sorted_cloud(rng, K, ax_scale=1.0):
+    pos = (rng.normal(size=(K, 3)) * [1.5 * ax_scale, 1.0, 0.7]).astype(
+        np.float32
+    )
+    order = np.argsort(np.linalg.norm(pos, axis=1))
+    return pos[order]
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_kernel_radius_sorted_rows(seed):
+    """rows_radius_sorted=True: the dynamic ellipsoid-extent bound and
+    the static prefix bound must not change results on genuinely
+    radius-ascending rows (dense-prefix and all-selected masks)."""
+    rng = np.random.default_rng(seed)
+    K = 1920  # not a block multiple
+    pos = _sorted_cloud(rng, K)
+    pos[0] = 0.0  # r == 0 row stays first after the sort
+    w = rng.lognormal(0.0, 0.3, K).astype(np.float32)
+    masks = np.zeros((3, K), bool)
+    masks[0] = True  # all selected
+    masks[1, : K // 3] = True  # dense prefix (radius-sorted selection)
+    masks[2] = rng.random(K) < 0.5  # scattered (prefix bound = max row)
+    rmed = float(np.median(np.linalg.norm(pos, axis=1)))
+    R = np.array([1.5 * rmed, 0.8 * rmed, 1.1 * rmed], np.float32)
+    red = np.array([False, True, False])
+    it = np.array([True, True, True])
+
+    args = dict(rows_radius_sorted=True)
+    os.environ["SOAP_TPU_PALLAS_INERTIA"] = "0"
+    ref = I.inertia_tensor_multi(
+        jnp.asarray(w), jnp.asarray(pos), jnp.asarray(masks),
+        jnp.asarray(R), jnp.asarray(red), jnp.asarray(it), **args,
+    )
+    os.environ["SOAP_TPU_PALLAS_INERTIA"] = "interpret"
+    try:
+        ker = I.inertia_tensor_multi(
+            jnp.asarray(w), jnp.asarray(pos), jnp.asarray(masks),
+            jnp.asarray(R), jnp.asarray(red), jnp.asarray(it), **args,
+        )
+    finally:
+        os.environ["SOAP_TPU_PALLAS_INERTIA"] = "0"
+    np.testing.assert_array_equal(
+        np.asarray(ref.found), np.asarray(ker.found)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker.tensor), np.asarray(ref.tensor), rtol=2e-5,
+        atol=1e-7 * float(np.abs(np.asarray(ref.tensor)).max() + 1e-30),
+    )
+
+
+def test_structural_k_cap_falls_back_to_xla(monkeypatch):
+    """K beyond the kernel's 256-block bound rows must NOT reach the
+    Pallas path (ADVICE r3: the dynamic bound silently truncated at
+    262144 rows when the VMEM cap was raised or in interpret mode)."""
+    from soap_tpu.ops import pallas_inertia as _pk
+
+    hard_cap = 256 * 128 * _pk.RB
+
+    def _boom(*a, **k):
+        raise AssertionError("Pallas kernel invoked beyond the 256-block cap")
+
+    monkeypatch.setattr(_pk, "inertia_loop_pallas", _boom)
+    rng = np.random.default_rng(11)
+    K = hard_cap + 128 * _pk.RB  # one block beyond the structural bound
+    pos = rng.normal(size=(K, 3)).astype(np.float32)
+    w = np.ones(K, np.float32)
+    masks = np.ones((1, K), bool)
+    R = np.array([2.0], np.float32)
+    red = np.array([False])
+    it = np.array([False])
+    os.environ["SOAP_TPU_PALLAS_INERTIA"] = "interpret"
+    try:
+        res = I.inertia_tensor_multi(
+            jnp.asarray(w), jnp.asarray(pos), jnp.asarray(masks),
+            jnp.asarray(R), jnp.asarray(red), jnp.asarray(it),
+        )
+    finally:
+        os.environ["SOAP_TPU_PALLAS_INERTIA"] = "0"
+    assert np.asarray(res.found).all()
+
+
+def test_structural_k_cap_boundary_uses_pallas(monkeypatch):
+    """K exactly at the 256-block bound still takes the Pallas path
+    (the gate must be <=, not <)."""
+    from soap_tpu.ops import pallas_inertia as _pk
+
+    hard_cap = 256 * 128 * _pk.RB
+
+    class _Sentinel(Exception):
+        pass
+
+    def _probe(*a, **k):
+        raise _Sentinel
+
+    monkeypatch.setattr(_pk, "inertia_loop_pallas", _probe)
+    rng = np.random.default_rng(12)
+    pos = rng.normal(size=(hard_cap, 3)).astype(np.float32)
+    w = np.ones(hard_cap, np.float32)
+    masks = np.ones((1, hard_cap), bool)
+    os.environ["SOAP_TPU_PALLAS_INERTIA"] = "interpret"
+    try:
+        with pytest.raises(_Sentinel):
+            I.inertia_tensor_multi(
+                jnp.asarray(w), jnp.asarray(pos), jnp.asarray(masks),
+                jnp.asarray(np.array([2.0], np.float32)),
+                jnp.asarray(np.array([False])),
+                jnp.asarray(np.array([False])),
+            )
+    finally:
+        os.environ["SOAP_TPU_PALLAS_INERTIA"] = "0"
