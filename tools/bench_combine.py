@@ -11,11 +11,19 @@ chunks), then measures wall-clock and peak RSS for
 validating the memory claim behind ``LazyScratchColumns`` (reference
 analogue: <= 100-property batches, ``combine_chunks.py:376-404``).
 
-Usage: python tools/bench_combine.py [n_halos] [n_chunks]
+Usage: python tools/bench_combine.py [n_halos] [n_chunks] [phase]
+
+``phase`` defaults to ``all`` (write + both combines in one process).
+``write``/``lazy``/``eager`` run one step against a scratch dir named in
+``SOAP_TPU_COMBINE_SCRATCH`` — peak RSS (``ru_maxrss``) is monotonic per
+process, so a phase measured in its own subprocess cannot be polluted
+by scratch writing or allocator history (the in-process ``all`` mode's
+baseline occasionally absorbs earlier peaks under memory pressure).
 """
 
 import os
 import resource
+import subprocess
 import sys
 import tempfile
 import time
@@ -54,28 +62,11 @@ def make_scratch(scratch, specs, n_halos, n_chunks, seed=0):
     return splits
 
 
-def main():
-    n_halos = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-
+def _run_lazy(scratch, specs, n_halos):
+    """Iterate every column once (checksum), never retaining more than
+    one column — the production writer's access pattern."""
     from soap_tpu.parallel import multihost
-    from soap_tpu.pipeline.specs import build_specs
 
-    specs = tuple(build_specs(None, dmo=True, bn98_value=100.0))
-    n_cols = sum(len(s.keys) for s in specs)
-    scratch = tempfile.mkdtemp(prefix="combine_bench_")
-    print(
-        f"writing scratch: {n_halos} halos x {n_cols} columns "
-        f"({n_halos * n_cols * 4 / 1e9:.1f} GB) in {n_chunks} chunks ..."
-    )
-    t0 = time.time()
-    make_scratch(scratch, specs, n_halos, n_chunks)
-    print(f"scratch written in {time.time()-t0:.1f}s; baseline RSS "
-          f"{peak_rss_mb():.0f} MB")
-
-    # (a) lazy streaming: iterate every column once (checksum), never
-    # retaining more than one column — the writer's access pattern
-    rss0 = peak_rss_mb()
     t0 = time.time()
     lazy = multihost.combine_scratch(scratch, specs, n_halos, lazy=True)
     total = 0.0
@@ -85,21 +76,59 @@ def main():
             col = cols[key]
             total += float(col[:: max(n_halos // 7, 1)].sum())
             del col
-    dt_lazy = time.time() - t0
     print(
-        f"lazy combine+stream: {dt_lazy:7.1f}s  peak RSS "
+        f"lazy combine+stream: {time.time()-t0:7.1f}s  peak RSS "
         f"{peak_rss_mb():.0f} MB (checksum {total:.3g})"
     )
 
-    # (b) eager materialization
+
+def _run_eager(scratch, specs, n_halos):
+    from soap_tpu.parallel import multihost
+
     t0 = time.time()
     merged = multihost.combine_scratch(scratch, specs, n_halos, lazy=False)
-    dt_eager = time.time() - t0
     print(
-        f"eager combine:       {dt_eager:7.1f}s  peak RSS "
+        f"eager combine:       {time.time()-t0:7.1f}s  peak RSS "
         f"{peak_rss_mb():.0f} MB ({sum(len(v) for v in merged.values())} "
         f"column groups)"
     )
+
+
+def main():
+    n_halos = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    phase = sys.argv[3] if len(sys.argv) > 3 else "all"
+
+    from soap_tpu.pipeline.specs import build_specs
+
+    specs = tuple(build_specs(None, dmo=True, bn98_value=100.0))
+    n_cols = sum(len(s.keys) for s in specs)
+
+    if phase in ("write", "lazy", "eager"):
+        scratch = os.environ["SOAP_TPU_COMBINE_SCRATCH"]
+        if phase == "write":
+            t0 = time.time()
+            make_scratch(scratch, specs, n_halos, n_chunks)
+            print(f"scratch written in {time.time()-t0:.1f}s")
+        elif phase == "lazy":
+            print(f"baseline RSS {peak_rss_mb():.0f} MB")
+            _run_lazy(scratch, specs, n_halos)
+        else:
+            print(f"baseline RSS {peak_rss_mb():.0f} MB")
+            _run_eager(scratch, specs, n_halos)
+        return
+
+    scratch = tempfile.mkdtemp(prefix="combine_bench_")
+    print(
+        f"writing scratch: {n_halos} halos x {n_cols} columns "
+        f"({n_halos * n_cols * 4 / 1e9:.1f} GB) in {n_chunks} chunks ..."
+    )
+    t0 = time.time()
+    make_scratch(scratch, specs, n_halos, n_chunks)
+    print(f"scratch written in {time.time()-t0:.1f}s; baseline RSS "
+          f"{peak_rss_mb():.0f} MB")
+    _run_lazy(scratch, specs, n_halos)
+    _run_eager(scratch, specs, n_halos)
 
 
 if __name__ == "__main__":
