@@ -61,8 +61,18 @@ def compare_catalogues(
     use_compression_tolerance: bool = True,
     rtol: float = 0.0,
     atol: float = 0.0,
+    scale_atol: float = 0.0,
 ) -> ComparisonResult:
-    """Compare every dataset of two catalogue files."""
+    """Compare every dataset of two catalogue files.
+
+    ``scale_atol`` adds a per-dataset absolute tolerance of
+    ``scale_atol * max|A|``: components that are orders of magnitude
+    below their dataset's scale (e.g. near-zero inertia off-diagonals)
+    carry no information at that precision, but an element-wise rtol
+    alone flags them when a boundary particle moves by one f32 ulp of
+    the selection radius (reduction-order jitter across XLA versions /
+    host ISAs).
+    """
     result = ComparisonResult()
     from soap_tpu.tools.compression import open_relaxed
 
@@ -102,6 +112,10 @@ def compare_catalogues(
                 r = max(r, FILTER_RTOL.get(filt, 0.0))
                 t = max(t, FILTER_ATOL.get(filt, 0.0))
             if a.dtype.kind in "fc":
+                if scale_atol > 0.0 and a.size:
+                    scale = float(np.nanmax(np.abs(a.astype(np.float64))))
+                    if np.isfinite(scale):
+                        t = max(t, scale_atol * scale)
                 ok = np.allclose(a, b, rtol=r, atol=t, equal_nan=True)
             else:
                 ok = np.array_equal(a, b)

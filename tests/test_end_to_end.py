@@ -200,9 +200,14 @@ def test_golden_catalogue_regression(e2e):
     assert os.path.exists(golden), "golden catalogue missing from repo"
     # rtol floor absorbs platform/version-dependent f32 reduction-order
     # jitter; per-dataset lossy-filter tolerances apply on top
+    # scale_atol absorbs boundary-particle flips from one-ulp selection
+    # radius jitter (cross-machine XLA codegen): a single flipped
+    # particle shifts near-zero components (inertia off-diagonals) by
+    # up to ~0.3% of the dataset scale, so they are compared at the
+    # dataset's own scale; genuine regressions measured 25-70% of scale
     res = compare_catalogues(
         golden, catalogue, use_compression_tolerance=True,
-        rtol=1.0e-3, atol=1.0e-30,
+        rtol=1.0e-3, atol=1.0e-30, scale_atol=5.0e-3,
     )
     assert res.n_compared > 400, res.n_compared
     assert res.identical, res.report()
