@@ -243,7 +243,7 @@ def bench_dmo():
     t1 = time.time()
     engine = HaloEngine(ctx, chunk, specs)
     jax.block_until_ready(
-        [p.packed_f for p in engine.stacked.ptypes.values()]
+        [p.packed_lines for p in engine.stacked.ptypes.values()]
     )
     t_staged = time.time()
     log(f"[{time.time()-_T0:6.1f}s] chunk store staged in "
@@ -299,7 +299,7 @@ def bench_giant():
     import jax
 
     jax.block_until_ready(
-        [p.packed_f for p in engine.stacked.ptypes.values()]
+        [p.packed_lines for p in engine.stacked.ptypes.values()]
     )
     t1 = time.time()
     engine.process(**args)

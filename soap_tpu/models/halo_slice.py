@@ -3027,7 +3027,8 @@ class ProjectedApertureSlice(HaloSlice):
 
 
 def shared_sort_artifacts(
-    parts: HaloParticles, scalars: HaloScalars, ctx=None
+    parts: HaloParticles, scalars: HaloScalars, ctx=None,
+    vel_payload: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """The per-halo radius sort + its standard payloads, computed ONCE.
 
@@ -3081,12 +3082,24 @@ def shared_sort_artifacts(
                 extra_cols.append(w)
     # position payloads: the batched 3D inertia loop consumes rows in
     # radius order so its Pallas heavy pass can stop at each config's
-    # selection extent / ellipsoid extent instead of sweeping the bucket
-    r_s, order, m_s, b_s, x_s, y_s, z_s, *extra_s = jax.lax.sort(
-        (key, iota, parts.mass, bound, x, y, z, *extra_cols),
+    # selection extent / ellipsoid extent instead of sweeping the bucket.
+    # Velocity payloads (``vel_payload``) let the engine's sorted-prefix
+    # truncation hand bound/aperture slices a COMPLETE radius-sorted
+    # particle view as pure prefix slices — no post-sort gathers.
+    vel_cols = (
+        (parts.vel[:, 0], parts.vel[:, 1], parts.vel[:, 2])
+        if vel_payload
+        else ()
+    )
+    sorted_ops = jax.lax.sort(
+        (key, iota, parts.mass, bound, x, y, z) + vel_cols
+        + tuple(extra_cols),
         num_keys=1,
         is_stable=True,
     )
+    r_s, order, m_s, b_s, x_s, y_s, z_s = sorted_ops[:7]
+    nfix = 7 + len(vel_cols)
+    extra_s = sorted_ops[nfix:]
     out = {
         "radius": r,
         "_rsort_order": order,
@@ -3097,6 +3110,8 @@ def shared_sort_artifacts(
         # invalid slots carry an inf key, so validity needs no payload
         "_valid_sorted": jnp.isfinite(r_s),
     }
+    if vel_payload:
+        out["_vel_sorted"] = jnp.stack(sorted_ops[7:10], axis=1)
     out.update(zip(extra_names, extra_s))
 
     # star-segment sort with luminosity payloads: HalfLightRadiusStar

@@ -9,12 +9,22 @@ block is enumerated as a *static-size* cube of cells and the ragged
 per-cell ranges are expanded into a padded candidate index list (see
 ``soap_tpu/ops/gather.py``).
 
-Resolution policy mirrors the reference: ``(n/1000)^(1/3)`` cells per
-dimension, clipped to [1, 256] (``SOAP/core/chunk_tasks.py:296-304``).
+Resolution policy: the reference uses ``(n/1000)^(1/3)`` cells per
+dimension (``SOAP/core/chunk_tasks.py:296-304``) — appropriate there
+because its mesh queries filter candidates by exact distance one halo
+at a time on the CPU.  Here the WHOLE padded candidate set flows
+through the gathered property DAG, so candidate slack multiplies every
+downstream cost (gather, radius sort, masked reductions): with ~1000
+particles per cell a ~1 Mpc-radius halo's 2-cell search cube covers
+hundreds of times its sphere volume.  The TPU default is therefore
+much finer — ``SOAP_TPU_GRID_PER_CELL`` particles per cell (default
+16), clipped to [1, 192] cells per dimension (the summed-area tables
+grow as dims^3: 192^3 is ~85 MB per particle type).
 """
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -25,8 +35,11 @@ import numpy as np
 
 
 def choose_resolution(n_particles: int) -> int:
-    """Cells per dimension for a chunk grid (reference policy)."""
-    return int(np.clip(round((n_particles / 1000.0) ** (1.0 / 3.0)), 1, 256))
+    """Cells per dimension for a chunk grid (see module docstring)."""
+    per_cell = float(_os.environ.get("SOAP_TPU_GRID_PER_CELL", "16"))
+    return int(
+        np.clip(round((n_particles / per_cell) ** (1.0 / 3.0)), 1, 192)
+    )
 
 
 @dataclass(frozen=True)

@@ -336,7 +336,7 @@ def inertia_tensor_multi(
         pallas_mode is not None
         and not single_pass
         and weights.ndim == 1
-        and C <= 32  # mask bits must fit one i32 word
+        and C <= _pk.MAX_C  # config lanes of one vector row
         and pos.dtype == jnp.float32
         and pos.shape[0] <= hard_max_k
         and (pallas_mode == "interpret" or pos.shape[0] <= max_k)
@@ -350,19 +350,28 @@ def inertia_tensor_multi(
             pos3 = jnp.pad(pos, ((0, Kp - K), (0, 0))).T.reshape(
                 3, Kp // 128, 128
             )
-            # per-config masks as BITS of one i32 word per element
-            # (padded rows stay 0 = deselected everywhere); the shared
-            # weight vector rides once — negative neutrino weights are
-            # fine because selection is explicit, not weight-encoded
-            mw = jnp.zeros((K,), jnp.int32)
-            for c in range(C):
-                mw = mw | (masks[c].astype(jnp.int32) << c)
-            mw = jnp.pad(mw, (0, Kp - K)).reshape(1, Kp // 128, 128)
+            # per-config masks as BITS of i32 words (config c = word
+            # c//32, bit c%32; padded rows stay 0 = deselected
+            # everywhere); the shared weight vector rides once —
+            # negative neutrino weights are fine because selection is
+            # explicit, not weight-encoded
+            W = -(-C // 32)
+            words = []
+            for w in range(W):
+                mw = jnp.zeros((K,), jnp.int32)
+                for c in range(w * 32, min((w + 1) * 32, C)):
+                    mw = mw | (masks[c].astype(jnp.int32) << (c % 32))
+                words.append(
+                    jnp.pad(mw, (0, Kp - K)).reshape(Kp // 128, 128)
+                )
+            mw = jnp.stack(words)  # (W, KR, 128)
             w_row = jnp.pad(
                 weights.astype(jnp.float32), (0, Kp - K)
             ).reshape(1, Kp // 128, 128)
             radii_row = jnp.zeros((8, 128), jnp.float32)
-            radii_row = radii_row.at[0, :C].set(R.astype(jnp.float32))
+            radii_row = radii_row.at[_pk._R_ROW, :C].set(
+                R.astype(jnp.float32)
+            )
             # occupied-prefix bound per config, in RB-row blocks: bucket
             # rows arrive radius-sorted, so a selection mask is dense in
             # a prefix — the kernel's heavy pass stops at the config's
@@ -374,7 +383,20 @@ def inertia_tensor_multi(
                 axis=1,
             )  # (C,) index-after-last-selected
             nblk = -(-occ // blk_elems)
-            radii_row = radii_row.at[1, :C].set(nblk.astype(jnp.float32))
+            radii_row = radii_row.at[_pk._NBLK_ROW, :C].set(
+                nblk.astype(jnp.float32)
+            )
+            # reduced flag + per-config iteration limit as data rows
+            # (dynamic config loop in the kernel)
+            radii_row = radii_row.at[_pk._RED_ROW, :C].set(
+                jnp.asarray(np.asarray(red_static, np.float32))
+            )
+            radii_row = radii_row.at[_pk._LIM_ROW, :C].set(
+                jnp.asarray(
+                    np.where(np.asarray(it_static), max_iterations, 1.0)
+                    .astype(np.float32)
+                )
+            )
             # rows 2-3: per-block minimum radius, enabling the kernel's
             # dynamic ellipsoid-extent bound.  Only valid when rows are
             # radius-ascending; -inf otherwise (bound degenerates to the
@@ -388,12 +410,15 @@ def inertia_tensor_multi(
                 )
                 bm_rows = jnp.full((2, 128), jnp.inf, jnp.float32)
                 bm_rows = bm_rows.reshape(-1).at[:n_blocks].set(bmin)
-                radii_row = radii_row.at[2:4].set(bm_rows.reshape(2, 128))
+                radii_row = radii_row.at[
+                    _pk._BM_ROW : _pk._BM_ROW + 2
+                ].set(bm_rows.reshape(2, 128))
             else:
-                radii_row = radii_row.at[2:4].set(
-                    jnp.full((2, 128), -jnp.inf, jnp.float32)
-                )
+                radii_row = radii_row.at[
+                    _pk._BM_ROW : _pk._BM_ROW + 2
+                ].set(jnp.full((2, 128), -jnp.inf, jnp.float32))
             done0_row = jnp.zeros((8, 128), jnp.float32)
+            done0_row = done0_row.at[0].set(1.0)
             done0_row = done0_row.at[0, :C].set(
                 jnp.where(enough, 0.0, 1.0)
             )

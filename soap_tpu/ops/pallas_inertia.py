@@ -13,9 +13,9 @@ costs the kernel does not —
    isolated probe);
  - the XLA while iterates until the LAST (halo, lane, config) lane of
    the whole bucket converges — a global barrier over ~65k lanes.
-   Here each (halo, lane) kernel instance stops iterating once ITS
-   configs are done, and each config stops paying its (K,) ellipsoid
-   pass the moment it converges (``@pl.when`` predication).
+   Here each halo's kernel instance stops iterating once ITS configs
+   are done, and each config stops paying its (K,) ellipsoid pass the
+   moment it converges (``@pl.when`` predication).
 
 Semantics are identical to the jnp path (same update equations, same
 TOL / per-config limit / degenerate rules — see
@@ -25,23 +25,29 @@ tensors against the f64 trigonometric solver on randomized triaxial
 profiles (incl. 1e-2.5 flattenings).  Reference algorithm:
 ``SOAP/property_calculation/inertia_tensors.py:19-132``.
 
-Layout: one kernel instance = one (halo, lane) — the engine's nested
-halo/lane vmaps lift the call into the Pallas grid.  The config axis
-lives in VECTOR LANES (C <= 128), so all per-config "tiny" math
-(Jacobi rotations, axis ratios, convergence logic) is (128,)-row
-arithmetic, statically unrolled in Python.  The heavy (K,) ellipsoid
-test + moment reduction runs per config as a fori over (RB, 128) row
-blocks bounded by that config's OCCUPIED PREFIX: the engine's bucket
-rows are radius-sorted, so an aperture/SO selection mask is dense in a
-prefix of the rows — a 50 kpc lane inside a K=65536 candidate set
-touches only its own few blocks instead of the whole bucket.  The
-caller passes ceil(last_selected/RB*128) per config (radii row 1);
-position products are formed in-block (no K-sized product scratch, so
-the VMEM cap is set by the 5 operand planes alone).
+Layout: one kernel instance = one HALO.  The config axis lives in
+VECTOR LANES (C <= 128) — all per-config "tiny" math (Jacobi rotations,
+axis ratios, convergence logic) is (128,)-row arithmetic shared by
+every config at once.  The engine evaluates whole spec FAMILIES (8 SO
+densities, 8 aperture radii) under a lane vmap; a ``custom_vmap`` rule
+FOLDS that axis into the config lanes (masks become bits l*C+c of the
+multi-word mask plane) instead of spawning one kernel instance per
+(halo, lane) — an 8-lane family then pays the per-instance operand DMA
+and the per-iteration config math ONCE per halo instead of 8 times,
+and the 128 lanes of the config rows actually fill up.  The heavy (K,)
+ellipsoid test + moment reduction runs per config as a fori over
+(RB, 128) row blocks bounded by that config's OCCUPIED PREFIX: the
+engine's bucket rows are radius-sorted, so an aperture/SO selection
+mask is dense in a prefix of the rows — a 50 kpc lane inside a K=65536
+candidate set touches only its own few blocks instead of the whole
+bucket.  The caller passes ceil(last_selected/RB*128) per config
+(radii row 1); position products are formed in-block (no K-sized
+product scratch, so the VMEM cap is set by the operand planes alone).
 """
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -53,8 +59,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TOL = 1.0e-4
-_SWEEPS = 4  # cyclic Jacobi sweeps (3 already reproduces f64 behavior)
+_SWEEPS = 3  # cyclic Jacobi sweeps (3 reproduces the f64 reference
+# solver's iteration counts and tensors on randomized triaxial
+# profiles — see tests/test_eigh.py)
 RB = 8  # sublane rows per heavy-pass block (dynamic-slice aligned)
+
+#: max folded configs: lanes of one vector row
+MAX_C = 128
 
 # state-row indices in the (24, 128) scratch
 _VAL = 0  # 0-2: eigenvalues ascending
@@ -62,6 +73,13 @@ _VEC = 3  # 3-11: eigenvector columns, V[i][j] at row 3 + 3*i + j
 _TEN = 12  # 12-17: tensor flat [xx, xy, xz, yy, yz, zz]
 _OLDQ = 18
 _DONE = 19
+
+# radii_ref row indices
+_R_ROW = 0  # sphere radius per config lane
+_NBLK_ROW = 1  # occupied-prefix bound, in RB-row blocks
+_BM_ROW = 2  # 2-3: per-block min radius (256 block lanes)
+_RED_ROW = 4  # reduced (1/r^2) flag per config lane
+_LIM_ROW = 5  # per-config iteration limit
 
 
 def _jacobi3_rows(a, v):
@@ -129,42 +147,31 @@ def _jacobi3_rows(a, v):
 
 
 def _inertia_kernel(
-    reduced: Tuple[bool, ...],
-    iterative: Tuple[bool, ...],
+    C: int,  # static: number of live config lanes
     max_iterations: int,
     pos_ref,  # (3, KR, 128) f32
     w_ref,  # (1, KR, 128) f32: SHARED per-particle weights
-    mw_ref,  # (1, KR, 128) i32: per-config mask bits (bit c = config c)
-    radii_ref,  # (8, 128) f32, row 0: sphere radius; row 1: prefix blocks
+    mw_ref,  # (W, KR, 128) i32: mask bits (config c = word c//32 bit c%32)
+    radii_ref,  # (8, 128) f32: see _*_ROW indices
     done0_ref,  # (8, 128) f32, row 0: 1.0 where done at start (~enough)
     out_ref,  # (8, 128) f32, rows 0-5: final tensor flat per config lane
     st_ref,  # scratch (24, 128) f32: iteration state rows
     tn_ref,  # scratch (8, 128) f32: this iteration's normalized tensor
 ):
-    C = len(reduced)
     one = jnp.float32(1.0)
     tiny = jnp.float32(1e-37)
 
-    R_row = radii_ref[0]
-    nblk_row = radii_ref[1]  # per-config occupied prefix, in RB-row blocks
-    # rows 2-3: per-block MINIMUM radius (radius-sorted callers only;
-    # -inf otherwise, which disables the dynamic ellipsoid-extent bound)
-    bm0 = radii_ref[2]
-    bm1 = radii_ref[3]
+    R_row = radii_ref[_R_ROW]
+    nblk_row = radii_ref[_NBLK_ROW]
+    # per-block MINIMUM radius (radius-sorted callers only; -inf
+    # otherwise, which disables the dynamic ellipsoid-extent bound)
+    bm0 = radii_ref[_BM_ROW]
+    bm1 = radii_ref[_BM_ROW + 1]
+    red_row = radii_ref[_RED_ROW]
+    limit_row = radii_ref[_LIM_ROW]
     lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
-    onehot = [
-        (lane == c).astype(jnp.float32) for c in range(C)
-    ]  # scalar extraction helpers
     zero_row = jnp.zeros_like(R_row)
     one_row = jnp.ones_like(R_row)
-    # per-config iteration limit as a lane row (no captured constants:
-    # built from the iota so Mosaic sees only kernel-local values)
-    limit_row = one_row
-    for c in range(C):
-        if iterative[c]:
-            limit_row = jnp.where(
-                lane == c, jnp.float32(max_iterations), limit_row
-            )
 
     # init state
     for r in range(3):
@@ -224,30 +231,36 @@ def _inertia_kernel(
                         one if ii == jj else jnp.float32(2.0)
                     )
 
-            # per-config heavy pass, predicated on the config being live;
-            # a fori over RB-row blocks bounded by the config's occupied
-            # prefix (block accumulator planes, ONE cross-lane reduction
-            # per moment after the loop)
-            for c in range(C):
-                run_c = jnp.sum(jnp.where(lane == c, one_row - done, 0.0)) > 0.0
+            # per-config heavy pass as a DYNAMIC fori over config lanes
+            # (a Python unroll would bloat the kernel ~Cx: folded
+            # families carry up to 128 configs), each predicated on the
+            # config being live; a fori over RB-row blocks bounded by
+            # the config's occupied prefix (block accumulator planes,
+            # ONE cross-lane reduction per moment after the loop)
+            def per_config(c, carry2):
+                onehot = (lane == c).astype(jnp.float32)
+                run_c = jnp.sum(onehot * (one_row - done)) > 0.0
 
                 @pl.when(run_c)
-                def _(c=c):
-                    q00 = jnp.sum(qq[(0, 0)] * onehot[c])
-                    q01 = jnp.sum(qq[(0, 1)] * onehot[c])
-                    q02 = jnp.sum(qq[(0, 2)] * onehot[c])
-                    q11 = jnp.sum(qq[(1, 1)] * onehot[c])
-                    q12 = jnp.sum(qq[(1, 2)] * onehot[c])
-                    q22 = jnp.sum(qq[(2, 2)] * onehot[c])
-                    amax_c = jnp.sum(amax_row * onehot[c])
+                def _():
+                    q00 = jnp.sum(qq[(0, 0)] * onehot)
+                    q01 = jnp.sum(qq[(0, 1)] * onehot)
+                    q02 = jnp.sum(qq[(0, 2)] * onehot)
+                    q11 = jnp.sum(qq[(1, 1)] * onehot)
+                    q12 = jnp.sum(qq[(1, 2)] * onehot)
+                    q22 = jnp.sum(qq[(2, 2)] * onehot)
+                    amax_c = jnp.sum(amax_row * onehot)
+                    red_c = jnp.sum(red_row * onehot) > 0.5
                     nblk_dyn = (
                         jnp.sum(jnp.where(bm0 <= amax_c, 1.0, 0.0))
                         + jnp.sum(jnp.where(bm1 <= amax_c, 1.0, 0.0))
                     ).astype(jnp.int32)
                     nblk = jnp.minimum(
-                        jnp.sum(nblk_row * onehot[c]).astype(jnp.int32),
+                        jnp.sum(nblk_row * onehot).astype(jnp.int32),
                         nblk_dyn,
                     )
+                    word = c // jnp.int32(32)
+                    bit = c - word * jnp.int32(32)
 
                     def blk(b, acc):
                         r0 = b * RB
@@ -259,19 +272,22 @@ def _inertia_kernel(
                             + ys * (q11 * ys + q12 * zs)
                             + q22 * zs * zs
                         )
-                        sel = ((mw_ref[0, pl.ds(r0, RB)] >> c) & 1) == 1
+                        mwv = mw_ref[pl.ds(word, 1), pl.ds(r0, RB), :][0]
+                        sel = (
+                            jax.lax.shift_right_logical(mwv, bit) & 1
+                        ) == 1
                         inside = (rr <= one) & sel
                         wb = w_ref[0, pl.ds(r0, RB)]
                         wn = jnp.where(inside, wb, 0.0)
-                        if reduced[c]:
-                            # w / max(r^2, 1e-8-ish): matches the host
-                            # ``1 / where(isclose(r2, 0), 1, r2)`` rule
-                            r2 = xs * xs + ys * ys + zs * zs
-                            wi = wn / jnp.where(
-                                r2 <= jnp.float32(1e-8), one, r2
-                            )
-                        else:
-                            wi = wn
+                        # reduced: w / max(r^2, 1e-8-ish) — matches the
+                        # host ``1 / where(isclose(r2, 0), 1, r2)`` rule
+                        r2 = xs * xs + ys * ys + zs * zs
+                        wi = jnp.where(
+                            red_c,
+                            wn
+                            / jnp.where(r2 <= jnp.float32(1e-8), one, r2),
+                            wn,
+                        )
                         return (
                             acc[0] + wi * xs * xs,
                             acc[1] + wi * xs * ys,
@@ -292,6 +308,12 @@ def _inertia_kernel(
                         tn_ref[k, :] = jnp.where(
                             lane == c, s_k, tn_ref[k, :]
                         )
+
+                return carry2
+
+            jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(C), per_config, jnp.int32(0)
+            )
 
             t_new = [tn_ref[k, :] for k in range(6)]
             degenerate = q_now == 0.0
@@ -334,46 +356,7 @@ def _inertia_kernel(
         out_ref[k, :] = st_ref[_TEN + k]
 
 
-def inertia_loop_pallas(
-    pos3: jnp.ndarray,  # (3, KR, 128) f32, KR a multiple of RB
-    w_row: jnp.ndarray,  # (1, KR, 128) f32: shared weights
-    maskword: jnp.ndarray,  # (1, KR, 128) i32: bit c = config c selected
-    radii_row: jnp.ndarray,  # (8, 128) f32; row 1 = prefix RB-blocks
-    done0_row: jnp.ndarray,  # (8, 128) f32
-    reduced: Tuple[bool, ...],
-    iterative: Tuple[bool, ...],
-    max_iterations: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Run the in-kernel ellipsoid loop; returns (8, 128) f32 whose rows
-    0-5 hold the final flat tensors, lanes = configs.
-
-    Operand diet (vs the first version, which took a (C, KR, 128)
-    NaN-masked weight block + a precomputed 1/r^2 plane): the per-config
-    masks ride as BITS of one i32 word per element and 1/r^2 is derived
-    in-kernel from the positions, so each (halo, lane) instance streams
-    5*K operand words instead of (4 + C)*K — and the caller never
-    materializes a (B, lanes, C, K) HBM block at all.  Each config's
-    heavy pass touches only its occupied-prefix blocks (radii row 1),
-    so the per-iteration cost scales with the config's SELECTION, not
-    the bucket's K.
-    """
-    KR = pos3.shape[1]
-    assert KR % RB == 0, "pad rows to a multiple of RB"
-    kern = partial(
-        _inertia_kernel, tuple(reduced), tuple(iterative), int(max_iterations)
-    )
-    # trace in 32-bit mode: under jax_enable_x64 the pl.when-inside-fori
-    # lowering emits i64 loop tokens that Mosaic cannot legalize
-    # ("failed to legalize operation 'func.return'"); the kernel is pure
-    # f32/i32 so the x64 context is irrelevant to its semantics
-    with jax.enable_x64(False):
-        return _call(kern, KR, interpret)(
-            pos3, w_row, maskword, radii_row, done0_row
-        )
-
-
-def _call(kern, KR, interpret):
+def _call(kern, interpret):
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
@@ -385,3 +368,144 @@ def _call(kern, KR, interpret):
         ],
         interpret=interpret,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _folding_caller(C: int, max_iterations: int, interpret: bool):
+    """A ``custom_vmap``-wrapped kernel invocation.
+
+    The first (innermost) vmap the engine applies is the spec-family
+    lane axis, under which the positions/weights/mask planes are
+    UNBATCHED (shared per halo) and only the mask word, radii and done
+    rows vary per lane: the vmap rule then FOLDS the L lanes into the
+    config lanes of ONE kernel instance (configs l*C+c).  Any batching
+    that touches the particle planes (the halo axis) falls through to
+    a plain vmap of the base call, which lifts into the Pallas grid.
+    """
+
+    def base(pos3, w_row, mw, radii_row, done0_row):
+        kern = partial(_inertia_kernel, C, max_iterations)
+        return _call(kern, interpret)(pos3, w_row, mw, radii_row, done0_row)
+
+    cv = jax.custom_batching.custom_vmap(base)
+
+    @cv.def_vmap
+    def rule(axis_size, in_batched, pos3, w_row, mw, radii_row, done0_row):
+        pos_b, w_b, mw_b, radii_b, done_b = in_batched
+        L = axis_size
+        w_words = mw.shape[1] if mw_b else mw.shape[0]
+        foldable = (
+            not pos_b
+            and not w_b
+            and L * C <= MAX_C
+            and w_words * 32 >= C  # sanity: words cover base configs
+        )
+        if not foldable:
+            # halo-axis (or exotic) batching: plain vmap -> Pallas grid
+            out = jax.vmap(
+                base,
+                in_axes=tuple(
+                    0 if b else None for b in in_batched
+                ),
+            )(pos3, w_row, mw, radii_row, done0_row)
+            return out, True
+
+        CL = L * C
+        W = -(-CL // 32)
+        KRshape = mw.shape[-2:]
+        # fold mask bits: lane l's word bits c -> folded bit l*C+c
+        words = [
+            jnp.zeros(KRshape, jnp.int32) for _ in range(W)
+        ]
+        mw_l = mw if mw_b else None
+        for l in range(L):
+            src = mw_l[l] if mw_b else mw  # (Wsrc, KR, 128)
+            for c in range(C):
+                fc = l * C + c
+                w_src = src[c // 32]
+                bit = (w_src >> (c % 32)) & 1
+                words[fc // 32] = words[fc // 32] | (bit << (fc % 32))
+        mw_f = jnp.stack(words)
+
+        lane = jnp.arange(128)
+        fold_l = lane // C  # folded lane -> source family lane
+        fold_c = lane % C
+        live = lane < CL
+
+        def fold_rows(rows, rows_batched, fill=0.0):
+            # rows: (8, 128) per lane (possibly batched (L, 8, 128));
+            # rows 0/1/4/5 hold per-config lanes -> re-index to l*C+c
+            if not rows_batched:
+                rows = jnp.broadcast_to(rows, (L,) + rows.shape)
+            per_cfg = rows[
+                jnp.where(live, fold_l, 0), :, jnp.where(live, fold_c, 0)
+            ]  # (128, 8)
+            return per_cfg.T, rows
+
+        radii_cfg, radii_all = fold_rows(radii_row, radii_b)
+        radii_f = jnp.zeros((8, 128), jnp.float32)
+        for r in (_R_ROW, _NBLK_ROW, _RED_ROW, _LIM_ROW):
+            radii_f = radii_f.at[r].set(
+                jnp.where(live, radii_cfg[r], 0.0)
+            )
+        # block-min rows are lane-invariant (shared positions)
+        radii_f = radii_f.at[_BM_ROW : _BM_ROW + 2].set(
+            radii_all[0, _BM_ROW : _BM_ROW + 2]
+        )
+        done_cfg, _ = fold_rows(done0_row, done_b)
+        done_f = jnp.zeros((8, 128), jnp.float32)
+        done_f = done_f.at[0].set(jnp.where(live, done_cfg[0], 1.0))
+
+        folded = _folding_caller(CL, max_iterations, interpret)(
+            pos3, w_row, mw_f, radii_f, done_f
+        )
+        # unfold (8, 128) -> (L, 8, 128): lane l gets configs
+        # [l*C, (l+1)*C) in its first C lanes
+        pad_c = jnp.zeros((6, L, 128 - C), jnp.float32)
+        t = folded[:6, : L * C].reshape(6, L, C)
+        out = jnp.concatenate([t, pad_c], axis=2)  # (6, L, 128)
+        out = jnp.moveaxis(out, 1, 0)  # (L, 6, 128)
+        out = jnp.concatenate(
+            [out, jnp.zeros((L, 2, 128), jnp.float32)], axis=1
+        )
+        return out, True
+
+    return cv
+
+
+def inertia_loop_pallas(
+    pos3: jnp.ndarray,  # (3, KR, 128) f32, KR a multiple of RB
+    w_row: jnp.ndarray,  # (1, KR, 128) f32: shared weights
+    maskword: jnp.ndarray,  # (W, KR, 128) i32: bit c = config c selected
+    radii_row: jnp.ndarray,  # (8, 128) f32; see _*_ROW rows
+    done0_row: jnp.ndarray,  # (8, 128) f32
+    reduced: Tuple[bool, ...],
+    iterative: Tuple[bool, ...],
+    max_iterations: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the in-kernel ellipsoid loop; returns (8, 128) f32 whose rows
+    0-5 hold the final flat tensors, lanes = configs.
+
+    ``reduced``/``iterative`` are baked into ``radii_row`` rows 4-5 by
+    the caller (``ops/inertia.py``); the tuples only size the config
+    count.  Operand diet: the per-config masks ride as BITS of i32
+    words (config c = word c//32, bit c%32) and 1/r^2 is derived
+    in-kernel from the positions, so each halo instance streams
+    (5 + W)*K operand words — and the caller never materializes a
+    (B, lanes, C, K) HBM block at all.  Each config's heavy pass
+    touches only its occupied-prefix blocks (radii row 1), so the
+    per-iteration cost scales with the config's SELECTION, not the
+    bucket's K.
+    """
+    KR = pos3.shape[1]
+    assert KR % RB == 0, "pad rows to a multiple of RB"
+    C = len(reduced)
+    # trace in 32-bit mode: under jax_enable_x64 the pl.when-inside-fori
+    # lowering emits i64 loop tokens that Mosaic cannot legalize
+    # ("failed to legalize operation 'func.return'"); the kernel is pure
+    # f32/i32 so the x64 context is irrelevant to its semantics
+    with jax.enable_x64(False):
+        return _folding_caller(C, int(max_iterations), interpret)(
+            pos3, w_row, maskword, radii_row, done0_row
+        )

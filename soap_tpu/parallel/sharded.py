@@ -99,16 +99,15 @@ def stack_chunks(chunks: Sequence[ChunkData]) -> ChunkData:
         for pt in pts:
             assert pt.spec == spec, "chunks must share grid geometry"
             assert pt.cols_f == pts[0].cols_f and pt.cols_i == pts[0].cols_i
-        n_max = max(pt.packed_f.shape[0] for pt in pts)
+        l_max = max(pt.packed_lines.shape[0] for pt in pts)
         stacked[name] = PTypeChunk(
             spec=spec,
-            n=n_max,
-            packed_f=_stack0([_pad_axis0(pt.packed_f, n_max) for pt in pts]),
-            packed_i=(
-                _stack0([_pad_axis0(pt.packed_i, n_max) for pt in pts])
-                if pts[0].packed_i is not None
-                else None
+            n=l_max * 128 // pts[0].row_width,
+            packed_lines=_stack0(
+                [_pad_axis0(pt.packed_lines, l_max) for pt in pts]
             ),
+            packed_i=None,
+            row_width=pts[0].row_width,
             cols_f=pts[0].cols_f,
             cols_i=pts[0].cols_i,
             offsets=_stack0([pt.offsets for pt in pts]),
@@ -119,7 +118,7 @@ def stack_chunks(chunks: Sequence[ChunkData]) -> ChunkData:
     return ChunkData(boxsize=boxsize, ptypes=stacked)
 
 
-@partial(jax.jit, static_argnames=("ptypes", "do_presize"))
+@partial(jax.jit, static_argnames=("ptypes", "do_presize", "do_trunc"))
 def _sharded_presize_count(
     stacked: ChunkData,
     centre_hi: jnp.ndarray,  # (C, H, 3)
@@ -128,14 +127,18 @@ def _sharded_presize_count(
     target_density_com: jnp.ndarray,  # scalar
     ptypes: Tuple[str, ...],
     do_presize: bool,
+    radius_trunc: jnp.ndarray = None,  # (C, H) or None
+    do_trunc: bool = False,
 ):
-    def one(chunk, c, r, e):
+    def one(chunk, c, r, e, rt):
         return presize_and_count(
-            chunk, c, r, e, target_density_com, ptypes, do_presize
+            chunk, c, r, e, target_density_com, ptypes, do_presize,
+            radius_trunc=rt, do_trunc=do_trunc,
         )
 
-    return jax.vmap(one, in_axes=(0, 0, 0, 0))(
-        stacked, centre_hi, radius0, so_eligible
+    rt = radius_trunc if radius_trunc is not None else jnp.zeros_like(radius0)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+        stacked, centre_hi, radius0, so_eligible, rt
     )
 
 

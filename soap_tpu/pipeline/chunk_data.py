@@ -45,17 +45,34 @@ class PTypeChunk:
     spec: GridSpec  # static
     n: int  # real particle count (NOT part of the jit signature: row
     # counts are shape-quantized so chunks share compiled programs)
-    packed_f: jnp.ndarray  # (N, Ff) f32: pos_hi | pos_lo | f32 fields |
-    # int fields as bitcast f32 bit-halves (one gather serves all fields)
+    packed_lines: jnp.ndarray  # (N*F/128, 128) f32: the packed row block
+    # stored AS 128-lane lines.  The run-length DMA gather consumes this
+    # layout directly; storing rows (N, F) instead made XLA auto-layout
+    # pick an F-major parameter layout and insert a whole-store relayout
+    # copy + reshape (~18 ms on the 10.5M-row bench store) into EVERY
+    # bucket program.  Row order: line l holds rows [l*128/F, ...), i.e.
+    # ``lines.reshape(N, F)`` is the row view (a free bitcast).
     packed_i: Optional[jnp.ndarray]  # retired: always None (ints ride
-    # packed_f as bit-halves); kept for pytree layout stability
-    cols_f: Tuple  # static ((name, start, row_shape), ...) into packed_f
+    # the packed block as bit-halves); kept for pytree layout stability
+    row_width: int  # static F: padded row width (pad_columns_for_dma)
+    cols_f: Tuple  # static ((name, start, row_shape), ...) into the rows
     cols_i: Tuple  # static ((name, start, row_shape, dtype_str), ...)
-    # with start indexing packed_f (2 columns per int)
+    # with start indexing the row view (2 columns per int)
     offsets: jnp.ndarray  # (C,) i32 first row of each cell
     counts: jnp.ndarray  # (C,) i32
     sat: jnp.ndarray  # (d0+1, d1+1, d2+1) i32 summed-area table
     mass_sat: jnp.ndarray  # (d0+1, d1+1, d2+1) f32 mass summed-area table
+
+    @property
+    def packed_f(self) -> jnp.ndarray:
+        """Row view (..., N, F) of the line-layout store.
+
+        Free inside jit (reshape of a 128-minor parameter).  On concrete
+        DEVICE arrays outside jit this dispatches a reshape program —
+        use ``packed_lines`` for byte counts / readiness waits there.
+        """
+        lead = self.packed_lines.shape[:-2]
+        return self.packed_lines.reshape(lead + (-1, self.row_width))
 
     @property
     def pos_hi(self) -> jnp.ndarray:
@@ -86,22 +103,36 @@ class PTypeChunk:
 
     def tree_flatten(self):
         children = (
-            self.packed_f,
+            self.packed_lines,
             self.packed_i,
             self.offsets,
             self.counts,
             self.sat,
             self.mass_sat,
         )
-        return children, (self.spec, self.cols_f, self.cols_i)
+        return children, (self.spec, self.cols_f, self.cols_i, self.row_width)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        spec, cols_f, cols_i = aux
-        packed_f, packed_i, offsets, counts, sat, mass_sat = children
-        n = packed_f.shape[0] if hasattr(packed_f, "shape") else 0
+        spec, cols_f, cols_i, row_width = aux
+        packed_lines, packed_i, offsets, counts, sat, mass_sat = children
+        n = (
+            packed_lines.shape[-2] * 128 // row_width
+            if hasattr(packed_lines, "shape")
+            else 0
+        )
         return cls(
-            spec, n, packed_f, packed_i, cols_f, cols_i, offsets, counts, sat, mass_sat
+            spec,
+            n,
+            packed_lines,
+            packed_i,
+            row_width,
+            cols_f,
+            cols_i,
+            offsets,
+            counts,
+            sat,
+            mass_sat,
         )
 
 
@@ -324,8 +355,10 @@ def stage_ptype(
     return PTypeChunk(
         spec=spec,
         n=n,
-        packed_f=packed_h,
+        # host reshape to the 128-lane line layout is a free view
+        packed_lines=packed_h.reshape(-1, 128),
         packed_i=None,
+        row_width=f_pad,
         cols_f=tuple(cols_f),
         cols_i=tuple(cols_i),
         offsets=offsets_h,
@@ -448,7 +481,7 @@ def presize_so_radius(
 _FOUR_PI_3 = 4.0 * np.pi / 3.0
 
 
-@partial(jax.jit, static_argnames=("ptypes", "do_presize"))
+@partial(jax.jit, static_argnames=("ptypes", "do_presize", "do_trunc"))
 def presize_and_count(
     chunk: "ChunkData",
     centre_hi: jnp.ndarray,  # (H, 3) comoving
@@ -457,11 +490,15 @@ def presize_and_count(
     target_density_com: jnp.ndarray,  # scalar comoving threshold
     ptypes: Tuple[str, ...],
     do_presize: bool = True,
+    radius_trunc: Optional[jnp.ndarray] = None,  # (H,) comoving
+    do_trunc: bool = False,
 ):
     """One fused device program for the host's bucketing pre-pass:
     optional SO gather-radius growth + exact per-type candidate counts
     (a single round-trip instead of one per step — dispatch latency is
-    the dominant cost over a remote-TPU link)."""
+    the dominant cost over a remote-TPU link).  ``radius_trunc`` adds a
+    second count at a smaller radius — the sorted-prefix bound for the
+    bound/aperture row-truncation (see ``engine._run``)."""
     if do_presize:
         grown = presize_so_radius(chunk, centre_hi, radius0, target_density_com)
         radius = jnp.where(so_eligible, jnp.maximum(radius0, grown), radius0)
@@ -470,4 +507,12 @@ def presize_and_count(
     counts = tuple(
         count_candidates(chunk.ptypes[pt], centre_hi, radius) for pt in ptypes
     )
-    return radius, counts
+    if do_trunc:
+        rt = jnp.minimum(radius_trunc, radius)
+        counts_b = tuple(
+            count_candidates(chunk.ptypes[pt], centre_hi, rt)
+            for pt in ptypes
+        )
+    else:
+        counts_b = tuple(jnp.zeros_like(c) for c in counts)
+    return radius, counts, counts_b

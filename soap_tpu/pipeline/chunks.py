@@ -325,8 +325,7 @@ def process_chunks(
                     chunk.stacked if isinstance(chunk, StagedStore) else chunk
                 ).ptypes
                 n_bytes = sum(
-                    p.packed_f.nbytes
-                    + (p.packed_i.nbytes if p.packed_i is not None else 0)
+                    p.packed_lines.nbytes
                     for p in ptypes_view.values()
                 )
                 _progress(
@@ -347,7 +346,7 @@ def process_chunks(
                 record_spec_timings=record_property_timings,
             )
             jax.block_until_ready(
-                [p.packed_f for p in engine.stacked.ptypes.values()]
+                [p.packed_lines for p in engine.stacked.ptypes.values()]
             )
             if verbose:
                 _progress(

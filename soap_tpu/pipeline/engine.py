@@ -235,11 +235,47 @@ def _pad_pow2(n: int) -> int:
     return p
 
 
-def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=None):
+def _spec_truncatable(spec: HaloTypeSpec) -> bool:
+    """Specs whose particle needs are bounded by
+    max(EncloseRadius, fixed aperture radius): BoundSubhalo (bound rows
+    only), fixed-radius exclusive/inclusive apertures (members + ALL
+    bound rows for the inertia ellipsoids,
+    ``aperture_properties.py:3596-3610``), and projected apertures
+    (bound rows only).  SO (the ellipsoid may deform past R_SO and the
+    density crossing needs the full gathered profile) and
+    radius-property apertures (dynamic radius) need every row."""
+    if spec.kind == "bound":
+        return True
+    return (
+        spec.kind in ("aperture", "projected")
+        and spec.radius_property is None
+    )
+
+
+def _halo_fn(
+    ctx: HaloContext,
+    specs: Tuple[HaloTypeSpec, ...],
+    densities,
+    aux=None,
+    trunc: Optional[int] = None,
+):
     """Single-halo property evaluation over all specs (vmapped later).
 
     ``aux`` holds shared non-batched device constants (e.g. the cosmology
     age table); it is closed over, NOT vmapped.
+
+    ``trunc`` (static): sorted-prefix row truncation.  The bucket's rows
+    are radius-sorted anyway (the shared sort); every spec whose
+    particle needs are bounded by max(EncloseRadius, aperture radius)
+    (``_spec_truncatable``) then runs on the FIRST ``trunc`` sorted rows
+    — pure prefix slices of the sort outputs (velocities ride the sort
+    as payloads) — instead of the full gather capacity K.  The host
+    sizes ``trunc`` from summed-area-table counts at that radius, so the
+    prefix provably covers every row inside it; a cheap bound-count
+    cross-check flags (-> retry untruncated) halos whose catalogue
+    EncloseRadius lied.  The DAG's masked reductions are HBM-bandwidth
+    bound at (B, lanes, K) working-set scale, so their cost scales
+    directly with the row count.
     """
     blocks: List[Tuple[Optional[tuple], List[Tuple[HaloTypeSpec, object]]]] = []
     for spec, dens in zip(specs, densities):
@@ -249,6 +285,12 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
         else:
             blocks.append((sig, [(spec, dens)]))
 
+    ctx_b = (
+        dataclasses.replace(ctx, capacities=(trunc,))
+        if trunc is not None
+        else None
+    )
+
     def fn(parts: HaloParticles, scalars: HaloScalars):
         out = {}
         prior = {}
@@ -256,23 +298,77 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
         # (the sort + payload gathers dominate device time at large K)
         from soap_tpu.models.halo_slice import shared_sort_artifacts
 
-        shared = shared_sort_artifacts(parts, scalars, ctx)
+        shared = shared_sort_artifacts(
+            parts, scalars, ctx, vel_payload=trunc is not None
+        )
 
-        def seed(s, spec):
+        if trunc is not None:
+            kb = trunc
+            bound_b = shared["_bound_sorted"][:kb]
+            parts_b = HaloParticles(
+                valid=shared["_valid_sorted"][:kb],
+                mass=shared["_m_sorted"][:kb],
+                pos=shared["_pos_sorted"][:kb],
+                vel=shared["_vel_sorted"][:kb],
+                # exact for the one consumer (bound_mask, seeded below);
+                # full group labels are an SO-only need and SO never
+                # truncates
+                groupnr=jnp.where(
+                    bound_b, scalars.index, jnp.int64(-1)
+                ),
+                fofid=jnp.full((kb,), -1, jnp.int64),
+                softening=parts.softening[:kb],
+                fields={},
+            )
+            shared_b = {
+                "radius": shared["_r_sorted"][:kb],
+                "_rsort_order": jnp.arange(kb, dtype=jnp.int32),
+                "_r_sorted": shared["_r_sorted"][:kb],
+                "_m_sorted": parts_b.mass,
+                "_bound_sorted": bound_b,
+                "_pos_sorted": parts_b.pos,
+                "_valid_sorted": parts_b.valid,
+                "bound_mask": bound_b,
+            }
+            # catalogue-EncloseRadius cross-check: a bound row past the
+            # prefix means the finder's radius lied — retry untruncated
+            trunc_bad = jnp.sum(
+                shared["_bound_sorted"].astype(jnp.int32)
+            ) > jnp.sum(bound_b.astype(jnp.int32))
+        else:
+            parts_b = None
+            shared_b = None
+            trunc_bad = None
+
+        def pick(spec_kind_truncatable):
+            if trunc is not None and spec_kind_truncatable:
+                return ctx_b, parts_b, shared_b, True
+            return ctx, parts, shared, False
+
+        def seed(s, spec, shr):
             if spec.kind != "projected":
-                s.__dict__.update(shared)
+                s.__dict__.update(shr)
+            elif "bound_mask" in shr:
+                s.__dict__["bound_mask"] = shr["bound_mask"]
             return s
+
+        def flag_bad(res, truncated):
+            if truncated and trunc_bad is not None:
+                res["__needs_bigger__"] = res["__needs_bigger__"] | trunc_bad
+            return res
 
         for sig, members in blocks:
             if sig is None or len(members) == 1:
                 for spec, dens in members:
+                    cx, pr, shr, truncated = pick(_spec_truncatable(spec))
                     s = seed(
-                        _make_slice(
-                            spec, ctx, parts, scalars, prior, dens, aux
-                        ),
+                        _make_slice(spec, cx, pr, scalars, prior, dens, aux),
                         spec,
+                        shr,
                     )
-                    res = compute_properties(s, spec.keys)
+                    res = flag_bad(
+                        compute_properties(s, spec.keys), truncated
+                    )
                     prior[spec.group] = res
                     out[spec.group] = res
                 continue
@@ -286,30 +382,37 @@ def _halo_fn(ctx: HaloContext, specs: Tuple[HaloTypeSpec, ...], densities, aux=N
             n = len(members)
             params = params + [params[-1]] * (_pad_pow2(n) - n)
             pvec = jnp.asarray(np.asarray(params, np.float32))
+            cx, pr, shr, truncated = pick(_spec_truncatable(spec0))
 
             def one(p):
                 if kind == "SO":
                     s = SOSlice(
-                        ctx,
-                        parts,
+                        cx,
+                        pr,
                         scalars,
                         target_density=p,
                         aux=aux,
                         core_excision_fraction=spec0.core_excision_fraction,
                     )
-                    s.__dict__.update(shared)
+                    s.__dict__.update(shr)
                 elif kind == "aperture":
                     s = ApertureSlice(
-                        ctx, parts, scalars, p, spec0.inclusive, aux=aux
+                        cx, pr, scalars, p, spec0.inclusive, aux=aux
                     )
-                    s.__dict__.update(shared)
+                    s.__dict__.update(shr)
                 else:
                     s = ProjectedApertureSlice(
-                        ctx, parts, scalars, p, spec0.axis, aux=aux
+                        cx, pr, scalars, p, spec0.axis, aux=aux
                     )
+                    if truncated:
+                        s.__dict__["bound_mask"] = shr["bound_mask"]
                 return compute_properties(s, keys)
 
             stacked = jax.vmap(one)(pvec)
+            if truncated and trunc_bad is not None:
+                stacked["__needs_bigger__"] = (
+                    stacked["__needs_bigger__"] | trunc_bad
+                )
             groups = tuple(spec.group for spec, _ in members)
             for i, (spec, _) in enumerate(members):
                 prior[spec.group] = _MemberView(stacked, i)
@@ -336,6 +439,7 @@ def _process_bucket_impl(
     fof_id: jnp.ndarray,  # (B,) i64
     aux=None,  # pytree of shared (non-batched) device constants
     dma_s: Optional[int] = None,  # static: DMA-gather sub-block rows
+    trunc: Optional[int] = None,  # static: sorted-prefix row truncation
 ):
     """One padded bucket: gather + all property calculations."""
     a = jnp.float32(ctx.a)
@@ -477,7 +581,7 @@ def _process_bucket_impl(
     )
 
     densities = tuple(spec.target_density(ctx) for spec in specs)
-    fn = _halo_fn(ctx, specs, densities, aux)
+    fn = _halo_fn(ctx, specs, densities, aux, trunc=trunc)
     out = jax.vmap(fn)(parts, scalars)
 
     # zero out and re-flag halos whose candidate buffer overflowed
@@ -552,6 +656,7 @@ def _process_bucket_packed_multi_impl(
     fof_id,
     aux=None,
     dma_s=None,
+    trunc=None,
 ):
     """The bucket program vmapped over the chunk axis, with packed
     output pools.
@@ -580,13 +685,16 @@ def _process_bucket_packed_multi_impl(
             fof_id[0],
             aux,
             dma_s=dma_s,
+            trunc=trunc,
         )
         # pack WITHOUT the chunk axis, add it once on the <=4 pools
         # (lifting every key costs ~1k broadcast ops in the graph)
         pools = _pack_pools(out, token, lead=1)
         pools = {name: p[None] for name, p in pools.items()}
         return pools, overflow[None]
-    out, overflow = jax.vmap(f, in_axes=(0,) * 8 + (None,))(
+    out, overflow = jax.vmap(
+        partial(f, dma_s=None, trunc=trunc), in_axes=(0,) * 8 + (None,)
+    )(
         stacked,
         centre_hi,
         centre_lo,
@@ -668,7 +776,9 @@ def _pack_pools(out, token, lead):
 
 _process_bucket_packed_multi = partial(
     jax.jit,
-    static_argnames=("ctx", "specs", "token", "cubes", "boxsize", "dma_s"),
+    static_argnames=(
+        "ctx", "specs", "token", "cubes", "boxsize", "dma_s", "trunc",
+    ),
 )(_process_bucket_packed_multi_impl)
 
 
@@ -748,6 +858,8 @@ class EngineStats:
 
     n_bucket_calls: int = 0
     n_retries: int = 0
+    #: retry attribution: {spec group: halos flagged needs_bigger}
+    retry_groups: Dict[str, int] = field(default_factory=dict)
     n_overflow: int = 0
     n_copied_specs: int = 0  # aperture-copy optimization hits
     halos_done: int = 0
@@ -776,8 +888,9 @@ class EngineStats:
             for i, s in zip(idx.tolist(), sec.tolist()):
                 d[i] = d.get(i, 0.0) + s
         return out
-    # per-bucket records: (n_halos, padded_B, capacity_K, cube, seconds)
-    bucket_records: List[Tuple[int, int, int, int, float]] = field(
+    # per-bucket records:
+    # (n_halos, padded_B, capacity_K, cube, seconds, trunc_K or 0)
+    bucket_records: List[Tuple[int, int, int, int, float, int]] = field(
         default_factory=list
     )
     # per-halo timing chunks (record_halo_timings): tuples of
@@ -821,15 +934,20 @@ class EngineStats:
     def timing_report(self) -> str:
         lines = [
             f"bucket calls: {self.n_bucket_calls}, halos: {self.halos_done}, "
-            f"retries: {self.n_retries}, overflow: {self.n_overflow}",
+            f"retries: {self.n_retries}, overflow: {self.n_overflow}"
+            + (
+                f", retry groups: {self.retry_groups}"
+                if self.retry_groups
+                else ""
+            ),
             f"device compute: {self.compute_seconds:.2f}s, "
             f"lane efficiency: {self.padding_efficiency:.1%}, "
             f"compile: {self.compile_seconds:.1f}s",
         ]
-        for n, B, K, cube, dt in self.bucket_records:
+        for n, B, K, cube, dt, trunc in self.bucket_records:
             lines.append(
                 f"  bucket n={n:5d} B={B:5d} K={K:7d} cube={cube:3d} "
-                f"{dt:7.3f}s ({n/max(dt,1e-9):9.1f} halos/s)"
+                f"Kb={trunc:7d} {dt:7.3f}s ({n/max(dt,1e-9):9.1f} halos/s)"
             )
         return "\n".join(lines)
 
@@ -1081,7 +1199,7 @@ class HaloEngine:
 
         return jax.tree_util.tree_map(leaf, tree)
 
-    def _aot_lower(self, ctx, bucket_specs, token, cubes, B, dma_s):
+    def _aot_lower(self, ctx, bucket_specs, token, cubes, B, dma_s, trunc):
         """Lower one bucket program.
 
         MUST be called from one thread at a time: concurrent lowering
@@ -1130,7 +1248,9 @@ class HaloEngine:
             )
             hs = _P("chunks", "halos")
             smapped = jax.shard_map(
-                lambda stacked, *args: body(*(stacked,) + args, dma_s=dma_s),
+                lambda stacked, *args: body(
+                    *(stacked,) + args, dma_s=dma_s, trunc=trunc
+                ),
                 mesh=self.mesh,
                 in_specs=((_P("chunks"),) + (hs,) * 7 + (_P(),)),
                 out_specs=(hs, hs),
@@ -1154,11 +1274,13 @@ class HaloEngine:
                 *halo_avs,
                 aux_av,
                 dma_s,
+                trunc,
             )
         return lowered
 
     def _aot_compile(
-        self, sig, ctx, bucket_specs, token, cubes, B, dma_s, lowered=None
+        self, sig, ctx, bucket_specs, token, cubes, B, dma_s, trunc,
+        lowered=None,
     ):
         """Lower (unless pre-lowered) + compile one bucket program.
 
@@ -1171,7 +1293,7 @@ class HaloEngine:
         t_lower = time.perf_counter()
         if lowered is None:
             lowered = self._aot_lower(
-                ctx, bucket_specs, token, cubes, B, dma_s
+                ctx, bucket_specs, token, cubes, B, dma_s, trunc
             )
         t0 = time.perf_counter()
         dt_lower = t0 - t_lower
@@ -1221,7 +1343,7 @@ class HaloEngine:
             t0 = time.perf_counter()
             self._aot_compile(
                 pl["sig"], pl["ctx"], pl["specs"], pl["token"], pl["cubes"],
-                pl["B"], pl["dma_s"]
+                pl["B"], pl["dma_s"], pl["trunc"]
             )
             self.stats.compile_seconds += time.perf_counter() - t0
             return
@@ -1259,6 +1381,7 @@ class HaloEngine:
                     pl["cubes"],
                     pl["B"],
                     pl["dma_s"],
+                    pl["trunc"],
                 )
                 futs.append(
                     ex.submit(
@@ -1270,6 +1393,7 @@ class HaloEngine:
                         pl["cubes"],
                         pl["B"],
                         pl["dma_s"],
+                        pl["trunc"],
                         lowered=lowered,
                     )
                 )
@@ -1538,6 +1662,45 @@ class HaloEngine:
 
         from soap_tpu.parallel.sharded import _sharded_presize_count
 
+        # ---- sorted-prefix truncation radius (see _halo_fn) ----
+        # Bound/aperture/projected specs only ever touch rows within
+        # max(EncloseRadius, largest fixed aperture radius); SAT counts
+        # at that radius bound the sorted prefix they need.  Single
+        # particle type only (multi-type truncated views would need
+        # per-type re-partitions); extra staged fields would need a
+        # prefix gather the slices don't implement yet.
+        ap_max_t = max(
+            (
+                float(s.aperture_radius_mpc)
+                for s in specs
+                if _spec_truncatable(s) and s.aperture_radius_mpc
+            ),
+            default=0.0,
+        )
+        base_fields = {
+            "Masses", "Velocities", "GroupNr_bound", "FOFGroupIDs",
+        }
+        trunc_enabled = (
+            _os.environ.get("SOAP_TPU_TRUNCATE", "1") == "1"
+            and len(ctx0.ptypes) == 1
+            and all(e is not None for e in enclose_radius_phys)
+            and any(_spec_truncatable(s) for s in specs)
+            and all(
+                set(pt.field_names) <= base_fields
+                for pt in self.stacked.ptypes.values()
+            )
+        )
+        rb_phys = (
+            [
+                np.maximum(np.asarray(e, np.float64), ap_max_t)
+                * 1.001
+                + 1e-4
+                for e in enclose_radius_phys
+            ]
+            if trunc_enabled
+            else None
+        )
+
         # SOAP_TPU_TIMING=1: per-phase wall-clock lines (the analogue of
         # the reference's dead-time fractions, ``task_queue.py:196-205``)
         _timing = _os.environ.get("SOAP_TPU_TIMING", "0") == "1"
@@ -1552,10 +1715,15 @@ class HaloEngine:
 
         first_round = True
         while any(len(p) for p in pending):
+            # truncation only in the first round: retried halos carry a
+            # grown radius (and possibly a lying EncloseRadius) — the
+            # rare retry re-runs on the full row set
+            do_trunc = trunc_enabled and first_round
             Hp = max(max(len(p) for p in pending), 1)
             Hp = -(-Hp // self._halos_quant) * self._halos_quant
             c_pad = np.zeros((C, Hp, 3), np.float32)
             r_pad = np.full((C, Hp), 1e-3, np.float32)
+            rb_pad = np.full((C, Hp), 1e-3, np.float32)
             e_pad = np.zeros((C, Hp), bool)
             for c in range(C):
                 p = pending[c]
@@ -1563,10 +1731,14 @@ class HaloEngine:
                     continue
                 c_pad[c, : len(p)] = chi_clo[c][0][p]
                 r_pad[c, : len(p)] = (radius_phys[c][p] / a).astype(np.float32)
+                if do_trunc:
+                    rb_pad[c, : len(p)] = (rb_phys[c][p] / a).astype(
+                        np.float32
+                    )
                 e_pad[c, : len(p)] = (
                     is_central[c][p] if so_centrals_only else True
                 )
-            radius_dev, counts_dev = _sharded_presize_count(
+            radius_dev, counts_dev, counts_b_dev = _sharded_presize_count(
                 self.stacked,
                 self._put_halos(c_pad),
                 self._put_halos(r_pad),
@@ -1574,10 +1746,12 @@ class HaloEngine:
                 jnp.float32(target_com),
                 ctx0.ptypes,
                 bool(so_targets) and first_round,
+                radius_trunc=self._put_halos(rb_pad),
+                do_trunc=do_trunc,
             )
             first_round = False
             _phase("presize dispatch")
-            for v in (radius_dev, *counts_dev):
+            for v in (radius_dev, *counts_dev, *counts_b_dev):
                 if hasattr(v, "copy_to_host_async"):
                     v.copy_to_host_async()
             radius_com_all = np.asarray(radius_dev)  # (C, Hp)
@@ -1587,6 +1761,10 @@ class HaloEngine:
             totals = np.zeros((C, Hp), np.int64)
             for cnt in per_type_counts.values():
                 totals += cnt
+            totals_b = np.zeros((C, Hp), np.int64)
+            if do_trunc:
+                for cd in counts_b_dev:
+                    totals_b += np.asarray(cd)
 
             orders, rcom = [], []
             for c in range(C):
@@ -1621,6 +1799,15 @@ class HaloEngine:
                         typemax[pt][:k] = np.maximum(
                             typemax[pt][:k],
                             per_type_counts[pt][c, :k][orders[c]],
+                        )
+            # per sorted position: max truncation-row count over chunks
+            truncmax = np.zeros(n_pos, np.int64)
+            if do_trunc:
+                for c in range(C):
+                    k = len(pending[c])
+                    if k:
+                        truncmax[:k] = np.maximum(
+                            truncmax[:k], totals_b[c, :k][orders[c]]
                         )
 
             def _caps_sum(maxes):
@@ -1735,9 +1922,7 @@ class HaloEngine:
                                 * (
                                     S
                                     + row_alignment(
-                                        self.stacked.ptypes[
-                                            pt
-                                        ].packed_f.shape[-1]
+                                        self.stacked.ptypes[pt].row_width
                                     )
                                 ),
                                 S,
@@ -1783,8 +1968,19 @@ class HaloEngine:
                     bucket_specs = list(specs)
                 self.stats.n_copied_specs += len(copied)
                 bucket_specs = tuple(bucket_specs)
-                token = (bucket_specs, B, C)
-                sig = (ctx, bucket_specs, cubes, B, tile_dma_s)
+                # sorted-prefix truncation cap for this tile (None when
+                # it would not shrink the row set meaningfully); the
+                # prefix of the (cap-wide) sorted rows provably covers
+                # every row inside the truncation radius, so it needs no
+                # DMA-slack term
+                trunc_tile = None
+                if do_trunc:
+                    kb = int(truncmax[pos - n_sel : pos].max(initial=0))
+                    kb = _quantize_cap(kb + 8, 1, 256)
+                    if kb < 0.85 * sum(caps):
+                        trunc_tile = min(kb, sum(caps))
+                token = (bucket_specs, B, C, trunc_tile)
+                sig = (ctx, bucket_specs, cubes, B, tile_dma_s, trunc_tile)
                 plans.append(
                     dict(
                         sels=sels,
@@ -1796,6 +1992,7 @@ class HaloEngine:
                         token=token,
                         sig=sig,
                         dma_s=tile_dma_s,
+                        trunc=trunc_tile,
                         rcom_tile=[rcom[c][sels[c]] for c in range(C)],
                     )
                 )
@@ -1903,6 +2100,7 @@ class HaloEngine:
                         pl["cubes"],
                         B,
                         pl["dma_s"],
+                        pl["trunc"],
                     )
                     out, overflow = compiled(*halo_args)
                     token = pl["token"]
@@ -1915,6 +2113,7 @@ class HaloEngine:
                         caps=pl["caps"],
                         cubes=pl["cubes"],
                         specs=pl["specs"],
+                        trunc=pl.get("trunc"),
                         out=out,
                         token=token,
                         overflow=overflow,
@@ -1967,6 +2166,7 @@ class HaloEngine:
                         sum(fl["caps"]),
                         max(fl["cubes"]),
                         dt_bucket,
+                        fl.get("trunc") or 0,
                     )
                 )
                 for c in range(C):
@@ -2028,6 +2228,12 @@ class HaloEngine:
                         nb_flags = res["__needs_bigger__"]
                         if spec.centrals_only:
                             nb_flags = nb_flags & is_central[c][g]
+                        nflag = int(np.sum(nb_flags))
+                        if nflag:
+                            self.stats.retry_groups[spec.group] = (
+                                self.stats.retry_groups.get(spec.group, 0)
+                                + nflag
+                            )
                         needs |= nb_flags
                         buf = results[c].setdefault(spec.group, {})
                         for key in spec.keys:

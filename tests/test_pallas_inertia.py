@@ -211,3 +211,63 @@ def test_structural_k_cap_boundary_uses_pallas(monkeypatch):
             )
     finally:
         os.environ["SOAP_TPU_PALLAS_INERTIA"] = "0"
+
+
+def test_family_lane_vmap_folds_into_config_lanes():
+    """The engine evaluates spec families under a lane vmap with SHARED
+    positions/weights and per-lane masks+radii; the kernel's custom
+    vmap rule folds the lanes into config lanes of ONE instance.  Both
+    the folded path and the per-lane XLA loop must agree — including
+    nested (halo, lane) vmaps, which is the engine's exact structure."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    B, L, C, K = 3, 4, 5, 600
+    pos_h = rng.normal(size=(B, K, 3)).astype(np.float32)
+    w_h = rng.lognormal(0.0, 0.3, (B, K)).astype(np.float32)
+    # radius-sorted rows (the engine's layout), dense-prefix masks
+    for b in range(B):
+        order = np.argsort(np.linalg.norm(pos_h[b], axis=1))
+        pos_h[b] = pos_h[b][order]
+    r_h = np.linalg.norm(pos_h, axis=2)
+    R_lane = np.quantile(r_h, [0.3, 0.5, 0.7, 0.9], axis=1).T.astype(
+        np.float32
+    )  # (B, L)
+    masks = np.zeros((B, L, C, K), bool)
+    for b in range(B):
+        for l in range(L):
+            base = r_h[b] < R_lane[b, l] * 1.4
+            for c in range(C):
+                masks[b, l, c] = base & (rng.random(K) < 0.9)
+    red = np.array([False, True, False, True, False])
+    it = np.array([True, True, False, False, True])
+    Rcfg = np.stack(
+        [np.stack([R_lane[b]] * C, axis=1) for b in range(B)]
+    )  # (B, L, C)
+
+    def one(pos, w, m, R):
+        res = I.inertia_tensor_multi(
+            jnp.asarray(w), jnp.asarray(pos), m, R,
+            np.asarray(red), np.asarray(it),
+            rows_radius_sorted=True,
+        )
+        return res.tensor
+
+    lanes = jax.vmap(one, in_axes=(None, None, 0, 0))
+
+    os.environ["SOAP_TPU_PALLAS_INERTIA"] = "0"
+    ref = jax.vmap(lanes, in_axes=(0, 0, 0, 0))(
+        jnp.asarray(pos_h), jnp.asarray(w_h),
+        jnp.asarray(masks), jnp.asarray(Rcfg),
+    )
+    os.environ["SOAP_TPU_PALLAS_INERTIA"] = "interpret"
+    try:
+        ker = jax.vmap(lanes, in_axes=(0, 0, 0, 0))(
+            jnp.asarray(pos_h), jnp.asarray(w_h),
+            jnp.asarray(masks), jnp.asarray(Rcfg),
+        )
+    finally:
+        os.environ["SOAP_TPU_PALLAS_INERTIA"] = "0"
+    np.testing.assert_allclose(
+        np.asarray(ker), np.asarray(ref), rtol=2e-4, atol=2e-6
+    )

@@ -34,6 +34,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def peak_rss_mb():
+    # VmHWM, not ru_maxrss: the latter survives execve on Linux, so a
+    # subprocess forked from a fat parent (the test runner) inherits the
+    # parent's peak and every phase reads the same polluted number
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
