@@ -1,6 +1,6 @@
 """Benchmark: halos/sec through the full property engine on one chip.
 
-Three configurations (BASELINE.json configs 1/3-4/5):
+Configurations (BASELINE.json configs 1/3-4/5):
 
  1. **DMO** (headline metric): a synthetic DMO volume (NFW halos +
     uniform background), processed in-memory with the FULL production
@@ -9,14 +9,20 @@ Three configurations (BASELINE.json configs 1/3-4/5):
     apertures + 4 projected apertures x 3 axes = 38 calculations,
     exactly the reference's default ``halo_prop_list``
     (``compute_halo_properties.py:224-511``), DMO-filtered keys.
- 2. **Hydro**: the same spec set with the hydro property tail
-    (gas/star/BH species, temperatures, chemistry, X-ray, ...) through
-    the PRODUCTION pipeline (snapshot read -> staging -> engine) on a
-    mock hydro universe — the gas-field gather cost at bench scale.
+ 2. **Mesh tax**: the identical DMO workload re-run under the
+    production ``(1, 1)`` device mesh (the ``ShardedHaloEngine`` path
+    that ``process_chunks`` builds by default) — quantifies the
+    production-shape mesh overhead on the real chip.
  3. **Giant halo**: a DMO config whose largest halo exceeds 1e6
     particles — the ``separate_chunks``-scale regime
     (``domain_decomposition.py:29-62``); exercises the large-K bucket
     ladder and is reported as a per-bucket record.
+ 4. **Hydro**: the SAME halo population as the DMO headline (2048
+    halos, log-uniform 32..30000 particles — the production mass
+    function) with the hydro particle mix and the full hydro property
+    tail, through the PRODUCTION pipeline (snapshot read -> staging ->
+    engine).  This is the like-for-like number against the reference's
+    FLAMINGO L1000N0900 envelope, which is a full-hydro run.
 
 Baseline: the reference publishes no benchmark numbers (BASELINE.md);
 the only quantitative envelope is FLAMINGO L1000N0900 — ~2.5e6 halos,
@@ -25,22 +31,22 @@ full property set, <= 4 h on one 128-core COSMA8 node
 >= ~174 halos/s/node.  ``vs_baseline`` is measured halos/s per chip
 divided by that envelope number.
 
-Robustness contract (the driver kills long runs): exactly ONE JSON
-line is printed to stdout, immediately after the DMO timed pass —
-before the secondary giant/hydro configs, whose numbers go to stderr.
-A watchdog thread enforces a wall-clock budget
-(``SOAP_TPU_BENCH_BUDGET`` seconds, default 1200): if the headline has
-not been printed by the deadline it emits a partial JSON line with the
-current phase (so a stuck device / cold-compile stall is diagnosable)
-and exits 0; if the headline is out, it simply exits 0 so secondary
-configs can never turn a good run into a timeout.  A heartbeat line
-with the current phase is printed to stderr every 20 s.  The headline
-JSON reports BOTH metric scopes: ``engine_halos_per_sec`` (the
-headline ``value``; compute only, chunk store resident — production
-overlaps the one-time upload with the previous chunk's compute) and
-``pipeline_halos_per_sec`` (store upload + engine).
+Output contract (the driver parses the END of the merged
+stdout+stderr stream): the headline JSON line is printed TWICE — once
+the moment the DMO number exists (so a later crash can never lose it)
+and once, enriched with every secondary-config field gathered since,
+as the GUARANTEED LAST LINE of the merged stream.  Every exit path
+(normal completion, watchdog stop-early, budget exceeded) funnels
+through ``finalize()``, which flushes stderr, prints the final
+headline on stdout, flushes, and ``os._exit(0)``s — nothing can print
+after it.  Secondary phases are launched only if the remaining budget
+covers their expected cost (``SOAP_TPU_BENCH_*_COST`` seconds), so a
+slow phase can no longer run the whole bench into the driver timeout.
 
-``SOAP_TPU_BENCH=dmo|giant|hydro`` restricts the configs.
+``SOAP_TPU_BENCH=dmo|giant|hydro`` restricts the configs;
+``SOAP_TPU_BENCH_BUDGET`` sets the wall-clock budget (default 1200 s);
+``SOAP_TPU_BENCH_HALOS`` / ``_FIELD`` scale the DMO config (for the
+subprocess contract test in ``tests/test_bench_contract.py``).
 """
 
 import faulthandler
@@ -70,14 +76,21 @@ _T0 = time.time()
 _STATE = {
     "phase": "startup",
     "headline_printed": False,
+    "headline_fields": None,  # dict once the DMO number exists
+    "extra": {},  # secondary-config fields merged into the final line
+    "finalized": False,
     "compile_seconds": None,
     "engine_hps": None,
 }
 _EMIT_LOCK = threading.Lock()
+_DEADLINE = [None]  # set in main()
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    with _EMIT_LOCK:
+        if _STATE["finalized"]:
+            return
+        print(*a, file=sys.stderr, flush=True)
 
 
 def set_phase(name):
@@ -86,52 +99,97 @@ def set_phase(name):
 
 
 def emit_headline(fields):
-    """Print the single stdout JSON line (at most once)."""
+    """Record the headline fields; print them early (at most once)."""
     with _EMIT_LOCK:
+        _STATE["headline_fields"] = dict(fields)
         if _STATE["headline_printed"]:
             return
         _STATE["headline_printed"] = True
         print(json.dumps(fields), flush=True)
 
 
+def merge_fields(**kw):
+    """Add secondary-config fields to the FINAL headline emission."""
+    with _EMIT_LOCK:
+        _STATE["extra"].update(kw)
+
+
+def _final_fields():
+    fields = _STATE["headline_fields"]
+    if fields is None:
+        hps = _STATE["engine_hps"]
+        fields = {
+            "metric": "halos_per_sec_per_chip",
+            "value": round(hps, 2) if hps else 0.0,
+            "unit": "halos/s",
+            "vs_baseline": (
+                round(hps / BASELINE_HALOS_PER_SEC, 3) if hps else 0.0
+            ),
+            "partial": True,
+            "phase_at_budget": _STATE["phase"],
+            "compile_seconds": _STATE["compile_seconds"],
+        }
+    fields = dict(fields)
+    fields.update(_STATE["extra"])
+    fields["elapsed_s"] = round(time.time() - _T0, 1)
+    return fields
+
+
+def finalize(reason):
+    """Print the headline JSON as the LAST line of the merged output
+    stream and exit 0.  Every exit path funnels through here."""
+    with _EMIT_LOCK:
+        if _STATE["finalized"]:
+            return
+        _STATE["finalized"] = True
+        fields = _final_fields()
+        print(
+            f"[{time.time()-_T0:6.1f}s] finalize: {reason}",
+            file=sys.stderr,
+            flush=True,
+        )
+        sys.stderr.flush()
+        print(json.dumps(fields), flush=True)
+        sys.stdout.flush()
+    os._exit(0)
+
+
+def remaining_budget():
+    return _DEADLINE[0] - time.time()
+
+
+def phase_gate(name, expected_seconds):
+    """True if the remaining budget covers a phase's expected cost."""
+    rem = remaining_budget()
+    if rem < expected_seconds:
+        log(
+            f"[{time.time()-_T0:6.1f}s] SKIPPING {name}: {rem:.0f}s of "
+            f"budget left < expected {expected_seconds:.0f}s"
+        )
+        merge_fields(
+            **{f"skipped_{name}": f"budget {rem:.0f}s < {expected_seconds:.0f}s"}
+        )
+        return False
+    return True
+
+
 def _watchdog(budget):
     deadline = _T0 + budget
     while True:
         now = time.time()
-        if now >= deadline:
-            break
-        time.sleep(min(20.0, deadline - now))
-        log(
-            f"[{time.time()-_T0:6.1f}s] heartbeat: phase={_STATE['phase']}"
-        )
-        if _STATE["headline_printed"] and now >= _T0 + budget - 60:
+        remaining = deadline - now
+        if remaining <= 0:
+            finalize(f"budget exceeded in phase {_STATE['phase']!r}")
+        if _STATE["headline_printed"] and remaining <= 60:
             # headline is out and we are near the deadline: stop early
             # rather than let a secondary config run into the driver's
             # timeout (rc must stay 0)
-            break
-    if not _STATE["headline_printed"]:
-        hps = _STATE["engine_hps"]
-        emit_headline(
-            {
-                "metric": "halos_per_sec_per_chip",
-                "value": round(hps, 2) if hps else float("nan"),
-                "unit": "halos/s",
-                "vs_baseline": (
-                    round(hps / BASELINE_HALOS_PER_SEC, 3) if hps else 0.0
-                ),
-                "partial": True,
-                "phase_at_budget": _STATE["phase"],
-                "elapsed_s": round(time.time() - _T0, 1),
-                "compile_seconds": _STATE["compile_seconds"],
-            }
-        )
+            finalize("headline out and <60s of budget left; stopping early")
+        time.sleep(min(20.0, max(remaining, 0.5)))
         log(
-            f"[{time.time()-_T0:6.1f}s] BUDGET EXCEEDED in phase "
-            f"{_STATE['phase']!r}; partial headline emitted, exiting 0"
+            f"[{time.time()-_T0:6.1f}s] heartbeat: phase={_STATE['phase']} "
+            f"budget_remaining={deadline-time.time():.0f}s"
         )
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(0)
 
 
 def _dmo_engine_setup(n_halos, mass_range, n_field, boxsize, seed):
@@ -202,17 +260,20 @@ def _dmo_engine_setup(n_halos, mass_range, n_field, boxsize, seed):
 def bench_dmo():
     """Headline config: 2048-halo DMO volume, in-memory engine.
 
-    Returns the headline-JSON field dict (the caller prints it)."""
+    Returns the headline-JSON field dict plus the setup tuple (so the
+    mesh-tax config can re-run the identical workload)."""
     from soap_tpu.pipeline.engine import HaloEngine
 
     set_phase("dmo: build mock universe")
+    n_halos = int(os.environ.get("SOAP_TPU_BENCH_HALOS", "2048"))
+    n_field = int(os.environ.get("SOAP_TPU_BENCH_FIELD", "400000"))
     uni, chunk, ctx, specs, args = _dmo_engine_setup(
-        n_halos=2048,
+        n_halos=n_halos,
         # log-uniform halo masses from ~32 to ~30000 particles: matches
         # the production situation where the small-halo majority
         # dominates the count
         mass_range=(3.2, 3000.0),
-        n_field=400_000,
+        n_field=n_field,
         boxsize=170.0,
         seed=20260816,
     )
@@ -259,7 +320,8 @@ def bench_dmo():
         f" -> {engine_hps:.1f} halos/s; pipeline (upload+engine) "
         f"{dt_pipeline:.3f}s -> {pipeline_hps:.1f} halos/s")
     log(engine.stats.timing_report())
-    return {
+    engine.free()
+    fields = {
         "metric": "halos_per_sec_per_chip",
         "value": round(engine_hps, 2),
         "unit": "halos/s",
@@ -271,6 +333,43 @@ def bench_dmo():
         "compile_seconds_cold": _STATE["compile_seconds"],
         "spec_calculations": len(specs),
     }
+    return fields, (uni, chunk, ctx, specs, args, engine_hps)
+
+
+def bench_mesh_tax(setup):
+    """Mesh tax at production shape: the identical DMO workload under
+    the (1, 1) device mesh (the ``process_chunks`` production default)
+    vs the mesh-free number just measured (VERDICT r4 ask #5)."""
+    from soap_tpu.parallel.sharded import ShardedHaloEngine, make_mesh
+
+    uni, chunk, ctx, specs, args, meshfree_hps = setup
+    import jax
+
+    set_phase("mesh-tax: warmup/compile pass")
+    mesh = make_mesh(1, n_chunks=1)
+    engine = ShardedHaloEngine(ctx, [chunk], specs, mesh)
+    engine.process(**args)
+    log(f"[{time.time()-_T0:6.1f}s] mesh warmup done "
+        f"(compile {engine.stats.compile_seconds:.0f}s)")
+    engine.free()
+    set_phase("mesh-tax: timed pass")
+    engine = ShardedHaloEngine(ctx, [chunk], specs, mesh)
+    jax.block_until_ready(
+        [p.packed_lines for p in engine.stacked.ptypes.values()]
+    )
+    t1 = time.time()
+    engine.process(**args)
+    dt = time.time() - t1
+    mesh_hps = uni.n_halos / dt
+    overhead = meshfree_hps / mesh_hps - 1.0
+    log(f"[{time.time()-_T0:6.1f}s] (1,1)-mesh timed pass: {dt:.3f}s -> "
+        f"{mesh_hps:.1f} halos/s (mesh-free {meshfree_hps:.1f}; "
+        f"overhead {overhead*100:+.1f}%)")
+    engine.free()
+    merge_fields(
+        mesh11_halos_per_sec=round(mesh_hps, 2),
+        mesh11_overhead_pct=round(overhead * 100, 1),
+    )
 
 
 def bench_giant():
@@ -308,27 +407,36 @@ def bench_giant():
         f"(max {n_big} particles) in {dt:.3f}s "
         f"({uni.n_halos/dt:.2f} halos/s)")
     log(engine.stats.timing_report())
+    engine.free()
+    merge_fields(
+        giant_halos_per_sec=round(uni.n_halos / dt, 2),
+        giant_max_particles=int(n_big),
+    )
     return n_big, dt
 
 
 def bench_hydro():
-    """Hydro config through the PRODUCTION pipeline (read+stage+engine),
-    full default spec set with the hydro tail (configs 3-4)."""
+    """Hydro config at the PRODUCTION mass function through the
+    PRODUCTION pipeline (read+stage+engine): same halo population as
+    the DMO headline (log-uniform 32..30000 particles) with the hydro
+    particle mix and the full hydro property tail — the like-for-like
+    number against the reference's full-hydro envelope (VERDICT r4
+    ask #3)."""
     from soap_tpu.pipeline.membership import run_group_membership
     from soap_tpu.pipeline.run import compute_halo_properties
     from soap_tpu.utils import mock_data
 
     set_phase("hydro: build mock simulation")
     workdir = tempfile.mkdtemp(prefix="soap_bench_hydro_")
-    n_halos = 256
+    n_halos = int(os.environ.get("SOAP_TPU_BENCH_HYDRO_HALOS", "2048"))
     sim = mock_data.make_mock_simulation(
         workdir,
         n_halos=n_halos,
-        n_field=150_000,
-        boxsize=100.0,
+        n_field=400_000,
+        boxsize=170.0,
         seed=20260817,
         hydro=True,
-        mass_range=(10.0, 3000.0),
+        mass_range=(3.2, 3000.0),
     )
     membership = os.path.join(workdir, "membership.hdf5")
     run_group_membership(sim["snapshot"], sim["hbt_basename"], membership)
@@ -346,8 +454,10 @@ def bench_hydro():
         verbose=True,
     )
     set_phase("hydro: warmup/compile pass")
+    t0 = time.time()
     compute_halo_properties(**common)  # warmup (compile + cache)
-    log(f"[{time.time()-_T0:6.1f}s] hydro warmup done")
+    log(f"[{time.time()-_T0:6.1f}s] hydro warmup done "
+        f"({time.time()-t0:.0f}s)")
     set_phase("hydro: timed pass")
     t1 = time.time()
     run = compute_halo_properties(**common)
@@ -357,32 +467,60 @@ def bench_hydro():
     # remote-tunnel staging transfer, which production overlaps with
     # the previous chunk's compute and which local PCIe makes ~free)
     dt_engine = run.stats.process_seconds or dt
+    hydro_engine_hps = n_halos / dt_engine
     log(f"[{time.time()-_T0:6.1f}s] hydro timed pass: pipeline "
         f"(read+stage+engine) {dt:.3f}s -> {n_halos/dt:.1f} halos/s; "
-        f"engine {dt_engine:.3f}s -> {n_halos/dt_engine:.1f} halos/s "
+        f"engine {dt_engine:.3f}s -> {hydro_engine_hps:.1f} halos/s "
         f"({len(run.results)} output groups)")
     log(run.stats.timing_report())
-    return n_halos / dt_engine
+    merge_fields(
+        hydro_engine_halos_per_sec=round(hydro_engine_hps, 2),
+        hydro_pipeline_halos_per_sec=round(n_halos / dt, 2),
+        hydro_n_halos=n_halos,
+        hydro_vs_baseline=round(hydro_engine_hps / BASELINE_HALOS_PER_SEC, 3),
+    )
+    return hydro_engine_hps
 
 
 def main():
     which = os.environ.get("SOAP_TPU_BENCH", "all")
     budget = float(os.environ.get("SOAP_TPU_BENCH_BUDGET", "1200"))
+    _DEADLINE[0] = _T0 + budget
+    mesh_cost = float(os.environ.get("SOAP_TPU_BENCH_MESH_COST", "150"))
+    giant_cost = float(os.environ.get("SOAP_TPU_BENCH_GIANT_COST", "280"))
+    hydro_cost = float(os.environ.get("SOAP_TPU_BENCH_HYDRO_COST", "450"))
     threading.Thread(
         target=_watchdog, args=(budget,), daemon=True
     ).start()
 
+    setup = None
     if which in ("all", "dmo"):
-        fields = bench_dmo()
+        fields, setup = bench_dmo()
         # the headline goes out the moment the DMO number exists —
         # secondary configs can no longer cost us the round
         emit_headline(fields)
-    if which in ("all", "giant"):
+    if (
+        which in ("all", "dmo")
+        and setup is not None
+        and os.environ.get("SOAP_TPU_BENCH_MESH", "1") == "1"
+        and phase_gate("mesh_tax", mesh_cost)
+    ):
+        try:
+            bench_mesh_tax(setup)
+        except Exception as e:  # secondary configs must not kill the headline
+            log(f"mesh-tax config failed: {type(e).__name__}: {e}")
+    if setup is not None:
+        del setup  # free the headline chunk store before secondary configs
+    if which in ("all", "giant") and (
+        which == "giant" or phase_gate("giant", giant_cost)
+    ):
         try:
             bench_giant()
-        except Exception as e:  # secondary configs must not kill the headline
+        except Exception as e:
             log(f"giant-halo config failed: {type(e).__name__}: {e}")
-    if which in ("all", "hydro"):
+    if which in ("all", "hydro") and (
+        which == "hydro" or phase_gate("hydro", hydro_cost)
+    ):
         try:
             hps = bench_hydro()
             if which == "hydro":
@@ -403,13 +541,13 @@ def main():
         emit_headline(
             {
                 "metric": "halos_per_sec_per_chip",
-                "value": float("nan"),
+                "value": _STATE["extra"].get("giant_halos_per_sec", 0.0),
                 "unit": "halos/s",
                 "vs_baseline": 0.0,
                 "config": "giant (per-bucket records on stderr)",
             }
         )
-    set_phase("done")
+    finalize("all configured phases complete")
 
 
 if __name__ == "__main__":

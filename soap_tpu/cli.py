@@ -401,6 +401,7 @@ def main(argv=None):
             snap, args.halo_basename or halo, args.output or mem_file,
             halo_format=args.halo_format,
             fof_filename=fof,
+            return_labels=False,  # memory-bounded: labels live in the files
         )
         return 0
 
