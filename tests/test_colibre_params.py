@@ -165,3 +165,36 @@ def test_inclusive_skip_gt_enclose_copy_chain():
     assert specs["InclusiveSphere/300kpc"].copy_from is None
     # exclusive spheres always chain
     assert specs["ExclusiveSphere/100kpc"].copy_from == "ExclusiveSphere/50kpc"
+
+
+def test_hydro_golden_catalogue_regression(colibre_catalogue):
+    """Frozen-value regression for the HYDRO tail (VERDICT r4 ask #8):
+    the COLIBRE_THERMAL e2e catalogue — gas/star/BH species, chemistry,
+    temperatures, X-ray, SFR, the full 38-calculation hydro property
+    set as driven by the production parameter file — must match the
+    committed golden catalogue to lossy-compression tolerance.
+
+    Regenerate after an INTENTIONAL numeric change with:
+        SOAP_TPU_REGEN_GOLDEN=1 python -m pytest \
+            tests/test_colibre_params.py::test_hydro_golden_catalogue_regression
+    """
+    import shutil
+
+    from soap_tpu.tools.compare import compare_catalogues
+
+    output, _params, _run, _sim = colibre_catalogue
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden", "e2e_colibre_seed61.hdf5"
+    )
+    if os.environ.get("SOAP_TPU_REGEN_GOLDEN") == "1":
+        shutil.copy(output, golden)
+        pytest.skip("hydro golden catalogue regenerated")
+    assert os.path.exists(golden), "hydro golden catalogue missing from repo"
+    # same tolerance policy as the DMO golden
+    # (tests/test_end_to_end.py::test_golden_catalogue_regression)
+    res = compare_catalogues(
+        golden, output, use_compression_tolerance=True,
+        rtol=1.0e-3, atol=1.0e-30, scale_atol=5.0e-3,
+    )
+    assert res.n_compared > 400, res.n_compared
+    assert res.identical, res.report()
