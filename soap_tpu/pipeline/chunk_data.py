@@ -456,8 +456,24 @@ def presize_so_radius(
     with mass summed-area tables instead of mesh queries.  The AABB mass
     overestimates the sphere mass, so the result radius is conservative
     (always large enough); invalid for halos processed without SO.
+
+    Vacuum-gap rule: the SO solver registers the threshold crossing only
+    at a PARTICLE whose enclosed density is below the target
+    (``ops/so_radius.py`` ``is_crossing``; reference
+    ``SO_properties.py:119-156`` likewise raises
+    ``SearchRadiusTooSmallError`` until a below-threshold particle is in
+    the region).  When the density drops below the target inside a
+    particle-free gap (isolated halos in a sparse field), a region
+    stopping at the density radius has no such particle and every SO
+    definition retries.  Detector: if the final growth step captured NO
+    new candidates (AABB count unchanged — local vacuum), keep growing
+    until the count increases.  In a continuous density field the count
+    grows every step, so the detector never fires and the radius is
+    EXACTLY the density radius — zero cost where presize already worked.
     """
-    factors = grow ** jnp.arange(n_steps, dtype=jnp.float32)  # (S,)
+    # grid extended one step below radius0 so the vacuum detector has a
+    # "previous step" count even when the initial radius already passes
+    factors = grow ** jnp.arange(-1, n_steps, dtype=jnp.float32)  # (S+1,)
 
     def density_ok(r):
         total = jnp.zeros(centre_hi.shape[0], jnp.float32)
@@ -468,13 +484,35 @@ def presize_so_radius(
         vol = _FOUR_PI_3 * r**3
         return total <= target_density_com * vol
 
+    def count_all(r):
+        total = jnp.zeros(centre_hi.shape[0], jnp.int32)
+        for pt in chunk.ptypes.values():
+            total = total + sat_aabb_sum(
+                pt.sat, pt.spec.dims, pt.spec.cell_size, centre_hi, r
+            )
+        return total
+
     # evaluate all growth steps in parallel (S is small); pick the first
     # radius whose enclosed density is below the threshold
-    radii = radius0[None, :] * factors[:, None]  # (S, H)
-    ok = jax.vmap(density_ok)(radii)  # (S, H)
+    radii = radius0[None, :] * factors[:, None]  # (S+1, H)
+    ok = jax.vmap(density_ok)(radii[1:])  # (S, H)
+    cnt = jax.vmap(count_all)(radii)  # (S+1, H)
     any_ok = jnp.any(ok, axis=0)
-    first = jnp.argmax(ok, axis=0)
+    first = jnp.argmax(ok, axis=0)  # index into rows 1.. of ``radii``
     chosen = radius0 * grow ** first.astype(jnp.float32)
+    cnt_d = jnp.take_along_axis(cnt, (first + 1)[None, :], axis=0)[0]
+    cnt_prev = jnp.take_along_axis(cnt, first[None, :], axis=0)[0]
+    vacuum = cnt_d == cnt_prev
+    # first step at/after the density radius that captures a new particle
+    grew = ok & (cnt[1:] > cnt_d[None, :])
+    any_grew = jnp.any(grew, axis=0)
+    first_grew = jnp.argmax(grew, axis=0)
+    r_grew = jnp.where(
+        any_grew,
+        radius0 * grow ** first_grew.astype(jnp.float32),
+        radius0 * grow ** (n_steps - 1),
+    )
+    chosen = jnp.where(vacuum, jnp.maximum(chosen, r_grew), chosen)
     return jnp.where(any_ok, chosen, radius0 * grow ** (n_steps - 1))
 
 
