@@ -1357,10 +1357,12 @@ class HaloEngine:
         # platforms (axon tunnel) spend the ~100s per program on the
         # server, not this host — overlap more aggressively there
         # (measured: 11 programs x ~110s at 2 workers = 430s warmup).
-        remote_compile = jax.devices()[0].platform == "axon"
+        # (the tunnel plugin has reported platform "axon" and now plain
+        # "tpu" — match both; only pure-CPU hosts compile locally)
+        remote_compile = jax.devices()[0].platform != "cpu"
         default_workers = max(2, 2 * (_os.cpu_count() or 1))
         if remote_compile:
-            default_workers = max(6, default_workers)
+            default_workers = max(8, default_workers)
         workers = int(
             _os.environ.get("SOAP_TPU_COMPILE_WORKERS", default_workers)
         )
