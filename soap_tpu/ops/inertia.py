@@ -323,15 +323,29 @@ def inertia_tensor_multi(
     # at compile, so they keep the XLA loop.  Env escape hatch for
     # experiments.
     max_k = int(_os.environ.get("SOAP_TPU_PALLAS_INERTIA_MAXK", 262144))
-    # structural ceiling, independent of VMEM: the kernel's bound rows
-    # (static prefix + block-min radii) hold at most 2*128 = 256 block
-    # lanes, so a bucket beyond 256 heavy-pass blocks would silently
-    # truncate (the -inf fallback rows still yield a 256-block dynamic
-    # bound).  Applies in interpret mode too — only the VMEM cap may be
-    # bypassed there.
     from soap_tpu.ops import pallas_inertia as _pk
 
-    hard_max_k = 256 * 128 * _pk.RB
+    # Above the VMEM cap the kernel switches to STREAMING mode: the
+    # operand planes stay in HBM and the heavy pass double-buffers
+    # (rb, 128) blocks through VMEM DMA scratch (real TPU only — the
+    # interpret path has no DMA semantics).  The block-min bound rows
+    # hold 2*128 = 256 block lanes, so rb scales with K to keep the
+    # block count <= 256; rb <= 512 covers K <= 16.7M — the giant-halo
+    # separate-chunks regime that previously fell back to the slow XLA
+    # while loop (VERDICT r4 ask #2).
+    K_in = pos.shape[0]
+    vmem_fit = K_in <= max_k or pallas_mode == "interpret"
+    if vmem_fit:
+        pk_rb, pk_stream = _pk.RB, False
+    else:
+        _rb_min = -(-K_in // (256 * 128))  # rows/block for <= 256 blocks
+        pk_rb = max(64, -(-_rb_min // 8) * 8)  # sublane-aligned
+        pk_stream = (
+            pk_rb <= 512
+            and _os.environ.get("SOAP_TPU_PALLAS_INERTIA_STREAM", "1") == "1"
+            and jax.devices()[0].platform != "cpu"
+        )
+    hard_max_k = 256 * 128 * pk_rb
     if (
         pallas_mode is not None
         and not single_pass
@@ -339,13 +353,13 @@ def inertia_tensor_multi(
         and C <= _pk.MAX_C  # config lanes of one vector row
         and pos.dtype == jnp.float32
         and pos.shape[0] <= hard_max_k
-        and (pallas_mode == "interpret" or pos.shape[0] <= max_k)
+        and (vmem_fit or pk_stream)
     ):
         red_static = _static_bools(reduced)
         it_static = _static_bools(iterative)
         if red_static is not None and it_static is not None:
             K = pos.shape[0]
-            blk_elems = 128 * _pk.RB  # heavy-pass block granularity
+            blk_elems = 128 * pk_rb  # heavy-pass block granularity
             Kp = -(-K // blk_elems) * blk_elems
             pos3 = jnp.pad(pos, ((0, Kp - K), (0, 0))).T.reshape(
                 3, Kp // 128, 128
@@ -432,6 +446,8 @@ def inertia_tensor_multi(
                 it_static,
                 max_iterations,
                 interpret=(pallas_mode == "interpret"),
+                rb=pk_rb,
+                streaming=pk_stream,
             )
             # kernel rows [xx, xy, xz, yy, yz, zz] -> result order
             # [xx, yy, zz, xy, xz, yz]

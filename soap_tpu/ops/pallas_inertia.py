@@ -149,7 +149,12 @@ def _jacobi3_rows(a, v):
 def _inertia_kernel(
     C: int,  # static: number of live config lanes
     max_iterations: int,
-    pos_ref,  # (3, KR, 128) f32
+    rb: int,  # static: sublane rows per heavy-pass block
+    streaming: bool,  # static: operands in HBM, blocks DMA'd to VMEM
+    batched: bool,  # static: grid (B,) with a leading halo axis on the
+    # HBM operands (ANY-space operands cannot be grid-blocked, so the
+    # halo axis is indexed inside the DMA sources instead)
+    pos_ref,  # (3, KR, 128) f32 (VMEM, or HBM when streaming)
     w_ref,  # (1, KR, 128) f32: SHARED per-particle weights
     mw_ref,  # (W, KR, 128) i32: mask bits (config c = word c//32 bit c%32)
     radii_ref,  # (8, 128) f32: see _*_ROW indices
@@ -157,6 +162,10 @@ def _inertia_kernel(
     out_ref,  # (8, 128) f32, rows 0-5: final tensor flat per config lane
     st_ref,  # scratch (24, 128) f32: iteration state rows
     tn_ref,  # scratch (8, 128) f32: this iteration's normalized tensor
+    pbuf=None,  # streaming scratch (6, rb, 128) f32: 2 slots x 3 planes
+    wbuf=None,  # streaming scratch (2, rb, 128) f32
+    mbuf=None,  # streaming scratch (2, rb, 128) i32: this config's word
+    sems=None,  # streaming DMA semaphores (6,)
 ):
     one = jnp.float32(1.0)
     tiny = jnp.float32(1e-37)
@@ -262,22 +271,13 @@ def _inertia_kernel(
                     word = c // jnp.int32(32)
                     bit = c - word * jnp.int32(32)
 
-                    def blk(b, acc):
-                        r0 = b * RB
-                        xs = pos_ref[0, pl.ds(r0, RB)]
-                        ys = pos_ref[1, pl.ds(r0, RB)]
-                        zs = pos_ref[2, pl.ds(r0, RB)]
+                    def moments(xs, ys, zs, wb, acc):
                         rr = (
                             xs * (q00 * xs + q01 * ys + q02 * zs)
                             + ys * (q11 * ys + q12 * zs)
                             + q22 * zs * zs
                         )
-                        mwv = mw_ref[pl.ds(word, 1), pl.ds(r0, RB), :][0]
-                        sel = (
-                            jax.lax.shift_right_logical(mwv, bit) & 1
-                        ) == 1
-                        inside = (rr <= one) & sel
-                        wb = w_ref[0, pl.ds(r0, RB)]
+                        inside = rr <= one
                         wn = jnp.where(inside, wb, 0.0)
                         # reduced: w / max(r^2, 1e-8-ish) — matches the
                         # host ``1 / where(isclose(r2, 0), 1, r2)`` rule
@@ -298,10 +298,92 @@ def _inertia_kernel(
                             acc[6] + wn,
                         )
 
-                    zb = jnp.zeros((RB, 128), jnp.float32)
-                    acc = jax.lax.fori_loop(
-                        jnp.int32(0), nblk, blk, (zb,) * 7
-                    )
+                    def blk(b, acc):
+                        r0 = b * rb
+                        xs = pos_ref[0, pl.ds(r0, rb)]
+                        ys = pos_ref[1, pl.ds(r0, rb)]
+                        zs = pos_ref[2, pl.ds(r0, rb)]
+                        mwv = mw_ref[pl.ds(word, 1), pl.ds(r0, rb), :][0]
+                        sel = (
+                            jax.lax.shift_right_logical(mwv, bit) & 1
+                        ) == 1
+                        wb = jnp.where(sel, w_ref[0, pl.ds(r0, rb)], 0.0)
+                        return moments(xs, ys, zs, wb, acc)
+
+                    # streaming: operands live in HBM; double-buffered
+                    # async copies stream one (rb, 128) block per plane
+                    # (x/y/z positions, weights, THIS config's mask
+                    # word) into VMEM while the previous block computes
+                    def dma(b, slot):
+                        r0 = b * rb
+                        if batched:
+                            hb = pl.program_id(0)
+                            src_pos = pos_ref.at[hb, :, pl.ds(r0, rb), :]
+                            src_w = w_ref.at[hb, :, pl.ds(r0, rb), :]
+                            src_mw = mw_ref.at[
+                                hb, pl.ds(word, 1), pl.ds(r0, rb), :
+                            ]
+                        else:
+                            src_pos = pos_ref.at[:, pl.ds(r0, rb), :]
+                            src_w = w_ref.at[:, pl.ds(r0, rb), :]
+                            src_mw = mw_ref.at[
+                                pl.ds(word, 1), pl.ds(r0, rb), :
+                            ]
+                        return (
+                            pltpu.make_async_copy(
+                                src_pos,
+                                pbuf.at[pl.ds(slot * 3, 3)],
+                                sems.at[slot * 3],
+                            ),
+                            pltpu.make_async_copy(
+                                src_w,
+                                wbuf.at[pl.ds(slot, 1)],
+                                sems.at[slot * 3 + 1],
+                            ),
+                            pltpu.make_async_copy(
+                                src_mw,
+                                mbuf.at[pl.ds(slot, 1)],
+                                sems.at[slot * 3 + 2],
+                            ),
+                        )
+
+                    def blk_stream(b, acc):
+                        slot = jax.lax.rem(b, jnp.int32(2))
+                        for cp in dma(b, slot):
+                            cp.wait()
+
+                        @pl.when(b + 1 < nblk)
+                        def _():
+                            for cp in dma(b + 1, 1 - slot):
+                                cp.start()
+
+                        xs = pbuf[pl.ds(slot * 3, 1)][0]
+                        ys = pbuf[pl.ds(slot * 3 + 1, 1)][0]
+                        zs = pbuf[pl.ds(slot * 3 + 2, 1)][0]
+                        mwv = mbuf[pl.ds(slot, 1)][0]
+                        sel = (
+                            jax.lax.shift_right_logical(mwv, bit) & 1
+                        ) == 1
+                        wb = jnp.where(
+                            sel, wbuf[pl.ds(slot, 1)][0], 0.0
+                        )
+                        return moments(xs, ys, zs, wb, acc)
+
+                    zb = jnp.zeros((rb, 128), jnp.float32)
+                    if streaming:
+
+                        @pl.when(nblk > 0)
+                        def _():
+                            for cp in dma(jnp.int32(0), jnp.int32(0)):
+                                cp.start()
+
+                        acc = jax.lax.fori_loop(
+                            jnp.int32(0), nblk, blk_stream, (zb,) * 7
+                        )
+                    else:
+                        acc = jax.lax.fori_loop(
+                            jnp.int32(0), nblk, blk, (zb,) * 7
+                        )
                     inv = one / jnp.maximum(jnp.sum(acc[6]), tiny)
                     for k in range(6):
                         s_k = jnp.sum(acc[k]) * inv
@@ -356,22 +438,82 @@ def _inertia_kernel(
         out_ref[k, :] = st_ref[_TEN + k]
 
 
-def _call(kern, interpret):
+def _stream_scratch(rb):
+    return [
+        pltpu.VMEM((6, rb, 128), jnp.float32),  # 2 slots x xyz
+        pltpu.VMEM((2, rb, 128), jnp.float32),  # weights
+        pltpu.VMEM((2, rb, 128), jnp.int32),  # mask word
+        pltpu.SemaphoreType.DMA((6,)),
+    ]
+
+
+def _call(kern, interpret, rb, streaming):
+    scratch = [
+        pltpu.VMEM((24, 128), jnp.float32),
+        pltpu.VMEM((8, 128), jnp.float32),
+    ]
+    operand_space = pltpu.VMEM
+    if streaming:
+        # the big planes stay in HBM; the kernel streams (rb, 128)
+        # blocks through double-buffered VMEM scratch
+        operand_space = pltpu.ANY
+        scratch += _stream_scratch(rb)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=operand_space)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((24, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
 
+def _call_stream_batched(C, max_iterations, rb, interpret):
+    """grid-(B,) streaming call: HBM operands carry a leading halo axis
+    (ANY-space operands cannot be grid-blocked — the kernel indexes the
+    halo inside its DMA sources via ``pl.program_id``)."""
+    kern = partial(_inertia_kernel, C, max_iterations, rb, True, True)
+
+    def call(pos3, w_row, mw, radii_rows, done0_rows):
+        B = pos3.shape[0]
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+            + [
+                pl.BlockSpec(
+                    (None, 8, 128),
+                    lambda b: (b, jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            * 2,
+            out_specs=pl.BlockSpec(
+                (None, 8, 128),
+                lambda b: (b, jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((24, 128), jnp.float32),
+                pltpu.VMEM((8, 128), jnp.float32),
+            ]
+            + _stream_scratch(rb),
+            interpret=interpret,
+        )(pos3, w_row, mw, radii_rows, done0_rows)
+
+    return call
+
+
 @functools.lru_cache(maxsize=None)
-def _folding_caller(C: int, max_iterations: int, interpret: bool):
+def _folding_caller(
+    C: int,
+    max_iterations: int,
+    interpret: bool,
+    rb: int = RB,
+    streaming: bool = False,
+):
     """A ``custom_vmap``-wrapped kernel invocation.
 
     The first (innermost) vmap the engine applies is the spec-family
@@ -384,8 +526,12 @@ def _folding_caller(C: int, max_iterations: int, interpret: bool):
     """
 
     def base(pos3, w_row, mw, radii_row, done0_row):
-        kern = partial(_inertia_kernel, C, max_iterations)
-        return _call(kern, interpret)(pos3, w_row, mw, radii_row, done0_row)
+        kern = partial(
+            _inertia_kernel, C, max_iterations, rb, streaming, False
+        )
+        return _call(kern, interpret, rb, streaming)(
+            pos3, w_row, mw, radii_row, done0_row
+        )
 
     cv = jax.custom_batching.custom_vmap(base)
 
@@ -401,6 +547,21 @@ def _folding_caller(C: int, max_iterations: int, interpret: bool):
             and w_words * 32 >= C  # sanity: words cover base configs
         )
         if not foldable:
+            if streaming:
+                # ANY-space operands cannot be grid-blocked by a plain
+                # vmap; broadcast everything to a leading halo axis and
+                # run the grid-(B,) streaming call
+                def bcast(x, b):
+                    return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+                out = _call_stream_batched(C, max_iterations, rb, interpret)(
+                    bcast(pos3, pos_b),
+                    bcast(w_row, w_b),
+                    bcast(mw, mw_b),
+                    bcast(radii_row, radii_b),
+                    bcast(done0_row, done_b),
+                )
+                return out, True
             # halo-axis (or exotic) batching: plain vmap -> Pallas grid
             out = jax.vmap(
                 base,
@@ -456,7 +617,7 @@ def _folding_caller(C: int, max_iterations: int, interpret: bool):
         done_f = jnp.zeros((8, 128), jnp.float32)
         done_f = done_f.at[0].set(jnp.where(live, done_cfg[0], 1.0))
 
-        folded = _folding_caller(CL, max_iterations, interpret)(
+        folded = _folding_caller(CL, max_iterations, interpret, rb, streaming)(
             pos3, w_row, mw_f, radii_f, done_f
         )
         # unfold (8, 128) -> (L, 8, 128): lane l gets configs
@@ -474,7 +635,7 @@ def _folding_caller(C: int, max_iterations: int, interpret: bool):
 
 
 def inertia_loop_pallas(
-    pos3: jnp.ndarray,  # (3, KR, 128) f32, KR a multiple of RB
+    pos3: jnp.ndarray,  # (3, KR, 128) f32, KR a multiple of rb
     w_row: jnp.ndarray,  # (1, KR, 128) f32: shared weights
     maskword: jnp.ndarray,  # (W, KR, 128) i32: bit c = config c selected
     radii_row: jnp.ndarray,  # (8, 128) f32; see _*_ROW rows
@@ -483,6 +644,8 @@ def inertia_loop_pallas(
     iterative: Tuple[bool, ...],
     max_iterations: int,
     interpret: bool = False,
+    rb: int = RB,
+    streaming: bool = False,
 ) -> jnp.ndarray:
     """Run the in-kernel ellipsoid loop; returns (8, 128) f32 whose rows
     0-5 hold the final flat tensors, lanes = configs.
@@ -499,13 +662,13 @@ def inertia_loop_pallas(
     bucket's K.
     """
     KR = pos3.shape[1]
-    assert KR % RB == 0, "pad rows to a multiple of RB"
+    assert KR % rb == 0, "pad rows to a multiple of rb"
     C = len(reduced)
     # trace in 32-bit mode: under jax_enable_x64 the pl.when-inside-fori
     # lowering emits i64 loop tokens that Mosaic cannot legalize
     # ("failed to legalize operation 'func.return'"); the kernel is pure
     # f32/i32 so the x64 context is irrelevant to its semantics
     with jax.enable_x64(False):
-        return _folding_caller(C, int(max_iterations), interpret)(
-            pos3, w_row, maskword, radii_row, done0_row
-        )
+        return _folding_caller(
+            C, int(max_iterations), interpret, int(rb), bool(streaming)
+        )(pos3, w_row, maskword, radii_row, done0_row)
