@@ -392,6 +392,9 @@ def bench_giant():
     set_phase("giant: warmup/compile pass")
     engine = HaloEngine(ctx, chunk, specs)
     engine.process(**args)  # warmup
+    merge_fields(
+        giant_compile_seconds=round(engine.stats.compile_seconds, 1)
+    )
     engine.free()
     set_phase("giant: timed pass")
     engine = HaloEngine(ctx, chunk, specs)
@@ -456,6 +459,7 @@ def bench_hydro():
     set_phase("hydro: warmup/compile pass")
     t0 = time.time()
     compute_halo_properties(**common)  # warmup (compile + cache)
+    merge_fields(hydro_warmup_seconds=round(time.time() - t0, 1))
     log(f"[{time.time()-_T0:6.1f}s] hydro warmup done "
         f"({time.time()-t0:.0f}s)")
     set_phase("hydro: timed pass")
@@ -499,24 +503,12 @@ def main():
         # the headline goes out the moment the DMO number exists —
         # secondary configs can no longer cost us the round
         emit_headline(fields)
-    if (
-        which in ("all", "dmo")
-        and setup is not None
-        and os.environ.get("SOAP_TPU_BENCH_MESH", "1") == "1"
-        and phase_gate("mesh_tax", mesh_cost)
-    ):
-        try:
-            bench_mesh_tax(setup)
-        except Exception as e:  # secondary configs must not kill the headline
-            log(f"mesh-tax config failed: {type(e).__name__}: {e}")
-    if setup is not None:
-        del setup  # free the headline chunk store before secondary configs
     if which in ("all", "giant") and (
         which == "giant" or phase_gate("giant", giant_cost)
     ):
         try:
             bench_giant()
-        except Exception as e:
+        except Exception as e:  # secondary configs must not kill the headline
             log(f"giant-halo config failed: {type(e).__name__}: {e}")
     if which in ("all", "hydro") and (
         which == "hydro" or phase_gate("hydro", hydro_cost)
@@ -547,6 +539,19 @@ def main():
                 "config": "giant (per-bucket records on stderr)",
             }
         )
+    # mesh tax LAST: its programs are distinct signatures (shard_map
+    # wrapped) and a cold persistent cache makes this the most
+    # expensive phase — it must never starve the giant/hydro numbers
+    if (
+        which in ("all", "dmo")
+        and setup is not None
+        and os.environ.get("SOAP_TPU_BENCH_MESH", "1") == "1"
+        and phase_gate("mesh_tax", mesh_cost)
+    ):
+        try:
+            bench_mesh_tax(setup)
+        except Exception as e:
+            log(f"mesh-tax config failed: {type(e).__name__}: {e}")
     finalize("all configured phases complete")
 
 

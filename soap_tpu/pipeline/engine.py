@@ -1832,7 +1832,23 @@ class HaloEngine:
             # fused family; at TARGET_ROWS/2 rows that is ~2.6 GB peak
             # on a 16 GB chip (the /4 round-2 setting predates the
             # quarter-pow2 caps and left B at 8-32 — dispatch-bound)
-            budget = TARGET_ROWS // (4 if len(ctx0.ptypes) > 1 else 1)
+            # //5 (was //4): the 2048-halo production-mass-function
+            # hydro bench OOM'd by 4% (16.39 G of 15.75 G hbm) on its
+            # largest narrow tile at //4
+            budget = TARGET_ROWS // (5 if len(ctx0.ptypes) > 1 else 1)
+            # hydro batch cap: HLO temp footprint is NOT linear in
+            # B x K_sum — the lane-padded (B, lanes, K) family temps
+            # grow with B at roughly constant padded-K cost, so a
+            # B=512 x K=4096 hydro program needs 48 GB where
+            # B=64 x K=32768 (same row product) fits in ~10 GB
+            # (measured on v5e, 2048-halo production-mass-function
+            # hydro bench).  DMO programs carry no per-lane field
+            # blocks and keep the full MAX_BATCH.
+            max_batch = (
+                MAX_BATCH
+                if len(ctx0.ptypes) == 1
+                else int(_os.environ.get("SOAP_TPU_HYDRO_MAX_BATCH", 64))
+            )
 
             plans: List[Dict] = []
             pos = 0
@@ -1852,7 +1868,7 @@ class HaloEngine:
                     # production-K ones (less fusion headroom).
                     bq = max(1, self._halos_quant)
                     tile_budget = budget // 2
-                while pos + n_sel < n_pos and n_sel < MAX_BATCH:
+                while pos + n_sel < n_pos and n_sel < max_batch:
                     cand = {
                         pt: max(maxes[pt], typemax[pt][pos + n_sel])
                         for pt in ctx0.ptypes

@@ -220,3 +220,46 @@ def test_membership_rss_independent_of_snapshot_size(tmp_path):
         f"membership RSS grew with snapshot size: "
         f"{rss_small:.0f} MB -> {rss_big:.0f} MB"
     )
+
+
+def test_membership_potentials_dataset(tmp_path):
+    """``with_potentials`` writes SpecificPotentialEnergies — the
+    dataset name the property engine consumes for PotentialEnergyTotal
+    (reference ``group_membership.py:121-123,144-151``) — with (km/s)^2
+    unit attrs; unbound particles get 0."""
+    sim = mock_data.make_mock_simulation(
+        str(tmp_path), n_halos=4, n_field=1500, boxsize=20.0, seed=9
+    )
+    uni = sim["universe"]
+    rng = np.random.default_rng(2)
+    pots = [(-rng.uniform(1, 10, len(ids))) for ids in uni.bound_ids]
+    with h5py.File(sim["hbt_basename"] + ".0.hdf5", "a") as f:
+        vlen = h5py.vlen_dtype(np.float64)
+        ds = f.create_dataset("PotentialEnergies", (uni.n_halos,), dtype=vlen)
+        for i, p in enumerate(pots):
+            ds[i] = p
+    mem = str(tmp_path / "mem_pot.hdf5")
+    run_group_membership(
+        sim["snapshot"], sim["hbt_basename"], mem, with_potentials=True
+    )
+    from soap_tpu.io.swift_snapshot import SnapshotMetadata, read_masked_cells
+
+    meta = SnapshotMetadata(sim["snapshot"])
+    mask = np.ones(meta.nr_cells, bool)
+    ids = read_masked_cells(meta, mask, {"PartType1": ["ParticleIDs"]})[
+        "PartType1"
+    ]["ParticleIDs"]
+    by_id = {}
+    for hids, hpots in zip(uni.bound_ids, pots):
+        for pid, p in zip(hids, hpots):
+            by_id[int(pid)] = p
+    with h5py.File(mem, "r") as f:
+        g = f["PartType1"]
+        assert "SpecificPotentialEnergies" in g
+        got = g["SpecificPotentialEnergies"][...]
+        assert float(g["SpecificPotentialEnergies"].attrs["U_L exponent"][0]) == 2.0
+        grnr = g["GroupNr_bound"][...]
+        want = np.array([by_id.get(int(p), 0.0) for p in ids])
+        np.testing.assert_allclose(got, want)
+        assert (got[grnr < 0] == 0.0).all()
+        assert (got[grnr >= 0] < 0.0).all()
