@@ -499,7 +499,10 @@ def main():
     _DEADLINE[0] = _T0 + budget
     mesh_cost = float(os.environ.get("SOAP_TPU_BENCH_MESH_COST", "150"))
     giant_cost = float(os.environ.get("SOAP_TPU_BENCH_GIANT_COST", "280"))
-    hydro_cost = float(os.environ.get("SOAP_TPU_BENCH_HYDRO_COST", "450"))
+    # measured warm hydro phase: mock+membership ~40 s, warmup dominated
+    # by the per-run sequential lowering of ~18 programs (~500 s), timed
+    # pipeline 72 s
+    hydro_cost = float(os.environ.get("SOAP_TPU_BENCH_HYDRO_COST", "700"))
     threading.Thread(
         target=_watchdog, args=(budget,), daemon=True
     ).start()
