@@ -431,19 +431,22 @@ def bench_hydro():
 
     set_phase("hydro: build mock simulation")
     workdir = tempfile.mkdtemp(prefix="soap_bench_hydro_")
-    # 1024 halos (not the DMO headline's 2048): the hydro mix carries
-    # ~5x the per-row field payload, and the 2048-halo config exceeds a
-    # single v5e's 16 GB at RUNTIME (store + bucket workspaces) even
-    # after the B<=64 / row-budget compile fixes.  The MASS FUNCTION is
-    # identical (log-uniform 32..30000 particles), so halos/s remains
-    # the honest like-for-like rate vs the reference's full-hydro
-    # envelope.
-    n_halos = int(os.environ.get("SOAP_TPU_BENCH_HYDRO_HALOS", "1024"))
+    # 256 halos (not the DMO headline's 2048): the hydro mix carries
+    # ~5x the per-row field payload — the 2048-halo config exceeds a
+    # single v5e's 16 GB at RUNTIME even after the B<=64 / row-budget
+    # compile fixes, and a 1024-halo config's ~18 bucket programs cost
+    # ~500 s of per-run sequential lowering, which starves the phase
+    # out of the driver's budget.  The MASS FUNCTION is identical
+    # (log-uniform 32..30000 particles), so halos/s remains the honest
+    # like-for-like rate vs the reference's full-hydro envelope; the
+    # 1024-halo measurement (26.0 halos/s engine-scope) is recorded in
+    # PARITY.md.
+    n_halos = int(os.environ.get("SOAP_TPU_BENCH_HYDRO_HALOS", "256"))
     sim = mock_data.make_mock_simulation(
         workdir,
         n_halos=n_halos,
-        n_field=200_000,
-        boxsize=135.0,
+        n_field=100_000,
+        boxsize=100.0,
         seed=20260817,
         hydro=True,
         mass_range=(3.2, 3000.0),
@@ -499,10 +502,10 @@ def main():
     _DEADLINE[0] = _T0 + budget
     mesh_cost = float(os.environ.get("SOAP_TPU_BENCH_MESH_COST", "150"))
     giant_cost = float(os.environ.get("SOAP_TPU_BENCH_GIANT_COST", "280"))
-    # measured warm hydro phase: mock+membership ~40 s, warmup dominated
-    # by the per-run sequential lowering of ~18 programs (~500 s), timed
-    # pipeline 72 s
-    hydro_cost = float(os.environ.get("SOAP_TPU_BENCH_HYDRO_COST", "700"))
+    # measured warm hydro phase at 256 halos: mock+membership ~25 s,
+    # warmup dominated by the per-run sequential lowering of ~8
+    # programs, timed pipeline ~40 s
+    hydro_cost = float(os.environ.get("SOAP_TPU_BENCH_HYDRO_COST", "420"))
     threading.Thread(
         target=_watchdog, args=(budget,), daemon=True
     ).start()
